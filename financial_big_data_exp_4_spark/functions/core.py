@@ -1,0 +1,164 @@
+"""Native column-expression rewrites of the reference's scalar UDFs, plus
+exact-arithmetic aggregation helpers.
+
+The reference ships three row-at-a-time Python UDFs (SURVEY.md §2.6 U1-U3).
+Each one forces a ``BatchEvalPython`` node into the physical plan: rows are
+serialized JVM→Python-worker→JVM, whole-stage codegen is split, and Catalyst
+cannot push predicates through the opaque function. The rewrites below are
+pure Column expressions — they inline into the scan stage, stay inside
+codegen, and cost nothing extra at 100 TB.
+
+Exact-arithmetic helpers: floating-point SUM is not associative, so a
+distributed sum of doubles depends on partitioning. For money columns
+(2-decimal-exact by construction) we aggregate exact DECIMAL cents and cast
+the final result to double — bit-identical under any partitioning, and
+hash-comparable against a single-threaded oracle engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# U1/U2 — ¥1000 bucketing (reference nb2 cell 6, README.md:131-138)
+# ---------------------------------------------------------------------------
+
+def bucket_edge(value: Column | str, width: int = 1000) -> Column:
+    """Left edge of the fixed-width bucket containing ``value``.
+
+    Reference semantics: ``c = value // width; left = c * width`` (Python
+    floor-division in UDF ``total_loan_classify``). ``F.floor`` on the same
+    double division reproduces it exactly, as a codegen'd expression.
+    """
+    return (F.floor(_col(value) / F.lit(width)) * F.lit(width)).cast("long")
+
+
+def bucket_label_from_edge(edge: Column, width: int = 1000) -> Column:
+    """Render the reference's bucket label ``(left,right)`` (paren notation,
+    semantics ``[left, right)`` — README.md:131-135)."""
+    return F.concat(
+        F.lit("("),
+        edge.cast("string"),
+        F.lit(","),
+        (edge + F.lit(width)).cast("string"),
+        F.lit(")"),
+    )
+
+
+def bucket_label(value: Column | str, width: int = 1000) -> Column:
+    """U1 ``total_loan_classify`` rewritten native: value → '(c*w,(c+1)*w)'."""
+    return bucket_label_from_edge(bucket_edge(value, width), width)
+
+
+def parse_bucket_left_edge(label: Column | str) -> Column:
+    """U2 ``total_loan_sort`` rewritten native: ``int(s.split(',')[0][1:])``
+    (README.md:136-138) → the label's left endpoint as a long."""
+    return F.split(F.substring(_col(label), 2, 2**30), ",")[0].cast("long")
+
+
+# ---------------------------------------------------------------------------
+# U3 — work_year grammar parser (reference nb2 cell 29, README.md:224-233)
+# ---------------------------------------------------------------------------
+
+def parse_work_year(c: Column | str) -> Column:
+    """U3 ``work_year_process`` rewritten native.
+
+    Grammar: NULL → -1; contains '10+' → 11; contains '<' → 0;
+    otherwise ``int(first space-separated token)`` ('N year(s)' → N).
+    The when-chain keeps null-handling explicit (F2) and lets Catalyst fold
+    the parse into the scan stage, so a downstream filter on the parsed
+    value is evaluated without any Python round-trip (unlike the reference,
+    where the filter cannot push through the opaque UDF).
+    """
+    c = _col(c)
+    return (
+        F.when(c.isNull(), F.lit(-1))
+        .when(c.contains("10+"), F.lit(11))
+        .when(c.contains("<"), F.lit(0))
+        .otherwise(F.split(c, " ")[0].cast("int"))
+        .cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1/E2 — interest arithmetic with the reference's float32 semantics
+# ---------------------------------------------------------------------------
+
+def interest_expr(
+    year_of_loan: Column | str, monthly_payment: Column | str, total_loan: Column | str
+) -> Column:
+    """Task 3-2 total interest: ``year*monthly*12 - total`` computed in
+    float32 (the reference casts to FloatType at README.md:202-204; golden
+    values like 1840.6006 are float32 artifacts — SURVEY §2 E2). Result is
+    presented as double (exact widening of the float32 value)."""
+    y = _col(year_of_loan).cast("float")
+    m = _col(monthly_payment).cast("float")
+    t = _col(total_loan).cast("float")
+    return (y * m * F.lit(12).cast("float") - t).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# A2/E3/E4 — group share with banker's rounding
+# ---------------------------------------------------------------------------
+
+def share_expr(group_count: Column, total_count: Column, scale: int = 4) -> Column:
+    """Task 3-1 per-group share, ``bround(cnt/total, 4)`` (HALF_EVEN —
+    reference uses ``f.bround`` at README.md:189). The reference computed
+    the share by summing ``lit(1/300000)`` per row (visible fp drift,
+    nb2 cell 18); we compute ``count/total`` — same declared output at
+    every golden value (SURVEY note B), exact under any partitioning."""
+    return F.bround(group_count / total_count, scale)
+
+
+# ---------------------------------------------------------------------------
+# Exact distributed aggregation over money / fixed-point values
+# ---------------------------------------------------------------------------
+
+def exact_money_sum(c: Column | str, out_scale: int = 2) -> Column:
+    """SUM over a 2-decimal money column, exact and partitioning-invariant.
+
+    Casting each value to DECIMAL(18,2) is exact for 2-dp money doubles;
+    DECIMAL sums are associative, so the distributed result is
+    bit-identical to a sequential engine's. The final value is presented
+    as double. At 100 TB this costs one extra cast per row inside codegen
+    — negligible against the shuffle it protects.
+    """
+    return F.sum(_col(c).cast(f"decimal(18,{out_scale})")).cast("double")
+
+
+def fixed_point_sum(c: Column | str, scale_digits: int = 6) -> Column:
+    """SUM over an arbitrary double via fixed-point truncation.
+
+    ``sum(floor(x * 10^d)) / 10^d`` — each term is truncated to ``d``
+    fractional digits, summed exactly as BIGINT, and rescaled once.
+    Deterministic under any partitioning (unlike a raw double sum) at the
+    cost of a bounded, documented truncation of < 10^-d per element.
+    """
+    m = 10**scale_digits
+    return (
+        F.sum(F.floor(_col(c) * F.lit(m)).cast("long")) / F.lit(float(m))
+    ).alias("fixed_point_sum")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic 64-bit hashing shared with the SQL oracle
+# ---------------------------------------------------------------------------
+
+def md5_hash64(c: Column | str) -> Column:
+    """Deterministic unsigned-53-bit hash of a string: the first 13 hex
+    digits of md5, parsed as an integer.
+
+    Why md5 and 13 digits: md5 is available and bit-identical in Spark and
+    in ANSI-SQL oracles (DuckDB), so sketch operators built on it (minhash,
+    simhash, fingerprints) are cross-engine checkable; 13 hex digits = 52
+    bits fits exactly in both BIGINT and the IEEE-double mantissa, so no
+    overflow/precision divergence anywhere. Spark's builtin xxhash64 is
+    faster but engine-private; use it when oracle parity is not required.
+    """
+    return F.conv(F.substring(F.md5(_col(c)), 1, 13), 16, 10).cast("long")

@@ -1,0 +1,115 @@
+"""ANSI-SQL oracles for the declared reference queries.
+
+Each string is runnable by DuckDB over the fixture tables registered as
+views with their file names. The SQL mirrors the Spark plan's *semantics
+and evaluation shape* — identical expression trees over identical inputs so
+double arithmetic is bit-identical (SURVEY.md §7 determinism rules):
+
+* double division / floor with the same operand order;
+* float32 chains mirrored with REAL casts (q_interest);
+* ``round_even`` for Spark's HALF_EVEN ``bround`` (SURVEY note D);
+* total-order ORDER BY everywhere an order is declared.
+
+Rows-only queries (quantile bucketing, vector assembly, random split) have
+no entry — the driver then records the weaker rows-only check.
+"""
+
+REFERENCE_ORACLE_SQL: dict[str, str] = {
+    "q_scan": "SELECT count(*) AS cnt FROM lineitem",
+    "q_industry_count": """
+        SELECT c_mktsegment, count(*) AS cnt
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY cnt DESC, c_mktsegment ASC
+    """,
+    "q_loan_histogram": """
+        WITH edges AS (
+            SELECT CAST(floor(o_totalprice / 1000) * 1000 AS BIGINT) AS left_edge
+            FROM orders
+        )
+        SELECT
+            '(' || CAST(left_edge AS VARCHAR) || ',' ||
+            CAST(left_edge + 1000 AS VARCHAR) || ')' AS bucket,
+            left_edge,
+            count(*) AS cnt
+        FROM edges
+        GROUP BY left_edge
+        ORDER BY left_edge
+    """,
+    "q_employer_share": """
+        WITH counts AS (
+            SELECT o_orderpriority, count(*) AS cnt FROM orders GROUP BY o_orderpriority
+        ), tot AS (
+            SELECT count(*) AS total FROM orders
+        )
+        SELECT o_orderpriority,
+               round_even(CAST(cnt AS DOUBLE) / total, 4) AS share
+        FROM counts, tot
+        ORDER BY share ASC, o_orderpriority ASC
+    """,
+    "q_interest": """
+        SELECT l_orderkey, l_linenumber,
+               CAST(
+                   (CAST(l_extendedprice AS REAL) *
+                    (CAST(1 AS REAL) - CAST(l_discount AS REAL))) * CAST(12 AS REAL)
+                   - CAST(l_quantity AS REAL)
+               AS DOUBLE) AS total_money
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+    """,
+    "q_workyear_filter": """
+        WITH wy AS (
+            SELECT p_partkey,
+                   CASE
+                       WHEN p_partkey % 13 = 0 THEN NULL
+                       WHEN p_size % 12 = 0 THEN '< 1 year'
+                       WHEN p_size % 12 >= 10 THEN '10+ years'
+                       WHEN p_size % 12 = 1 THEN '1 year'
+                       ELSE CAST(p_size % 12 AS VARCHAR) || ' years'
+                   END AS work_year
+            FROM part
+        ), parsed AS (
+            SELECT p_partkey, work_year,
+                   CAST(CASE
+                       WHEN work_year IS NULL THEN -1
+                       WHEN contains(work_year, '10+') THEN 11
+                       WHEN contains(work_year, '<') THEN 0
+                       ELSE CAST(str_split(work_year, ' ')[1] AS INTEGER)
+                   END AS INTEGER) AS work_year_num
+            FROM wy
+        )
+        SELECT * FROM parsed WHERE work_year_num > 5 ORDER BY p_partkey
+    """,
+    "q_project": """
+        SELECT s_suppkey, s_name, s_acctbal FROM supplier ORDER BY s_suppkey
+    """,
+    "q_topk": """
+        SELECT p_partkey, p_name, p_retailprice
+        FROM part
+        ORDER BY p_retailprice DESC, p_partkey ASC
+        LIMIT 20
+    """,
+    "q_fillna": """
+        SELECT event_id,
+               COALESCE(CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END, -1.0)
+                   AS value_f,
+               COALESCE(CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END, '-1')
+                   AS etype_f
+        FROM events
+        ORDER BY event_id
+    """,
+    "q_string_index": """
+        WITH freq AS (
+            SELECT c_mktsegment AS seg, count(*) AS cnt
+            FROM customer GROUP BY c_mktsegment
+        ), codes AS (
+            SELECT seg,
+                   CAST(dense_rank() OVER (ORDER BY cnt DESC, seg ASC) - 1 AS DOUBLE)
+                       AS mkt_idx
+            FROM freq
+        )
+        SELECT c.c_custkey, c.c_mktsegment, codes.mkt_idx
+        FROM customer c JOIN codes ON c.c_mktsegment = codes.seg
+        ORDER BY c.c_custkey
+    """,
+}

@@ -1,0 +1,312 @@
+"""Declared queries: the reference's operator inventory re-expressed over
+the driver fixture tables (SURVEY.md §2, FIXTURES.md §3).
+
+Every public function here takes ``(spark, sf_dir)`` and returns a
+DataFrame; each has a matching ANSI-SQL oracle in
+:mod:`financial_big_data_exp_4_spark.plans.oracle` (the differential-test
+contract). Column aliases are part of the contract — they must match the
+oracle exactly.
+
+Determinism rules (SURVEY.md §7 traps):
+* every query that exposes an ordering uses a TOTAL order (unique tiebreak
+  key), adopting the reference's MapReduce composite-key semantics
+  (``IndustryCount.java:91-96``: count desc, key lexicographic asc);
+* no raw double SUMs — exact decimal/fixed-point routing
+  (:mod:`..functions.core`);
+* float32 where the reference's golden values are float32 artifacts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_big_data_exp_4_spark.functions import (
+    bucket_edge,
+    bucket_label_from_edge,
+    interest_expr,
+    parse_work_year,
+    share_expr,
+)
+from financial_big_data_exp_4_spark.sources import load_table
+
+
+# ---------------------------------------------------------------------------
+# S4 — schema'd scan + count (task 4 load; README.md:268-315)
+# ---------------------------------------------------------------------------
+
+def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed scan + global count (A3). The count compiles to a
+    metadata-assisted parquet count — no full column read."""
+    return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# A1 + O1 + O4 — the flagship: group-count with total-order sort (task 1)
+# ---------------------------------------------------------------------------
+
+def q_industry_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task 1 (``IndustryCount.java``, nb2 cell 4): count per group, sorted
+    count desc then key asc — the MR composite-key total order (IC:91-96).
+
+    One logical plan replaces the reference's two chained MR jobs: Spark's
+    hash aggregate does map-side partial aggregation (the reference's MR
+    job configures no combiner), and the sort is a range-partitioned
+    exchange over the ~|groups| aggregated rows, not the input.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("c_mktsegment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 + U2 + A1 + O2 — ¥1000 histogram (task 2)
+# ---------------------------------------------------------------------------
+
+def q_loan_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task 2 (nb2 cells 6-10): fixed-width value histogram with the
+    reference's '(left,right)' labels, sorted by left edge.
+
+    The reference used two Python UDFs (label render + label re-parse for
+    the sort). Native rewrite keeps the numeric edge alongside the label —
+    no parse-back, no Python workers, and the groupBy key is the edge
+    (fixed-width numeric) so the aggregate stays codegen'd.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    edge = bucket_edge(F.col("o_totalprice"), 1000)
+    return (
+        orders.select(edge.alias("left_edge"))
+        .groupBy("left_edge")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            bucket_label_from_edge(F.col("left_edge"), 1000).alias("bucket"),
+            "left_edge",
+            "cnt",
+        )
+        .orderBy("left_edge")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 + A3 + E3 + E4 + O3 — per-group share, banker's-rounded (task 3-1)
+# ---------------------------------------------------------------------------
+
+def q_employer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task 3-1 (nb2 cells 14-21): share of rows per group, bround scale 4.
+
+    Physical shape for scale: aggregate first (counts per group — tiny),
+    then broadcast-cross-join the single-row total. The reference instead
+    summed ``lit(1/300000)`` per row (fp drift, SURVEY note B); count/total
+    is exact and partitioning-invariant.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    counts = orders.groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
+    total = orders.agg(F.count("*").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "o_orderpriority",
+            share_expr(F.col("cnt"), F.col("total"), 4).alias("share"),
+        )
+        .orderBy(F.asc("share"), F.asc("o_orderpriority"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1 + E2 — arithmetic projection in float32 (task 3-2)
+# ---------------------------------------------------------------------------
+
+def q_interest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task 3-2 (nb2 cells 23-27): per-row derived value
+    ``year*monthly*12 - total`` with the reference's float32 cast chain
+    (README.md:202-204). Fixture mapping: lineitem per-line charge
+    ``extendedprice*(1-discount)*12 - quantity`` keyed by
+    (l_orderkey, l_linenumber)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = F.col("l_extendedprice").cast("float")
+    disc = F.col("l_discount").cast("float")
+    qty = F.col("l_quantity").cast("float")
+    one = F.lit(1).cast("float")
+    twelve = F.lit(12).cast("float")
+    interest = ((ext * (one - disc)) * twelve - qty).cast("double")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        interest.alias("total_money"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+# ---------------------------------------------------------------------------
+# U3 + F1 + F2 — grammar parse + filter (task 3-3)
+# ---------------------------------------------------------------------------
+
+def _with_work_year(df: DataFrame) -> DataFrame:
+    """Render the reference work_year grammar deterministically from part
+    columns (the fixture has no such column): NULL | '< 1 year' |
+    '1 year' | 'N years' | '10+ years'."""
+    s = F.col("p_size") % 12
+    wy = (
+        F.when(F.col("p_partkey") % 13 == 0, F.lit(None).cast("string"))
+        .when(s == 0, F.lit("< 1 year"))
+        .when(s >= 10, F.lit("10+ years"))
+        .when(s == 1, F.lit("1 year"))
+        .otherwise(F.concat(s.cast("string"), F.lit(" years")))
+    )
+    return df.withColumn("work_year", wy)
+
+
+def q_workyear_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task 3-3 (nb2 cells 29-34): parse the work_year grammar (null → -1,
+    '10+' → 11, '<' → 0, else leading int) and keep rows with > 5 years.
+
+    Unlike the reference — where the filter sits above an opaque Python UDF
+    and cannot be pushed down — the native when-chain lets Catalyst evaluate
+    the predicate inside the scan stage."""
+    part = _with_work_year(load_table(spark, sf_dir, "part"))
+    parsed = parse_work_year(F.col("work_year"))
+    return (
+        part.withColumn("work_year_num", parsed)
+        .filter(F.col("work_year_num") > 5)
+        .select("p_partkey", "work_year", "work_year_num")
+        .orderBy("p_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — projection / column reorder (tasks 2-3 select surface)
+# ---------------------------------------------------------------------------
+
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column project + reorder (nb2 cells 8/25/31). The scan reads
+    only the three referenced columns (column pruning)."""
+    supplier = load_table(spark, sf_dir, "supplier")
+    return supplier.select("s_suppkey", "s_name", "s_acctbal").orderBy("s_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# O4 + O5 — total-order sort + limit (top-k)
+# ---------------------------------------------------------------------------
+
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order top-k (sort desc with unique asc tiebreak, limit 20).
+    Spark plans this as TakeOrderedAndProject — per-partition heaps, no
+    global sort — exactly what you want at 100 TB."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 — null imputation (task 4, README.md:320-321)
+# ---------------------------------------------------------------------------
+
+def q_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``df.na.fill(-1)`` / ``df.na.fill('-1')`` over deterministic injected
+    nulls (fixtures have none): numeric → -1.0, string → '-1'."""
+    events = load_table(spark, sf_dir, "events")
+    with_nulls = events.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("value_f"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("etype_f"),
+    )
+    return (
+        with_nulls.na.fill(-1.0, ["value_f"]).na.fill("-1", ["etype_f"])
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2 — label encoding via StringIndexer (task 4, nb4 cells 9-11)
+# ---------------------------------------------------------------------------
+
+def q_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringIndexer with the default frequencyDesc ordering (ties broken
+    alphabetically — deterministic, hence oracle-checkable as
+    ``dense_rank() over (order by count desc, value asc) - 1``)."""
+    from pyspark.ml.feature import StringIndexer
+
+    customer = load_table(spark, sf_dir, "customer")
+    indexer = StringIndexer(
+        inputCol="c_mktsegment", outputCol="mkt_idx", handleInvalid="error"
+    )
+    indexed = indexer.fit(customer).transform(customer)
+    return indexed.select("c_custkey", "c_mktsegment", "mkt_idx").orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# M3/M4/M5 — rows-only checked ML feature ops (approximate / vector-typed)
+# ---------------------------------------------------------------------------
+
+def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QuantileDiscretizer(numBuckets=20) on a money column (task 4 date
+    bucketing, nb4 cell 15). approxQuantile-backed → not hash-stable;
+    declared rows-only."""
+    from pyspark.ml.feature import QuantileDiscretizer
+
+    orders = load_table(spark, sf_dir, "orders")
+    qd = QuantileDiscretizer(
+        numBuckets=20, inputCol="o_totalprice", outputCol="price_bucket",
+        relativeError=0.001,
+    )
+    bucketed = qd.fit(orders).transform(orders)
+    return (
+        bucketed.groupBy(F.col("price_bucket").cast("int").alias("price_bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("price_bucket")
+    )
+
+
+def q_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VectorAssembler (task 4, nb4 cells 19-20). VectorUDT is not
+    SQL-comparable → project the vector's arity and norm; rows-only."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    customer = load_table(spark, sf_dir, "customer")
+    assembled = VectorAssembler(
+        inputCols=["c_custkey", "c_nationkey", "c_acctbal"], outputCol="features"
+    ).transform(customer)
+    arr = vector_to_array("features")
+    return assembled.select(
+        "c_custkey",
+        F.size(arr).alias("n_features"),
+    ).orderBy("c_custkey")
+
+
+def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded randomSplit([0.8, 0.2]) (task 4 nb4 cell 22 — unseeded there;
+    the engine always seeds, SURVEY trap 4). Rows-only: counts per split."""
+    orders = load_table(spark, sf_dir, "orders")
+    train, test = orders.randomSplit([0.8, 0.2], seed=42)
+    return spark.createDataFrame(
+        [("train", train.count()), ("test", test.count())], "split string, cnt long"
+    ).orderBy("split")
+
+
+REFERENCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_scan": q_scan,
+    "q_industry_count": q_industry_count,
+    "q_loan_histogram": q_loan_histogram,
+    "q_employer_share": q_employer_share,
+    "q_interest": q_interest,
+    "q_workyear_filter": q_workyear_filter,
+    "q_project": q_project,
+    "q_topk": q_topk,
+    "q_fillna": q_fillna,
+    "q_string_index": q_string_index,
+    "q_quantile_bucket": q_quantile_bucket,
+    "q_vector_assemble": q_vector_assemble,
+    "q_random_split": q_random_split,
+}

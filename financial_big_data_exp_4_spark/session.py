@@ -1,0 +1,87 @@
+"""SparkSession factory.
+
+The reference runs Spark 2.4.5 ``local[*]`` with all defaults
+(reference ``README.md:420-424``, nb2 cell 1). We target Spark 4.x and set
+the handful of configs that matter for correctness and for scale:
+
+* ``spark.sql.legacy.parquet.nanosAsLong`` — the driver fixture
+  ``events.parquet`` is physically INT64 TIMESTAMP(NANOS); Spark refuses to
+  read it without this flag (the column then arrives as bigint nanoseconds).
+* AQE on — runtime shuffle-partition coalescing + skew-join splitting; this
+  is what makes a fixed ``spark.sql.shuffle.partitions`` safe from sf0.001
+  up to cluster scale.
+* UTC session timezone — deterministic timestamp rendering for the
+  differential-test oracle.
+* Arrow for pandas interchange — any ``toPandas``/``mapInPandas`` boundary
+  moves columnar batches, not pickled rows.
+
+All of these are session-level SQL confs, so :func:`ensure_session_confs`
+can retrofit them onto an externally created session (the verification
+driver builds its own ``SparkSession``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: SQL confs that are safe to set on a live session (runtime-settable).
+RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "financial_big_data_exp_4_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard confs.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` for local testing;
+    cluster deployments pass their own master / rely on spark-submit. The
+    shuffle-partition count defaults to the local core count — with AQE
+    coalescing enabled this is a ceiling, not a fixed fan-out, so the same
+    code scales to a real cluster where operators would raise it.
+    """
+    cpus = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+    )
+    if master:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensure_session_confs(spark)
+    return spark
+
+
+def ensure_session_confs(spark: SparkSession) -> SparkSession:
+    """Set the engine's runtime-settable SQL confs on an existing session.
+
+    Every public query entry point calls this defensively so the engine
+    behaves identically under an externally created session (e.g. the
+    verification driver's).
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:  # pragma: no cover - static confs on odd builds
+            pass
+    return spark

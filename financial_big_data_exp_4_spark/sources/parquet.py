@@ -1,0 +1,71 @@
+"""Parquet sources for the fixture star schema.
+
+Tables (TESTDATA.md): ``region nation customer supplier part orders lineitem
+events documents embeddings`` — one parquet file per table under a scale
+directory. At cluster scale these would be partitioned datasets; the loaders
+take any path Spark's parquet source accepts, so directory-of-files layouts
+work unchanged and benefit from partition pruning.
+
+``events.parquet`` is INT64 TIMESTAMP(NANOS); with the session conf
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set by
+:func:`~financial_big_data_exp_4_spark.session.ensure_session_confs`) the
+``ts`` column arrives as bigint nanoseconds. :func:`events_with_timestamp`
+derives a proper microsecond timestamp column via exact integer arithmetic
+(no double round-trip — at ~1.7e18 ns a double division would lose
+precision).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_big_data_exp_4_spark.session import ensure_session_confs
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Column pruning / predicate pushdown is left to
+    Catalyst — callers ``select``/``filter`` and the scan narrows itself."""
+    ensure_session_confs(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
+    """Register every fixture table as a temp view (for the SQL surface)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
+
+
+def events_with_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with ``ts`` (bigint ns) plus ``ts_utc`` timestamp (µs).
+
+    Integer-exact: ``timestamp_micros(ts DIV 1000)`` — truncation, matching
+    what an engine reading TIMESTAMP_NS and casting to µs timestamps does.
+    """
+    df = load_table(spark, sf_dir, "events")
+    if dict(df.dtypes)["ts"] == "bigint":
+        return df.withColumn(
+            "ts_utc", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        )
+    # Session read nanos natively (future Spark default): already a timestamp.
+    return df.withColumn("ts_utc", F.col("ts").cast("timestamp"))
