@@ -123,27 +123,73 @@ def share_expr(group_count: Column, total_count: Column, scale: int = 4) -> Colu
 def exact_money_sum(c: Column | str, out_scale: int = 2) -> Column:
     """SUM over a 2-decimal money column, exact and partitioning-invariant.
 
-    Casting each value to DECIMAL(18,2) is exact for 2-dp money doubles;
-    DECIMAL sums are associative, so the distributed result is
-    bit-identical to a sequential engine's. The final value is presented
-    as double. At 100 TB this costs one extra cast per row inside codegen
-    — negligible against the shuffle it protects.
+    Each value is cast to DECIMAL(38,2) — wide enough that any double's
+    integral magnitude (< 1.8e308 is out of range, but every money value a
+    2-dp column can exactly hold is < 2^53/100 ≈ 9e13) fits without the
+    silent NULL-on-overflow a narrow DECIMAL(18,2) cast produces under
+    non-ANSI mode (round-1 ADVICE). DECIMAL sums are associative, so the
+    distributed result is bit-identical to a sequential engine's. At 100 TB
+    this costs one extra cast per row inside codegen — negligible against
+    the shuffle it protects.
     """
-    return F.sum(_col(c).cast(f"decimal(18,{out_scale})")).cast("double")
+    return F.sum(_col(c).cast(f"decimal(38,{out_scale})")).cast("double")
 
 
 def fixed_point_sum(c: Column | str, scale_digits: int = 6) -> Column:
-    """SUM over an arbitrary double via fixed-point truncation.
+    """SUM over an arbitrary double via fixed-point rounding to ``d``
+    fractional digits, deterministic under any partitioning.
 
-    ``sum(floor(x * 10^d)) / 10^d`` — each term is truncated to ``d``
-    fractional digits, summed exactly as BIGINT, and rescaled once.
-    Deterministic under any partitioning (unlike a raw double sum) at the
-    cost of a bounded, documented truncation of < 10^-d per element.
+    Routed through DECIMAL(38,d): the per-row cast rounds (HALF_UP) to
+    ``d`` digits *exactly* (no double-multiply pre-step — the round-1
+    ADVICE flagged that ``floor(x * 10^d)`` loses exactness once
+    ``|x| * 10^d`` exceeds 2^53 and that a BIGINT accumulator wraps
+    silently), and the DECIMAL(38,d) accumulator holds ~10^(38-d) before
+    overflow — at d=6 that is 10^32, unreachable even summing 10^15 rows of
+    10^16-magnitude values. Associative, hence partition-invariant.
     """
-    m = 10**scale_digits
+    return F.sum(_col(c).cast(f"decimal(38,{scale_digits})")).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hashing / splitting shared with the SQL oracle
+# ---------------------------------------------------------------------------
+
+#: Largest prime below 2^30 squared fits BIGINT; standard Mersenne-ish modulus.
+_SPLIT_MODULUS = 1_000_000_007
+#: Knuth's multiplicative constant (2^32 * golden ratio conjugate).
+_SPLIT_MULTIPLIER = 2_654_435_761
+
+
+def det_hash_mod(key: Column | str, buckets: int) -> Column:
+    """Deterministic bucket id in ``[0, buckets)`` from an integer key.
+
+    ``((key mod P) * K) mod P mod buckets`` with P = 1e9+7 and K = Knuth's
+    multiplier. All arithmetic stays in BIGINT and never exceeds
+    P * K < 2.7e18 < 2^63, so Spark and any ANSI-SQL engine (the DuckDB
+    oracle) compute bit-identical results at every key magnitude — unlike
+    ``randomSplit``, whose output depends on the physical partition layout
+    (round-1 ADVICE). Scale: pure codegen'd arithmetic, no shuffle, no RNG
+    state, reproducible on any cluster topology.
+    """
+    k = _col(key).cast("long")
+    h = ((k % _SPLIT_MODULUS) * F.lit(_SPLIT_MULTIPLIER)) % F.lit(_SPLIT_MODULUS)
+    return (h % F.lit(buckets)).cast("long")
+
+
+def det_hash_mod_sql(key_sql: str, buckets: int) -> str:
+    """The ANSI-SQL rendering of :func:`det_hash_mod` for oracle parity."""
     return (
-        F.sum(F.floor(_col(c) * F.lit(m)).cast("long")) / F.lit(float(m))
-    ).alias("fixed_point_sum")
+        f"((({key_sql}) % {_SPLIT_MODULUS}) * {_SPLIT_MULTIPLIER})"
+        f" % {_SPLIT_MODULUS} % {buckets}"
+    )
+
+
+def train_test_split_col(key: Column | str, train_pct: int = 80) -> Column:
+    """Deterministic 'train'/'test' tag from an integer key (task-4 M5
+    ``randomSplit([0.8, 0.2])`` re-expressed partition-invariantly)."""
+    return F.when(
+        det_hash_mod(key, 100) < F.lit(train_pct), F.lit("train")
+    ).otherwise(F.lit("test"))
 
 
 # ---------------------------------------------------------------------------

@@ -98,6 +98,15 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
         FROM events
         ORDER BY event_id
     """,
+    "q_random_split": """
+        SELECT CASE WHEN ((o_orderkey % 1000000007) * 2654435761)
+                         % 1000000007 % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split,
+               count(*) AS cnt
+        FROM orders
+        GROUP BY 1
+        ORDER BY split
+    """,
     "q_string_index": """
         WITH freq AS (
             SELECT c_mktsegment AS seg, count(*) AS cnt

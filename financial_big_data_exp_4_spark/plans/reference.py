@@ -29,6 +29,7 @@ from financial_big_data_exp_4_spark.functions import (
     interest_expr,
     parse_work_year,
     share_expr,
+    train_test_split_col,
 )
 from financial_big_data_exp_4_spark.sources import load_table
 
@@ -38,8 +39,9 @@ from financial_big_data_exp_4_spark.sources import load_table
 # ---------------------------------------------------------------------------
 
 def q_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed scan + global count (A3). The count compiles to a
-    metadata-assisted parquet count — no full column read."""
+    """Typed scan + global count (A3). Runs a zero-column scan stage with
+    partial counts per partition — cheap (no column decode), though not the
+    pure-metadata count a ``COUNT(*)``-only parquet statistics read would be."""
     return load_table(spark, sf_dir, "lineitem").agg(F.count("*").alias("cnt"))
 
 
@@ -126,19 +128,23 @@ def q_interest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``year*monthly*12 - total`` with the reference's float32 cast chain
     (README.md:202-204). Fixture mapping: lineitem per-line charge
     ``extendedprice*(1-discount)*12 - quantity`` keyed by
-    (l_orderkey, l_linenumber)."""
+    (l_orderkey, l_linenumber).
+
+    No ORDER BY: the result is per-row and the check hash is
+    order-insensitive — a global sort here would range-shuffle the whole
+    fact table for nothing (the round-1 scale-killer). The plan is map-only:
+    pruned 5-column scan, whole-stage codegen, zero shuffles."""
     li = load_table(spark, sf_dir, "lineitem")
-    ext = F.col("l_extendedprice").cast("float")
-    disc = F.col("l_discount").cast("float")
-    qty = F.col("l_quantity").cast("float")
     one = F.lit(1).cast("float")
-    twelve = F.lit(12).cast("float")
-    interest = ((ext * (one - disc)) * twelve - qty).cast("double")
+    disc = F.col("l_discount").cast("float")
+    interest = interest_expr(
+        F.col("l_extendedprice"), one - disc, F.col("l_quantity")
+    )
     return li.select(
         "l_orderkey",
         "l_linenumber",
         interest.alias("total_money"),
-    ).orderBy("l_orderkey", "l_linenumber")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -166,14 +172,14 @@ def q_workyear_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Unlike the reference — where the filter sits above an opaque Python UDF
     and cannot be pushed down — the native when-chain lets Catalyst evaluate
-    the predicate inside the scan stage."""
+    the predicate inside the scan stage. Map-only plan (no ORDER BY — the
+    check hash is order-insensitive; contract does not require order)."""
     part = _with_work_year(load_table(spark, sf_dir, "part"))
     parsed = parse_work_year(F.col("work_year"))
     return (
         part.withColumn("work_year_num", parsed)
         .filter(F.col("work_year_num") > 5)
         .select("p_partkey", "work_year", "work_year_num")
-        .orderBy("p_partkey")
     )
 
 
@@ -183,9 +189,9 @@ def q_workyear_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-column project + reorder (nb2 cells 8/25/31). The scan reads
-    only the three referenced columns (column pruning)."""
+    only the three referenced columns (column pruning); map-only plan."""
     supplier = load_table(spark, sf_dir, "supplier")
-    return supplier.select("s_suppkey", "s_name", "s_acctbal").orderBy("s_suppkey")
+    return supplier.select("s_suppkey", "s_name", "s_acctbal")
 
 
 # ---------------------------------------------------------------------------
@@ -221,10 +227,7 @@ def q_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("event_type"))
         .alias("etype_f"),
     )
-    return (
-        with_nulls.na.fill(-1.0, ["value_f"]).na.fill("-1", ["etype_f"])
-        .orderBy("event_id")
-    )
+    return with_nulls.na.fill(-1.0, ["value_f"]).na.fill("-1", ["etype_f"])
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +245,7 @@ def q_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         inputCol="c_mktsegment", outputCol="mkt_idx", handleInvalid="error"
     )
     indexed = indexer.fit(customer).transform(customer)
-    return indexed.select("c_custkey", "c_mktsegment", "mkt_idx").orderBy("c_custkey")
+    return indexed.select("c_custkey", "c_mktsegment", "mkt_idx")
 
 
 # ---------------------------------------------------------------------------
@@ -286,13 +289,18 @@ def q_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Seeded randomSplit([0.8, 0.2]) (task 4 nb4 cell 22 — unseeded there;
-    the engine always seeds, SURVEY trap 4). Rows-only: counts per split."""
+    """Train/test split (task 4 nb4 cell 22 ``randomSplit([0.8, 0.2])``,
+    unseeded there — SURVEY trap 4) re-expressed as a deterministic per-row
+    hash split: one pass, one partial-agg shuffle of 2 groups, identical on
+    any partition layout/cluster (``randomSplit`` is not — round-1 ADVICE).
+    Hash-checkable against the oracle, not just rows-only."""
     orders = load_table(spark, sf_dir, "orders")
-    train, test = orders.randomSplit([0.8, 0.2], seed=42)
-    return spark.createDataFrame(
-        [("train", train.count()), ("test", test.count())], "split string, cnt long"
-    ).orderBy("split")
+    return (
+        orders.select(train_test_split_col(F.col("o_orderkey")).alias("split"))
+        .groupBy("split")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("split")
+    )
 
 
 REFERENCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -62,7 +62,11 @@ def get_spark(
     )
     if master:
         builder = builder.master(master)
-    elif not os.environ.get("SPARK_MASTER"):
+    elif os.environ.get("SPARK_MASTER"):
+        # Spark itself does not read SPARK_MASTER; honor it explicitly so a
+        # plain `python` launch against a cluster works (round-1 ADVICE).
+        builder = builder.master(os.environ["SPARK_MASTER"])
+    else:
         builder = builder.master(f"local[{cpus}]")
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

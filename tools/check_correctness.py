@@ -1,0 +1,113 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry at a given sf dir on Spark, runs the matching
+``oracle_sql()`` on DuckDB over the same parquet files, and compares
+row count, column names, and an order-insensitive value hash (columns sorted
+by name, rows sorted, values canonicalized). Exit 0 iff everything matches.
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def canon(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return f"{v:.1f}"
+        return repr(v)
+    if isinstance(v, bool):
+        return str(int(v))
+    return str(v)
+
+
+def table_fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str, str]:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    sorted_cols = [cols[i] for i in order]
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    import hashlib
+
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return len(rows), ",".join(sorted_cols), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from financial_big_data_exp_4_spark.session import get_spark
+
+    spark = get_spark("check_correctness")
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        sn, sc, sh = table_fingerprint(scols, srows)
+        on, oc, oh = table_fingerprint(ocols, orows)
+        ok = (sn, sc, sh) == (on, oc, oh)
+        status = "OK  " if ok else "FAIL"
+        print(
+            f"{status} {name}: rows {sn}/{on} cols [{sc}]/[{oc}] "
+            f"hash {sh}/{oh} ({time.time()-t0:.1f}s)"
+        )
+        if not ok:
+            failures.append(name)
+            if sn == on and sc == oc:
+                # show first differing rows for debugging
+                sset = {tuple(map(canon, r)) for r in srows}
+                oset = {tuple(map(canon, r)) for r in orows}
+                for d in list(sset - oset)[:3]:
+                    print(f"    spark-only: {d}")
+                for d in list(oset - sset)[:3]:
+                    print(f"    oracle-only: {d}")
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall green")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
