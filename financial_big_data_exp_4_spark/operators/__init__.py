@@ -1,0 +1,59 @@
+"""LLM-training-data pipeline operators (SURVEY.md §2.8 / BASELINE north star).
+
+Every operator is a pure DataFrame→DataFrame function built from native
+Spark expressions (no Python row UDFs; the one pandas boundary —
+multimodal decode — is Arrow-batched ``mapInPandas``). Each has a mirrored
+ANSI-SQL oracle in :mod:`financial_big_data_exp_4_spark.plans.oracle_ext`.
+"""
+
+from financial_big_data_exp_4_spark.operators.dedup import (
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_adjacent,
+    simhash_docs,
+    with_minhash_signature,
+)
+from financial_big_data_exp_4_spark.operators.events import (
+    json_extract_stats,
+    sessionize,
+    tumbling_counts,
+)
+from financial_big_data_exp_4_spark.operators.joins import (
+    customers_without_orders,
+    revenue_by_region,
+)
+from financial_big_data_exp_4_spark.operators.multimodal import (
+    decode_image,
+    multimodal_metadata,
+)
+from financial_big_data_exp_4_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+)
+from financial_big_data_exp_4_spark.operators.text import (
+    doc_fingerprint,
+    language_id,
+    text_quality,
+    token_counts,
+)
+
+__all__ = [
+    "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
+    "customers_without_orders",
+    "decode_image",
+    "doc_fingerprint",
+    "exact_dedup",
+    "json_extract_stats",
+    "language_id",
+    "minhash_candidate_pairs",
+    "multimodal_metadata",
+    "ngram_jaccard_adjacent",
+    "revenue_by_region",
+    "sessionize",
+    "simhash_docs",
+    "text_quality",
+    "token_counts",
+    "tumbling_counts",
+    "with_minhash_signature",
+]

@@ -1,0 +1,285 @@
+"""Deduplication operators: exact, MinHash-LSH near-dup, SimHash, n-gram
+Jaccard (BASELINE north star; no counterpart in the reference — its workload
+is single-table relational, so these extend the engine for LLM-data use).
+
+100 TB design notes
+-------------------
+* **Exact dedup** is a hash-groupBy on the md5 digest of the text — the
+  shuffle key is a uniform 128-bit digest, so partitions balance perfectly
+  regardless of content skew, and the shuffled rows carry only
+  ``(digest, doc_id)``, never the text payload.
+* **MinHash** signatures are computed map-side with native higher-order
+  functions (``transform``/``array_min`` over the token-hash array — one
+  pass per hash function, zero shuffles, whole-stage codegen). The LSH
+  band join then shuffles ``(band_id, band_key)`` pairs — B rows per doc —
+  and candidate pairs come from equi-joins inside band buckets. There is
+  deliberately NO all-pairs comparison anywhere: cost is
+  O(docs × B + Σ bucket²), and bucket sizes concentrate near 1 for
+  non-duplicate corpora. Production would additionally cap pathological
+  buckets (e.g. boilerplate-heavy corpora) with a ``HAVING count <= N``
+  guard before pairing; left out here so the declared semantics stay
+  closed-form for the oracle.
+* **SimHash** is one 52-bit signature per doc, computed entirely inside a
+  per-row expression tree (nested ``transform``/``aggregate`` over 52 bit
+  positions × token hashes) — map-only, no shuffle at all.
+* All hashes route through md5 (first 13 hex digits → 52-bit int) so the
+  DuckDB oracle computes bit-identical values — see
+  ``functions.core.md5_hash64``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from financial_big_data_exp_4_spark.functions.core import md5_hash64
+
+#: Modulus for minhash permutations: largest prime < 2^30 keeps every
+#: intermediate (h * a + b) below 2^63 with the multipliers used here.
+MINHASH_P = 1_000_000_007
+
+#: (a, b) pairs for the 8 affine "permutations" h -> (a*h + b) mod P.
+#: Fixed small primes — deterministic across engines and runs.
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (131, 17),
+    (137, 89),
+    (139, 283),
+    (149, 419),
+    (151, 547),
+    (157, 661),
+    (163, 811),
+    (167, 947),
+)
+
+#: 2 bands × 4 rows: candidate threshold ≈ (1/B)^(1/R) ≈ 0.84 Jaccard.
+#: (Shingle sets, not word sets, drive the signature — see SHINGLE_K — so
+#: thematically-similar-but-different documents don't collide.)
+MINHASH_BANDS = 2
+MINHASH_ROWS_PER_BAND = 4
+
+#: Character-shingle width for minhash. Shingles capture word *order*;
+#: word-token sets do not (any two docs over a shared small vocabulary
+#: have near-identical token sets — observed on the fixture corpus, where
+#: token-set LSH degenerated to ~all-pairs).
+SHINGLE_K = 8
+
+SIMHASH_BITS = 52  # md5_hash64 yields 52 usable bits
+
+
+def tokenize(text: Column | str) -> Column:
+    """Lowercased word tokens (``[a-z0-9]+`` runs), order-preserving."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), 0)
+
+
+def token_hash_set(text: Column | str) -> Column:
+    """Distinct 52-bit md5 hashes of the token *set* (set semantics — each
+    distinct token contributes once, the standard MinHash/SimHash input)."""
+    return F.array_distinct(F.transform(tokenize(text), md5_hash64))
+
+
+def shingle_hash_set(text: Column | str, k: int = SHINGLE_K) -> Column:
+    """Distinct 52-bit md5 hashes of all k-char shingles; [] if len < k."""
+    c = F.col(text) if isinstance(text, str) else text
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.length(c) - F.lit(k - 1)),
+        lambda i: md5_hash64(c.substr(i, F.lit(k))),
+    )
+    return F.when(F.length(c) >= k, F.array_distinct(hashes)).otherwise(
+        F.array().cast("array<long>")
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: md5(text) → (keeper = min id, copy count).
+
+    One hash-partitioned aggregate; the canonical "keep the smallest id"
+    policy makes the output deterministic.
+    """
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("text_md5"))
+        .agg(
+            F.min(id_col).alias("keep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def with_minhash_signature(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Append ``mh_0..mh_{K-1}`` minhash columns (map-only, codegen'd).
+
+    ``mh_i = min over distinct shingle hashes h of (h*a_i + b_i) mod P``;
+    documents shorter than one shingle get the sentinel P (unreachable by
+    any real hash). The shingle-hash array is materialized ONCE as a real
+    column — Spark's CollapseProject does not inline non-cheap aliased
+    expressions (SPARK-36718), so the md5 work is not duplicated across
+    the K minhash expressions.
+    """
+    df = docs.withColumn(
+        "_th",
+        F.transform(shingle_hash_set(text_col), lambda h: h % MINHASH_P),
+    )
+
+    def perm(a: int, b: int):
+        # closure factory: a plain lambda with default args would present a
+        # 3-parameter signature to Spark's higher-order-function binder
+        return lambda h: (h * a + b) % MINHASH_P
+
+    for i, (a, b) in enumerate(MINHASH_COEFFS):
+        mh = F.array_min(F.transform(F.col("_th"), perm(a, b)))
+        df = df.withColumn(f"mh_{i}", F.coalesce(mh, F.lit(MINHASH_P)))
+    return df.drop("_th")
+
+
+def _band_key(band: int) -> Column:
+    r = MINHASH_ROWS_PER_BAND
+    parts = []
+    for j in range(band * r, band * r + r):
+        parts.append(F.col(f"mh_{j}").cast("string"))
+    return F.concat_ws(",", *parts)
+
+
+def minhash_candidate_pairs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Banded-LSH near-duplicate candidates with estimated similarity.
+
+    Pipeline: signature (map-only) → explode B ``(band_id, band_key)`` rows
+    per doc → self-equi-join inside band buckets (never all-pairs) →
+    distinct pairs → join signatures back (pairs are few) → estimated
+    Jaccard = fraction of agreeing minhash components.
+    Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+    """
+    sig = with_minhash_signature(docs, text_col).select(
+        F.col(id_col).alias("doc"), *[F.col(f"mh_{i}") for i in range(len(MINHASH_COEFFS))]
+    )
+    bands = sig.select(
+        "doc",
+        F.posexplode(
+            F.array(*[_band_key(b) for b in range(MINHASH_BANDS)])
+        ).alias("band_id", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    agree = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(len(MINHASH_COEFFS))
+    )
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc"))
+        .join(sb, pairs.doc_b == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(float(len(MINHASH_COEFFS)))).alias(
+                "est_jaccard"
+            ),
+        )
+    )
+
+
+def simhash_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """52-bit SimHash per document — map-only, no shuffle.
+
+    For each bit b: sum over distinct token hashes of ±1 (by bit b of the
+    hash); bit set iff the sum is positive (ties → 0, deterministic).
+    ``pow(2, b)`` is exact in double for b ≤ 52, and ``floor(h / 2^b)`` on
+    a 52-bit nonnegative h is an exact power-of-two scaling, so the
+    expression is bit-reproducible in any IEEE engine (the DuckDB oracle
+    uses integer division — identical results).
+
+    The token-hash array is materialized as a column first — inlining it
+    would re-run tokenize+md5 once per bit position (observed 50×
+    slowdown before this was split).
+    """
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), token_hash_set(text_col).alias("_th")
+    )
+    th = F.col("_th")
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda b: F.when(
+            F.aggregate(
+                th,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + (
+                    F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
+                )
+                * 2
+                - 1,
+            )
+            > 0,
+            F.pow(F.lit(2.0), b.cast("double")).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    sim = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return base.select("doc_id", sim.alias("simhash"))
+
+
+def word_bigrams(text: Column | str) -> Column:
+    """Distinct word-bigram strings ('tok1 tok2'); [] for < 2 tokens.
+
+    The ``when`` guard matters: ``sequence(1, 0)`` raises in Spark.
+    """
+    toks = tokenize(text)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= 2, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_adjacent(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Word-bigram Jaccard similarity between id-adjacent documents
+    (doc d vs doc d+1) — a linear, key-joined demonstration of the n-gram
+    Jaccard operator (the general pair source is the LSH candidates from
+    :func:`minhash_candidate_pairs`; all-pairs is never materialized).
+    """
+    g = docs.select(
+        F.col(id_col).alias("doc"),
+        # materialized join key: `a.doc + 1 == b.doc` as a raw condition is
+        # not recognized as an equi-join and planned as a nested-loop join
+        # (observed: 250k-pair cartesian at 500 docs); a column-to-column
+        # key makes it a hash/sort-merge join.
+        (F.col(id_col) + 1).alias("next_doc"),
+        word_bigrams(text_col).alias("grams"),
+    )
+    a, b = g.alias("a"), g.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    return (
+        a.join(b, F.col("a.next_doc") == F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            inter.cast("long").alias("n_common"),
+            union.cast("long").alias("n_union"),
+            F.when(union > 0, inter.cast("double") / union.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )

@@ -1,0 +1,106 @@
+"""Event-stream operators over ``events``: tumbling-window aggregation,
+gap-based sessionization, JSON property extraction (SURVEY §2.8 X5).
+
+Batch semantics, streaming-shaped: the tumbling-window aggregation is the
+exact batch twin of ``events.withWatermark('ts_utc', ...).groupBy(
+F.window('ts_utc', '1 hour'), 'event_type').count()`` in Structured
+Streaming (see :mod:`financial_big_data_exp_4_spark.streaming`), and the
+sessionizer is the batch twin of a ``session_window`` / stateful
+``applyInPandasWithState`` aggregation.
+
+``events.ts`` is physically INT64 TIMESTAMP(NANOS); the engine reads it as
+bigint nanoseconds (session conf) and windows with exact integer
+arithmetic — at ~1.7e18 ns a double round-trip would lose precision. The
+oracle mirrors via ``epoch_us`` (its reader truncates ns→µs; truncation
+cannot move an event across an hour or session boundary defined in whole
+seconds... gaps are computed in seconds below for exactly that reason).
+
+100 TB design notes: tumbling counts are one partial-aggregated shuffle on
+(hour, type) — bounded key space. Sessionization shuffles once on user_id
+(range-partition + in-partition sort); session ids are per-user running
+sums — no global coordination, the canonical scalable formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+NS_PER_SEC = 1_000_000_000
+SESSION_GAP_SEC = 30 * 60
+
+
+def tumbling_counts(events: DataFrame, width_sec: int = 3600) -> DataFrame:
+    """Events per (tumbling window, event_type); window key = epoch seconds
+    of the window start.
+
+    All time math is integer ``DIV`` — a double round-trip on ~1.7e18 ns
+    values would round (doubles are exact only to 2^53) and could misplace
+    events at window boundaries."""
+    win = (
+        F.expr(f"ts DIV {NS_PER_SEC * width_sec}") * width_sec
+    ).cast("long")
+    return (
+        events.select(win.alias("window_start_s"), "event_type")
+        .groupBy("window_start_s", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the time
+    since the previous event (same user) exceeds ``gap_sec``.
+
+    session_idx = running count of session starts (per user, ordered by
+    (ts_seconds, event_id) — second-truncated time so Spark's ns reader
+    and the oracle's µs reader order identically, with the event_id
+    tiebreak making the order total, hence the output deterministic).
+    Output: one row per session with event count and duration in seconds.
+    """
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.expr(f"ts DIV {NS_PER_SEC}").alias("ts_s"),  # integer-exact
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    prev = F.lag("ts_s").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col("ts_s") - prev) > gap_sec), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged = base.withColumn("_new", is_new).withColumn(
+        "session_idx", F.sum("_new").over(wsum)
+    )
+    return (
+        tagged.groupBy("user_id", "session_idx")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts_s").alias("start_s"),
+            F.max("ts_s").alias("end_s"),
+        )
+        .select(
+            "user_id",
+            "session_idx",
+            "n_events",
+            (F.col("end_s") - F.col("start_s")).alias("duration_s"),
+        )
+    )
+
+
+def json_extract_stats(events: DataFrame) -> DataFrame:
+    """Parse the ``props`` JSON column (``{"k": <int>}``) and aggregate the
+    extracted value per event_type — the semi-structured-column pattern.
+    ``get_json_object`` is a native JVM expression (Jackson), pushdown- and
+    codegen-friendly; exact integer SUM keeps the result engine-portable.
+    """
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

@@ -1,0 +1,145 @@
+"""Embedding similarity search over ``embeddings.embedding``
+(``array<float>``): brute-force cosine top-k baseline + IVF-bucketed scale
+path (BASELINE north star).
+
+100 TB design notes
+-------------------
+* The probe set is always **broadcast** — scoring is a map-side
+  broadcast-nested-loop over the big side; the big side is never shuffled
+  for scoring. Top-k then shuffles only ``(probe, candidate, score)``
+  rows, partitioned by probe.
+* Dot products are computed with ``zip_with`` + ``aggregate`` — native
+  JVM higher-order functions, left-to-right fold, so the value is
+  bit-identical to the oracle's sequential ``list_reduce`` sum. No Python,
+  no Arrow round-trip.
+* The IVF variant assigns every vector to its nearest centroid once
+  (map-side vs broadcast centroids), then probes search only their own
+  cell: cost drops from O(N) to O(N/C) per probe. Centroids here are a
+  deterministic systematic sample (every C-th vector) so the declared
+  query is closed-form for the oracle; production would k-means them —
+  the *plan shape* (assign map-side, search cell-local) is identical.
+* At real scale the scored candidates per probe would be reduced with a
+  per-partition top-k (``TakeOrdered``-style) before the final window;
+  the window-over-probe-partitions form below is the semantics contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+TOPK = 10
+IVF_CENTROID_STRIDE = 50  # every 50th vector is a "centroid" (det. sample)
+IVF_TOPK = 3
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold double dot product of two float arrays (bit-stable)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    n_probes: int = 5,
+    k: int = TOPK,
+) -> DataFrame:
+    """Exact cosine top-k: probes = ``vec_id < n_probes`` (broadcast),
+    scored against every vector, ranked per probe.
+
+    Output: (probe_id, vec_id, cos_sim, rank), rank 1..k, self excluded,
+    ties broken by vec_id asc (total order → hash-stable).
+    """
+    probes = embeddings.where(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(probes))
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cosine(F.col("probe_vec"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    n_probes: int = 5,
+    k: int = IVF_TOPK,
+    stride: int = IVF_CENTROID_STRIDE,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: assign every vector to its nearest
+    centroid (map-side vs broadcast centroids), search only the probe's
+    cell. nprobe=1 (single cell) — the standard IVF recall/cost knob.
+
+    Output: (probe_id, vec_id, cos_sim, rank) within the probe's cell.
+    """
+    cents = embeddings.where(F.col("vec_id") % stride == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    sim_to_cent = cosine(F.col("embedding"), F.col("cent_vec"))
+    # argmax via max(struct(cos, -cent_id)): partial-aggregates map-side
+    # (each partition reduces its N×C scored rows to N before the shuffle,
+    # unlike a window over vec_id which would shuffle all N×C rows).
+    # Lexicographic struct order = max cos, tie → min cent_id.
+    assigned = (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            F.struct(
+                sim_to_cent.alias("cs"), (-F.col("cent_id")).alias("neg_cent")
+            ).alias("_sc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.first("embedding").alias("embedding"),
+            F.max("_sc").alias("_best"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            (-F.col("_best.neg_cent")).alias("cell"),
+        )
+    )
+    probes = assigned.where(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("cell").alias("probe_cell"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(probes), F.col("cell") == F.col("probe_cell")
+        )
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cosine(F.col("probe_vec"), F.col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "rank")
+    )

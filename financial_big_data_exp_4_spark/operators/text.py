@@ -1,0 +1,155 @@
+"""Text-analysis operators over the ``documents`` table: token counting,
+quality scoring, language ID, fingerprinting (BASELINE north star).
+
+All four are **map-only** expression trees — no shuffle, no Python workers;
+at 100 TB they run at parquet-scan speed inside whole-stage codegen. The
+DuckDB oracles mirror every expression exactly (same regexes, same division
+guards, same md5-derived hashes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from financial_big_data_exp_4_spark.functions.core import md5_hash64
+from financial_big_data_exp_4_spark.operators.dedup import tokenize
+
+#: Minimal per-language stopword profiles for the n-gram/stopword heuristic
+#: language identifier. Deliberately tiny and deterministic; a production
+#: profile would be learned, but the *operator shape* (profile intersection
+#: + argmax with lexicographic tie-break) is the scale-relevant part.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "und", "das", "ist", "nicht"),
+    "en": ("the", "a", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "los", "que", "es"),
+    "fr": ("le", "la", "les", "des", "et", "est"),
+    "zh": ("de", "le", "shi", "bu", "zai", "you"),
+}
+
+#: English stopword list used by the quality score's stopword ratio.
+QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+FINGERPRINT_K = 8  # char-shingle width for the rolling fingerprint
+
+
+def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens vs BPE-ish tokens (word runs + single punctuation).
+
+    ``regexp_extract_all`` (not ``split``) so leading/trailing whitespace
+    cannot create empty tokens — the same regex drives the oracle.
+    """
+    t = F.col(text_col)
+    ws = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
+    bpe = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+    )
+
+
+def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic quality features + a composite score in [0, 1].
+
+    Features: char length, token count, mean token length, punctuation
+    ratio, digit ratio, stopword ratio. Score = stopword-ratio-weighted
+    length signal — an explicit, auditable formula (the point is the
+    *operator*: per-row featurization at scan speed, the standard first
+    pass of an LLM data-quality pipeline).
+    """
+    t = F.col(text_col)
+    toks = tokenize(t)
+    n_chars = F.length(t)
+    n_toks = F.size(toks)
+    tok_chars = F.aggregate(
+        toks, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_tok_len = F.when(
+        n_toks > 0, tok_chars.cast("double") / n_toks.cast("double")
+    ).otherwise(F.lit(0.0))
+    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    punct_ratio = F.when(
+        n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    digit_ratio = F.when(
+        n_chars > 0, n_digit.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_ratio = F.when(
+        n_distinct > 0, n_stop.cast("double") / n_distinct.cast("double")
+    ).otherwise(F.lit(0.0))
+    score = (
+        F.least(n_toks.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+        + stop_ratio * F.lit(0.3)
+        + (F.lit(1.0) - punct_ratio) * F.lit(0.2)
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_toks.cast("long").alias("n_tokens"),
+        mean_tok_len.alias("mean_token_len"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-profile language ID: score = |distinct tokens ∩ profile|,
+    prediction = alphabetically-first language with the maximal score.
+
+    Map-only; the per-language score is an array intersection against a
+    6-word literal array — constant work per row. Output keeps the labeled
+    ``lang`` column alongside for accuracy eyeballing.
+    """
+    toks = F.array_distinct(tokenize(F.col(text_col)))
+    scores = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in sorted(LANG_PROFILES.items())
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit(None).cast("string")
+    # alphabetically-first max: fold langs in reverse alphabetical order so
+    # the earliest alphabetical winner is applied last (outermost when).
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("lang").alias("lang"),
+        pred.alias("lang_pred"),
+        best.cast("long").alias("lang_score"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style primitives).
+
+    Hashes every K-char shingle (md5 → 52-bit int, oracle-identical),
+    then reports the minimum hash and the count of "selected" hashes
+    (h ≡ 0 mod 16 — the 1/16 systematic sample winnowing keeps). Map-only;
+    per-row cost is O(len). Documents shorter than K get fingerprint NULL
+    and 0 selected.
+    """
+    t = F.col(text_col)
+    n = F.length(t)
+    hashes = F.transform(
+        F.sequence(F.lit(1), n - F.lit(FINGERPRINT_K - 1)),
+        lambda i: md5_hash64(t.substr(i, F.lit(FINGERPRINT_K))),
+    )
+    guarded = F.when(n >= FINGERPRINT_K, hashes).otherwise(
+        F.array().cast("array<long>")
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_min(guarded).alias("min_shingle_hash"),
+        F.size(F.filter(guarded, lambda h: h % 16 == 0)).cast("long").alias("n_selected"),
+    )

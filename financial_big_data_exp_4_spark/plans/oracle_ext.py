@@ -1,0 +1,450 @@
+"""DuckDB oracle SQL for the extension queries — generated from the SAME
+constants the Spark operators use (minhash coefficients, stopword lists,
+shingle width), so the two sides cannot drift independently.
+
+Mirroring rules (same as :mod:`.oracle`):
+* identical expression trees and evaluation order for every double value
+  (sequential ``list_reduce`` fold == Spark's ``aggregate`` fold);
+* the 52-bit md5 hash is parsed hex-digit-by-hex-digit via
+  ``list_reduce`` (DuckDB has no hex→int builtin) — bit-identical to
+  Spark's ``conv(substring(md5(x),1,13),16,10)``;
+* all counts/sizes BIGINT on both sides; division-by-zero guarded with
+  the same CASE conditions.
+
+``q_multimodal_meta`` has an oracle despite running through
+``mapInPandas``: its pandas transform is closed-form (md5 + arithmetic on
+byte length), which is exactly what makes the binary plumbing testable.
+"""
+
+from __future__ import annotations
+
+from financial_big_data_exp_4_spark.operators.dedup import (
+    MINHASH_BANDS,
+    MINHASH_COEFFS,
+    MINHASH_P,
+    MINHASH_ROWS_PER_BAND,
+    SHINGLE_K,
+    SIMHASH_BITS,
+)
+from financial_big_data_exp_4_spark.operators.similarity import (
+    IVF_CENTROID_STRIDE,
+    IVF_TOPK,
+    TOPK,
+)
+from financial_big_data_exp_4_spark.operators.text import (
+    FINGERPRINT_K,
+    LANG_PROFILES,
+    QUALITY_STOPWORDS,
+)
+
+TOKENIZE = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _md5int(expr: str) -> str:
+    """52-bit int from the first 13 hex digits of md5 — Spark parity.
+
+    NB: evaluates ``md5(expr)`` 13 times; where the hash runs over many
+    elements, prefer a two-level transform (md5 strings first, then
+    :func:`_hex13int` on each) so md5 runs once per element.
+    """
+    return (
+        "list_reduce(list_transform(generate_series(1, 13), hx -> "
+        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), hx, 1)) "
+        "AS BIGINT) - 1), (acc, d) -> acc * 16 + d)"
+    )
+
+
+def _hex13int(mexpr: str) -> str:
+    """First 13 hex chars of an already-computed md5 string → BIGINT."""
+    return (
+        "list_reduce(list_transform(generate_series(1, 13), hx -> "
+        f"CAST(strpos('0123456789abcdef', substr({mexpr}, hx, 1)) "
+        "AS BIGINT) - 1), (acc, d) -> acc * 16 + d)"
+    )
+
+
+def _shingle_hashes(k: int = SHINGLE_K) -> str:
+    """Distinct 52-bit hashes of all k-char shingles of ``text`` — md5
+    computed once per shingle, parsed from the cached string."""
+    return (
+        f"CASE WHEN len(text) >= {k} THEN "
+        "list_distinct(list_transform("
+        f"list_transform(generate_series(1, len(text) - {k - 1}), "
+        f"si -> md5(substr(text, si, {k}))), m -> {_hex13int('m')})) "
+        "ELSE [] END"
+    )
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# -- dedup ------------------------------------------------------------------
+
+Q_DEDUP_EXACT = """
+    SELECT md5(text) AS text_md5,
+           min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+"""
+
+_TH_MOD_P = (
+    f"list_transform({_shingle_hashes()}, hh -> hh % {MINHASH_P})"
+)
+
+_MH_EXPRS = ",\n           ".join(
+    f"coalesce(list_min(list_transform(th, h -> (h * {a} + {b}) % "
+    f"{MINHASH_P})), {MINHASH_P}) AS mh_{i}"
+    for i, (a, b) in enumerate(MINHASH_COEFFS)
+)
+
+_BAND_SELECTS = "\n        UNION ALL ".join(
+    "SELECT doc, {b} AS band_id, {key} AS band_key FROM sig".format(
+        b=b,
+        key=" || ',' || ".join(
+            f"CAST(mh_{j} AS VARCHAR)"
+            for j in range(
+                b * MINHASH_ROWS_PER_BAND, (b + 1) * MINHASH_ROWS_PER_BAND
+            )
+        ),
+    )
+    for b in range(MINHASH_BANDS)
+)
+
+_AGREE = " + ".join(
+    f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+    for i in range(len(MINHASH_COEFFS))
+)
+
+Q_NEARDUP_MINHASH = f"""
+    WITH th_t AS (
+        SELECT doc_id AS doc, {_TH_MOD_P} AS th FROM documents
+    ), sig AS (
+        SELECT doc,
+           {_MH_EXPRS}
+        FROM th_t
+    ), bands AS (
+        {_BAND_SELECTS}
+    ), pairs AS (
+        SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
+        FROM bands x JOIN bands y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key
+         AND x.doc < y.doc
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST({_AGREE} AS DOUBLE) / {float(len(MINHASH_COEFFS))}
+               AS est_jaccard
+    FROM pairs p
+    JOIN sig sa ON p.doc_a = sa.doc
+    JOIN sig sb ON p.doc_b = sb.doc
+"""
+
+_TH_RAW = (
+    "list_distinct(list_transform("
+    f"list_transform({TOKENIZE}, t -> md5(t)), m -> {_hex13int('m')}))"
+)
+
+Q_DEDUP_SIMHASH = f"""
+    SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(
+               generate_series(0, {SIMHASH_BITS - 1}), bb ->
+               CASE WHEN coalesce(list_sum(list_transform(th, h ->
+                        ((h // CAST(pow(2, bb) AS BIGINT)) % 2) * 2 - 1)), 0) > 0
+                    THEN CAST(pow(2, bb) AS BIGINT) ELSE 0 END)), 0)
+           AS BIGINT) AS simhash
+    FROM (SELECT doc_id, {_TH_RAW} AS th FROM documents)
+"""
+
+_GRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_distinct(list_transform(generate_series(1, len(toks) - 1), "
+    "gi -> toks[gi] || ' ' || toks[gi + 1])) "
+    "ELSE [] END"
+)
+
+Q_NGRAM_JACCARD = f"""
+    WITH g AS (
+        SELECT doc_id AS doc, {_GRAMS} AS grams
+        FROM (SELECT doc_id, {TOKENIZE} AS toks FROM documents)
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(len(list_intersect(a.grams, b.grams)) AS BIGINT) AS n_common,
+           CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS BIGINT)
+               AS n_union,
+           CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+                THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                            AS DOUBLE)
+                ELSE 0.0 END AS jaccard
+    FROM g a JOIN g b ON a.doc + 1 = b.doc
+"""
+
+# -- similarity -------------------------------------------------------------
+
+
+def _dot(x: str, y: str) -> str:
+    """Sequential left fold — matches Spark's aggregate(zip_with(...))."""
+    return (
+        f"list_reduce(list_transform(generate_series(1, len({x})), di -> "
+        f"CAST({x}[di] AS DOUBLE) * CAST({y}[di] AS DOUBLE)), "
+        "(acc, v) -> acc + v)"
+    )
+
+
+def _cos(x: str, y: str) -> str:
+    return (
+        f"({_dot(x, y)} / (sqrt({_dot(x, x)}) * sqrt({_dot(y, y)})))"
+    )
+
+
+Q_EMBED_COSINE_TOPK = f"""
+    WITH probes AS (
+        SELECT vec_id AS probe_id, embedding AS pv
+        FROM embeddings WHERE vec_id < 5
+    ), scored AS (
+        SELECT p.probe_id, e.vec_id,
+               {_cos('p.pv', 'e.embedding')} AS cos_sim
+        FROM embeddings e, probes p
+        WHERE e.vec_id <> p.probe_id
+    ), ranked AS (
+        SELECT probe_id, vec_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT probe_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= {TOPK}
+"""
+
+Q_EMBED_ANN_IVF = f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM embeddings WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+    ), assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 'c.cv')} DESC,
+                                c.cent_id ASC) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS probe_id, embedding AS pv, cell AS pcell
+        FROM assigned WHERE vec_id < 5
+    ), scored AS (
+        SELECT p.probe_id, a.vec_id,
+               {_cos('p.pv', 'a.embedding')} AS cos_sim
+        FROM assigned a JOIN probes p ON a.cell = p.pcell
+        WHERE a.vec_id <> p.probe_id
+    ), ranked AS (
+        SELECT probe_id, vec_id, cos_sim,
+               CAST(row_number() OVER (
+                   PARTITION BY probe_id
+                   ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT probe_id, vec_id, cos_sim, rank FROM ranked
+    WHERE rank <= {IVF_TOPK}
+"""
+
+# -- text -------------------------------------------------------------------
+
+Q_TOKEN_COUNT = r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                    '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+    FROM documents
+"""
+
+Q_TEXT_QUALITY = f"""
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(text) AS BIGINT) AS n_chars,
+               {TOKENIZE} AS toks,
+               CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+                    AS BIGINT) AS n_punct,
+               CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT)
+                    AS n_digit
+        FROM documents
+    ), g AS (
+        SELECT doc_id, n_chars, n_punct, n_digit,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               coalesce(list_sum(list_transform(toks, tt ->
+                   CAST(len(tt) AS BIGINT))), 0) AS tok_chars,
+               CAST(len(list_intersect(list_distinct(toks),
+                    {_sql_list(QUALITY_STOPWORDS)})) AS BIGINT) AS n_stop,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+        FROM f
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS mean_token_len,
+           CASE WHEN n_chars > 0
+                THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                ELSE 0.0 END AS punct_ratio,
+           CASE WHEN n_chars > 0
+                THEN CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                ELSE 0.0 END AS digit_ratio,
+           CASE WHEN n_distinct > 0
+                THEN CAST(n_stop AS DOUBLE) / CAST(n_distinct AS DOUBLE)
+                ELSE 0.0 END AS stopword_ratio,
+           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+           + (CASE WHEN n_distinct > 0
+                   THEN CAST(n_stop AS DOUBLE) / CAST(n_distinct AS DOUBLE)
+                   ELSE 0.0 END) * 0.3
+           + (1.0 - CASE WHEN n_chars > 0
+                         THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                         ELSE 0.0 END) * 0.2 AS quality_score
+    FROM g
+"""
+
+_LANGS = sorted(LANG_PROFILES)
+_SCORE_EXPRS = ",\n               ".join(
+    f"CAST(len(list_intersect(dt, {_sql_list(LANG_PROFILES[lang])})) "
+    f"AS BIGINT) AS s_{lang}"
+    for lang in _LANGS
+)
+_BEST = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANGS) + ")"
+_PRED_CASE = (
+    "CASE "
+    + " ".join(f"WHEN s_{lang} = best THEN '{lang}'" for lang in _LANGS)
+    + " END"
+)
+
+Q_LANG_ID = f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               {_SCORE_EXPRS}
+        FROM (SELECT doc_id, lang, list_distinct({TOKENIZE}) AS dt
+              FROM documents)
+    ), b AS (
+        SELECT doc_id, lang, {_BEST} AS best,
+               {", ".join(f"s_{lang}" for lang in _LANGS)}
+        FROM s
+    )
+    SELECT doc_id, lang, {_PRED_CASE} AS lang_pred, best AS lang_score
+    FROM b
+"""
+
+Q_DOC_FINGERPRINT = f"""
+    WITH h AS (
+        SELECT doc_id,
+               CASE WHEN len(text) >= {FINGERPRINT_K}
+                    THEN list_transform(list_transform(
+                        generate_series(1, len(text) - {FINGERPRINT_K - 1}),
+                        si -> md5(substr(text, si, {FINGERPRINT_K}))),
+                        m -> {_hex13int('m')})
+                    ELSE [] END AS hashes
+        FROM documents
+    )
+    SELECT doc_id,
+           list_min(hashes) AS min_shingle_hash,
+           CAST(len(list_filter(hashes, fh -> fh % 16 = 0)) AS BIGINT)
+               AS n_selected
+    FROM h
+"""
+
+# -- events -----------------------------------------------------------------
+
+Q_TUMBLING_WINDOW = """
+    SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 3600
+               AS window_start_s,
+           event_type,
+           count(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+"""
+
+Q_SESSIONIZE = """
+    WITH base AS (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
+        FROM events
+    ), tagged AS (
+        SELECT user_id, event_id, ts_s,
+               CASE WHEN lag(ts_s) OVER w IS NULL
+                      OR ts_s - lag(ts_s) OVER w > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ), sess AS (
+        SELECT user_id, ts_s,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_idx
+        FROM tagged
+    )
+    SELECT user_id, session_idx,
+           count(*) AS n_events,
+           max(ts_s) - min(ts_s) AS duration_s
+    FROM sess
+    GROUP BY user_id, session_idx
+"""
+
+Q_JSON_EXTRACT = """
+    SELECT event_type,
+           count(*) AS cnt,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+"""
+
+# -- joins ------------------------------------------------------------------
+
+Q_STAR_JOIN = """
+    SELECT r_name, n_name,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+               AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r_name, n_name
+"""
+
+Q_ANTI_JOIN = """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+"""
+
+# -- multimodal -------------------------------------------------------------
+
+Q_MULTIMODAL_META = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS img_w,
+           CAST((octet_length(encode(text)) * 31) % 480 AS BIGINT) AS img_h,
+           md5(text) AS digest
+    FROM documents
+"""
+
+EXTENSION_ORACLE_SQL: dict[str, str] = {
+    "q_dedup_exact": Q_DEDUP_EXACT,
+    "q_neardup_minhash": Q_NEARDUP_MINHASH,
+    "q_dedup_simhash": Q_DEDUP_SIMHASH,
+    "q_ngram_jaccard": Q_NGRAM_JACCARD,
+    "q_embed_cosine_topk": Q_EMBED_COSINE_TOPK,
+    "q_embed_ann_ivf": Q_EMBED_ANN_IVF,
+    "q_token_count": Q_TOKEN_COUNT,
+    "q_text_quality": Q_TEXT_QUALITY,
+    "q_lang_id": Q_LANG_ID,
+    "q_doc_fingerprint": Q_DOC_FINGERPRINT,
+    "q_tumbling_window": Q_TUMBLING_WINDOW,
+    "q_sessionize": Q_SESSIONIZE,
+    "q_json_extract": Q_JSON_EXTRACT,
+    "q_star_join": Q_STAR_JOIN,
+    "q_anti_join": Q_ANTI_JOIN,
+    "q_multimodal_meta": Q_MULTIMODAL_META,
+}
