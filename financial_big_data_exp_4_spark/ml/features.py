@@ -1,0 +1,111 @@
+"""Task-4 feature engineering (reference ``任务四/exp4_work4.ipynb`` cells
+7-22, ``README.md:320-361``): impute → label-encode → quantile-bucket the
+date indices → assemble → split.
+
+Deviations from the reference, each deliberate (SURVEY §7 trap 4):
+* the train/test split is a deterministic per-row hash
+  (:func:`~financial_big_data_exp_4_spark.functions.core.train_test_split_col`)
+  instead of the reference's *unseeded* ``randomSplit`` (nb4 cell 22) —
+  reproducible on any cluster topology / partition layout;
+* everything composes into one ``pyspark.ml.Pipeline`` (M12) so
+  ``fit``/``transform``/``save`` carry the whole feature chain.
+
+100 TB notes: ``StringIndexer.fit`` collects each column's distinct labels
+to the driver — fine for the reference's categoricals (≤ thousands of
+labels); a cardinality guard belongs in front of web-scale id-like
+columns. ``QuantileDiscretizer`` uses the Greenwald-Khanna sketch — one
+pass, mergeable across partitions, no sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline
+from pyspark.ml.feature import (
+    QuantileDiscretizer,
+    StringIndexer,
+    VectorAssembler,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from financial_big_data_exp_4_spark.functions.core import train_test_split_col
+from financial_big_data_exp_4_spark.sources.loans import STRING_FEATURE_COLS
+
+LABEL_COL = "is_default"
+
+#: The two pseudo-date string columns the reference quantile-buckets into
+#: 20 levels after indexing (nb4 cell 15, README.md:338-342).
+DATE_INDEX_COLS: tuple[str, ...] = ("issue_date_ind", "earlies_credit_mon_ind")
+
+FEATURE_PIPELINE_STAGES = (
+    "impute(-1 / '-1')",
+    "StringIndexer ×8 (frequencyDesc)",
+    "QuantileDiscretizer(20) ×2",
+    "VectorAssembler",
+)
+
+
+def impute(df: DataFrame) -> DataFrame:
+    """M1: ``na.fill(-1)`` then ``na.fill('-1')`` (nb4 cell 7)."""
+    return df.na.fill(-1).na.fill("-1")
+
+
+def build_feature_pipeline(df: DataFrame, label_col: str = LABEL_COL) -> tuple[Pipeline, list[str]]:
+    """The reference's feature chain as one Pipeline (M2+M3+M4+M12).
+
+    Returns (pipeline, assembled_input_cols). Feature columns = every
+    non-label column, with the 8 strings replaced by their indices and
+    the 2 date indices replaced by their 20-quantile buckets — the
+    reference's exact recipe (nb4 cells 9-20).
+    """
+    string_cols = [c for c in STRING_FEATURE_COLS if c in df.columns]
+    indexers = [
+        StringIndexer(
+            inputCol=c, outputCol=f"{c}_ind", handleInvalid="keep"
+        )
+        for c in string_cols
+    ]
+    date_inds = [c for c in DATE_INDEX_COLS if c.removesuffix("_ind") in string_cols]
+    buckets = [
+        QuantileDiscretizer(
+            numBuckets=20,
+            inputCol=c,
+            outputCol=f"{c}_bkt",
+            relativeError=0.001,
+        )
+        for c in date_inds
+    ]
+    feature_cols = []
+    for name, dtype in df.dtypes:
+        if name == label_col or name in ("loan_id", "user_id"):
+            continue
+        if name in string_cols:
+            ind = f"{name}_ind"
+            feature_cols.append(
+                f"{ind}_bkt" if ind in date_inds else ind
+            )
+        elif dtype in ("int", "bigint", "double", "float", "smallint"):
+            feature_cols.append(name)
+    assembler = VectorAssembler(
+        inputCols=feature_cols, outputCol="features", handleInvalid="keep"
+    )
+    return Pipeline(stages=[*indexers, *buckets, assembler]), feature_cols
+
+
+def prepare_features(df: DataFrame, label_col: str = LABEL_COL) -> DataFrame:
+    """Impute + fit/transform the feature pipeline → (features, label)."""
+    imputed = impute(df)
+    pipeline, _ = build_feature_pipeline(imputed, label_col)
+    return pipeline.fit(imputed).transform(imputed).select(
+        "loan_id", "features", F.col(label_col).alias("label")
+    )
+
+
+def train_test_split(
+    df: DataFrame, key_col: str = "loan_id", train_pct: int = 80
+) -> tuple[DataFrame, DataFrame]:
+    """M5: deterministic 80/20 split on a per-row hash of the key."""
+    tagged = df.withColumn("_split", train_test_split_col(F.col(key_col), train_pct))
+    train = tagged.where(F.col("_split") == "train").drop("_split")
+    test = tagged.where(F.col("_split") == "test").drop("_split")
+    return train, test

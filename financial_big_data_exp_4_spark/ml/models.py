@@ -1,0 +1,123 @@
+"""Task-4 classifiers + evaluation + persistence (reference
+``任务四/exp4_work4.ipynb`` cells 26-45, ``README.md:355-416``).
+
+Hyperparameters match the reference exactly (M6-M9):
+* LogisticRegression(maxIter=10, regParam=0.01) — nb4 cell 26, AUC≈0.80
+* LinearSVC(maxIter=100) — nb4 cell 32
+* MLP layers [n_features, 64, 32, **2**] — nb4 cell 36 declared
+  ``[..., 1]``, which is invalid for binary classification (the layer must
+  have one unit per class; the reference's cells 36-38 show no output —
+  it almost certainly failed). Corrected here per SURVEY §7 trap 4.
+* RandomForest(maxDepth=7, maxBins=700, numTrees=30) — nb4 cell 40,
+  AUC≈0.85, plus ``featureImportances`` (M11, cell 42)
+
+Evaluation is ``BinaryClassificationEvaluator`` areaUnderROC on the label
+column (M10, cells 30/44); persistence is ``model.save`` (K4, cell 45).
+
+100 TB notes: LR/SVC run one ``treeAggregate`` gradient pass per
+iteration; RF runs per-depth-level jobs — all shuffle-light, scaling with
+executors. ``maxBins=700`` controls the per-feature histogram width RF
+builds on workers — the reference chose it to cover its widest
+categorical; kept verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.classification import (
+    LinearSVC,
+    LogisticRegression,
+    MultilayerPerceptronClassifier,
+    RandomForestClassifier,
+)
+from pyspark.ml.evaluation import BinaryClassificationEvaluator
+from pyspark.sql import DataFrame
+
+SEED = 42
+
+REFERENCE_CLASSIFIERS: tuple[str, ...] = ("lr", "svc", "mlp", "rf")
+
+
+def make_classifier(name: str, n_features: int | None = None):
+    """Instantiate one of the reference's four classifiers by short name.
+
+    ``n_features`` is required for the MLP (its input layer width).
+    """
+    if name == "lr":
+        return LogisticRegression(
+            maxIter=10, regParam=0.01, labelCol="label", featuresCol="features"
+        )
+    if name == "svc":
+        return LinearSVC(
+            maxIter=100, labelCol="label", featuresCol="features"
+        )
+    if name == "mlp":
+        if not n_features:
+            raise ValueError("MLP needs n_features for its input layer")
+        return MultilayerPerceptronClassifier(
+            layers=[n_features, 64, 32, 2],  # 2-unit output (ref bug fixed)
+            seed=SEED,
+            labelCol="label",
+            featuresCol="features",
+        )
+    if name == "rf":
+        return RandomForestClassifier(
+            maxDepth=7,
+            maxBins=700,
+            numTrees=30,
+            seed=SEED,
+            labelCol="label",
+            featuresCol="features",
+        )
+    raise ValueError(f"unknown classifier {name!r}; pick from {REFERENCE_CLASSIFIERS}")
+
+
+def evaluate_auc(predictions: DataFrame, label_col: str = "label") -> float:
+    """M10: areaUnderROC via BinaryClassificationEvaluator.
+
+    Uses rawPrediction (margin / log-odds) — defined for all four
+    classifiers including LinearSVC, which emits no probability column.
+    """
+    return BinaryClassificationEvaluator(
+        labelCol=label_col,
+        rawPredictionCol="rawPrediction",
+        metricName="areaUnderROC",
+    ).evaluate(predictions)
+
+
+def train_and_evaluate(
+    train: DataFrame,
+    test: DataFrame,
+    names: tuple[str, ...] = ("lr", "rf"),
+    save_dir: str | None = None,
+) -> dict[str, float]:
+    """Fit each named classifier on ``train``, return test AUC per name.
+
+    ``save_dir`` persists each fitted model under ``{save_dir}/{name}``
+    (K4 — nb4 cell 45 saves the RF model).
+    """
+    n_features = train.first()["features"].size
+    aucs: dict[str, float] = {}
+    for name in names:
+        model = make_classifier(name, n_features).fit(train)
+        aucs[name] = evaluate_auc(model.transform(test))
+        if save_dir:
+            model.write().overwrite().save(f"{save_dir}/{name}")
+    return aucs
+
+
+def load_model(name: str, path: str):
+    """Reload a model saved by :func:`train_and_evaluate` (pair of K4)."""
+    from pyspark.ml.classification import (
+        LinearSVCModel,
+        LogisticRegressionModel,
+        MultilayerPerceptronClassificationModel,
+        RandomForestClassificationModel,
+    )
+
+    cls = {
+        "lr": LogisticRegressionModel,
+        "svc": LinearSVCModel,
+        "mlp": MultilayerPerceptronClassificationModel,
+        "rf": RandomForestClassificationModel,
+    }[name]
+    return cls.load(path)

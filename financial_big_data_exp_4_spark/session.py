@@ -29,6 +29,9 @@ from pyspark.sql import SparkSession
 #: SQL confs that are safe to set on a live session (runtime-settable).
 RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Spark 4 whitelists a handful of CSV charsets; the reference's K2 sink
+    # is GBK (README.md:190) — the legacy flag restores full JVM charsets.
+    "spark.sql.legacy.javaCharsets": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.session.timeZone": "UTC",

@@ -56,3 +56,20 @@ def write_single_csv(
         .option("encoding", encoding)
         .csv(path)
     )
+
+
+def write_text(
+    df: DataFrame,
+    path: str,
+    sep: str = "\t",
+    mode: str = "overwrite",
+) -> None:
+    """K1 — ``key<TAB>value`` text sink (reference ``IndustryCount.java:137,148``
+    writes MR ``Text`` output lines). Concatenates all columns with ``sep``
+    into one string column and writes parallel ``.text`` part files —
+    unlike the single-file CSV sink, this keeps full write parallelism.
+    """
+    from pyspark.sql import functions as F
+
+    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns])
+    df.select(line.alias("value")).write.mode(mode).text(path)

@@ -140,10 +140,15 @@ def synthesize_loans(
     scoring_high = scoring_low + np.round(rng.uniform(20, 120, n_rows), 1)
     debt_loan_ratio = np.round(rng.uniform(0, 40, n_rows), 2)
 
+    # Signal strength calibrated so the reference hyperparameters reach the
+    # reference's AUC band (LR≈0.80, RF≈0.85 — nb4 cells 30/44): logit std
+    # ≈ 2.2, plus an interest×debt interaction the tree models can exploit
+    # but a linear model cannot (reproducing the reference's RF > LR gap).
     logit = (
-        -0.012 * (scoring_low - 550)
-        + 0.05 * (debt_loan_ratio - 20)
-        + 0.12 * (interest - 15)
+        -0.02 * (scoring_low - 550)
+        + 0.085 * (debt_loan_ratio - 20)
+        + 0.2 * (interest - 15)
+        + 0.006 * (interest - 15) * (debt_loan_ratio - 20)
         - 1.45
     )
     is_default = (

@@ -1,0 +1,13 @@
+from financial_big_data_exp_4_spark.streaming.windows import (
+    read_events_stream,
+    run_stream_to_memory,
+    streaming_session_counts,
+    streaming_tumbling_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "run_stream_to_memory",
+    "streaming_session_counts",
+    "streaming_tumbling_counts",
+]

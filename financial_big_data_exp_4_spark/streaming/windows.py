@@ -1,0 +1,100 @@
+"""Structured-Streaming twins of the batch event operators
+(:mod:`financial_big_data_exp_4_spark.operators.events`).
+
+The engine's streaming surface: file-source ``readStream`` over the events
+table, event-time watermarking, tumbling-window counts, and native session
+windows (``F.session_window`` — Spark's built-in stateful gap-sessionizer;
+the batch lag/cumsum formulation in ``operators.events`` computes the same
+gap semantics without state).
+
+Tested with ``trigger(availableNow=True)`` + a memory sink: processes the
+existing files as a bounded stream then stops — the standard way to make
+streaming semantics unit-testable. At scale the same plan runs unchanged
+against a directory that keeps receiving files (or a Kafka source swapped
+in at the ``readStream`` line); state lives in the checkpoint dir and
+late data beyond the watermark is dropped deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from financial_big_data_exp_4_spark.session import ensure_session_confs
+
+NS_PER_SEC = 1_000_000_000
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet with a proper event-time
+    column (µs timestamp derived from the bigint-ns physical value with
+    integer-exact arithmetic, same as the batch loader)."""
+    ensure_session_confs(spark)
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # FileStreamSource requires a *directory* basePath; stream the scale
+    # dir and glob-filter to the events file(s). In production this is a
+    # directory continuously receiving new part files.
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(static.dtypes)["ts"] == "bigint":
+        ts_utc = F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    else:  # pragma: no cover - future readers with native nanos
+        ts_utc = F.col("ts").cast("timestamp")
+    return stream.withColumn("ts_utc", ts_utc)
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event_type — the streaming
+    twin of ``operators.events.tumbling_counts``. State per (window, type)
+    is dropped once the watermark passes the window end; memory is bounded
+    by (active windows × types), not by stream length."""
+    return (
+        events.withWatermark("ts_utc", watermark)
+        .groupBy(F.window("ts_utc", width), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def streaming_session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session event counts via Spark's native ``session_window``
+    (stateful gap-merge; sessions close when the watermark passes
+    last-event + gap). Streaming twin of ``operators.events.sessionize``."""
+    return (
+        events.withWatermark("ts_utc", watermark)
+        .groupBy(F.session_window("ts_utc", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_to_memory(
+    df: DataFrame, query_name: str, checkpoint_dir: str
+) -> None:
+    """Drain a bounded stream into the in-memory sink (availableNow) and
+    block until done — the test/verification harness for streaming plans."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

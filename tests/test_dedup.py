@@ -1,0 +1,64 @@
+"""Dedup operator semantics on crafted corpora (SURVEY §2.8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup_groups_identical_texts(spark):
+    from financial_big_data_exp_4_spark.operators import exact_dedup
+
+    docs = _docs(spark, ["alpha beta", "gamma", "alpha beta", "alpha beta"])
+    rows = {r["keep_doc_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert rows == {0: 3, 1: 1}
+
+
+def test_minhash_finds_near_duplicate_pair(spark):
+    from financial_big_data_exp_4_spark.operators import minhash_candidate_pairs
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band plays "
+        "a long tune about distributed systems and parquet files at scale"
+    )
+    near = base.replace("lazy", "sleepy")  # one-word edit → high jaccard
+    far = (
+        "completely different content with no overlap whatsoever in its "
+        "character shingles because every word here is chosen differently"
+    )
+    docs = _docs(spark, [base, near, far])
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_candidate_pairs(docs).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] >= 0.5
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_identical_texts_equal_and_near_texts_close(spark):
+    from financial_big_data_exp_4_spark.operators import simhash_docs
+
+    t = "spark engines shuffle data between executors for aggregation"
+    docs = _docs(spark, [t, t, "unrelated words entirely about gardening"])
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+    assert sims[0] == sims[1]
+    assert sims[0] != sims[2]
+    assert 0 <= sims[0] < 2**52
+
+
+def test_ngram_jaccard_adjacent_bounds(spark):
+    from financial_big_data_exp_4_spark.operators import ngram_jaccard_adjacent
+
+    docs = _docs(spark, ["a b c d", "a b c d", "x y", "short"])
+    rows = {(r["doc_a"], r["doc_b"]): r for r in ngram_jaccard_adjacent(docs).collect()}
+    assert rows[(0, 1)]["jaccard"] == 1.0  # identical docs
+    assert rows[(1, 2)]["jaccard"] == 0.0  # disjoint bigrams
+    # single-token doc → empty bigram set; 0/0 guarded to 0.0, not NULL/NaN
+    assert rows[(2, 3)]["jaccard"] == 0.0
+    assert rows[(2, 3)]["n_union"] == 1

@@ -1,0 +1,116 @@
+"""Event operators: batch sessionization semantics + streaming twins.
+
+The streaming tests drain the events parquet as a bounded stream
+(``availableNow`` + memory sink) and cross-check against the batch
+operators — the batch/streaming agreement IS the assertion.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+NS = 1_000_000_000
+
+
+def test_sessionize_gap_semantics(spark):
+    from financial_big_data_exp_4_spark.operators import sessionize
+
+    base = 1_700_000_000 * NS
+    rows = [
+        # user 1: 3 events in one burst, then one 2h later → 2 sessions
+        (1, 1, base),
+        (2, 1, base + 60 * NS),
+        (3, 1, base + 120 * NS),
+        (4, 1, base + 2 * 3600 * NS),
+        # user 2: single event → 1 session
+        (5, 2, base),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts long"
+    )
+    out = {
+        (r["user_id"], r["session_idx"]): r for r in sessionize(events).collect()
+    }
+    assert len(out) == 3
+    assert out[(1, 1)]["n_events"] == 3 and out[(1, 1)]["duration_s"] == 120
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 1)]["n_events"] == 1
+
+
+def test_tumbling_counts_window_edges(spark):
+    from financial_big_data_exp_4_spark.operators import tumbling_counts
+
+    h = 3600 * NS
+    rows = [
+        (1, "a", 10 * h),          # exactly on the boundary
+        (2, "a", 10 * h + 1),      # 1ns into the window
+        (3, "a", 11 * h - 1),      # last ns of the window
+        (4, "a", 11 * h),          # next window
+    ]
+    events = spark.createDataFrame(rows, "event_id long, event_type string, ts long")
+    out = {r["window_start_s"]: r["cnt"] for r in tumbling_counts(events).collect()}
+    assert out == {10 * 3600: 3, 11 * 3600: 1}
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir):
+    from financial_big_data_exp_4_spark.operators import tumbling_counts
+    from financial_big_data_exp_4_spark.sources import load_table
+    from financial_big_data_exp_4_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_tumbling_counts,
+    )
+
+    stream = streaming_tumbling_counts(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(stream, "tumble_test", ckpt)
+    got = {
+        (int(r["window_start"].timestamp()), r["event_type"]): r["cnt"]
+        for r in spark.sql("SELECT * FROM tumble_test").collect()
+    }
+    batch = {
+        (r["window_start_s"], r["event_type"]): r["cnt"]
+        for r in tumbling_counts(load_table(spark, sf_dir, "events")).collect()
+    }
+    assert got == batch
+
+
+def test_streaming_sessions_match_batch_session_count(spark, sf_dir):
+    from financial_big_data_exp_4_spark.operators import sessionize
+    from financial_big_data_exp_4_spark.sources import load_table
+    from financial_big_data_exp_4_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_session_counts,
+    )
+
+    stream = streaming_session_counts(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(stream, "sess_test", ckpt)
+    got = (
+        spark.sql("SELECT user_id, count(*) AS n FROM sess_test GROUP BY user_id")
+        .collect()
+    )
+    stream_sessions = {r["user_id"]: r["n"] for r in got}
+    batch = (
+        sessionize(load_table(spark, sf_dir, "events"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    batch_sessions = {r["user_id"]: r["n"] for r in batch}
+    assert stream_sessions == batch_sessions
+
+
+def test_json_extract_values(spark):
+    from financial_big_data_exp_4_spark.operators import json_extract_stats
+
+    events = spark.createDataFrame(
+        [(1, "a", '{"k": 5}'), (2, "a", '{"k": 7}'), (3, "b", '{"k": -1}')],
+        "event_id long, event_type string, props string",
+    )
+    out = {r["event_type"]: r for r in json_extract_stats(events).collect()}
+    assert out["a"]["sum_k"] == 12 and out["a"]["min_k"] == 5
+    assert out["b"]["max_k"] == -1

@@ -1,0 +1,160 @@
+"""Property tests: native Column rewrites ≡ the reference's Python UDF
+semantics (SURVEY §2.6 U1-U3, §5.3).
+
+Each test evaluates ONE Spark job over a batch of inputs (edge cases +
+seeded random fuzz + hypothesis-generated strings) and compares
+elementwise against a literal Python transcription of the reference UDF
+(``任务二+任务三/exp4_work2+3.ipynb`` cells 6/29, ``README.md:131-138,
+224-233``) — batching keeps the suite fast where a per-example Spark
+round-trip would not be.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+# --- literal transcriptions of the reference UDFs (the spec) ---------------
+
+def ref_total_loan_classify(value: float) -> str:
+    """nb2 cell 6 / README.md:131-135."""
+    c = int(value // 1000)
+    return "(" + str(c * 1000) + "," + str((c + 1) * 1000) + ")"
+
+
+def ref_total_loan_sort(label: str) -> int:
+    """nb2 cell 6 / README.md:136-138."""
+    return int(label.split(",")[0][1:])
+
+
+def ref_work_year_process(s: str | None) -> int:
+    """nb2 cell 29 / README.md:224-233."""
+    if s is None:
+        return -1
+    if "10+" in s:
+        return 11
+    if "<" in s:
+        return 0
+    return int(s.split(" ")[0])
+
+
+# --- U1/U2: bucket label + parse-back --------------------------------------
+
+def test_bucket_label_matches_reference(spark):
+    from financial_big_data_exp_4_spark.functions import (
+        bucket_label,
+        parse_bucket_left_edge,
+    )
+
+    rng = random.Random(7)
+    values = (
+        [0.0, 999.99, 1000.0, 1000.01, 1999.99, 2000.0, 57000.0, 123456.78]
+        + [round(rng.uniform(0, 200_000), 2) for _ in range(200)]
+        + [float(k * 1000) for k in range(10)]  # exact bucket boundaries
+    )
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    rows = df.select(
+        "v",
+        bucket_label("v").alias("label"),
+        parse_bucket_left_edge(bucket_label("v")).alias("edge"),
+    ).collect()
+    for r in rows:
+        expected = ref_total_loan_classify(r["v"])
+        assert r["label"] == expected, (r["v"], r["label"], expected)
+        assert r["edge"] == ref_total_loan_sort(expected)
+
+
+# --- U3: work_year grammar --------------------------------------------------
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.none(),
+            st.sampled_from(
+                ["< 1 year", "1 year", "10+ years", "9 years", "2 years"]
+            ),
+            st.integers(min_value=0, max_value=60).map(
+                lambda n: f"{n} years"
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_work_year_parse_matches_reference(spark, batch):
+    from financial_big_data_exp_4_spark.functions import parse_work_year
+
+    df = spark.createDataFrame([(s,) for s in batch], "wy string")
+    rows = df.select("wy", parse_work_year("wy").alias("n")).collect()
+    for r in rows:
+        assert r["n"] == ref_work_year_process(r["wy"]), r
+
+
+def test_work_year_edge_inputs(spark):
+    from financial_big_data_exp_4_spark.functions import parse_work_year
+
+    cases = [None, "< 1 year", "10+ years", "1 year", "5 years", "11 years"]
+    df = spark.createDataFrame([(s,) for s in cases], "wy string")
+    got = {r["wy"]: r["n"] for r in df.select("wy", parse_work_year("wy").alias("n")).collect()}
+    assert got[None] == -1
+    assert got["< 1 year"] == 0
+    assert got["10+ years"] == 11
+    assert got["1 year"] == 1
+    assert got["5 years"] == 5
+    assert got["11 years"] == 11
+
+
+# --- hashing / split helpers ------------------------------------------------
+
+def test_md5_hash64_matches_hashlib(spark):
+    from financial_big_data_exp_4_spark.functions import md5_hash64
+
+    words = ["", "a", "hello world", "金融业", "x" * 1000]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    rows = df.select("w", md5_hash64("w").alias("h")).collect()
+    for r in rows:
+        expected = int(hashlib.md5(r["w"].encode()).hexdigest()[:13], 16)
+        assert r["h"] == expected
+
+
+def test_det_hash_split_deterministic_and_balanced(spark):
+    from financial_big_data_exp_4_spark.functions import train_test_split_col
+
+    df = spark.range(20_000)
+    tagged = df.select(train_test_split_col("id").alias("s"))
+    counts = {r["s"]: r["cnt"] for r in tagged.groupBy("s").agg(F.count("*").alias("cnt")).collect()}
+    total = sum(counts.values())
+    assert total == 20_000
+    assert 0.78 <= counts["train"] / total <= 0.82
+    # repartitioning must not change the assignment (partition-invariance)
+    tagged2 = df.repartition(13).select(train_test_split_col("id").alias("s"))
+    counts2 = {r["s"]: r["cnt"] for r in tagged2.groupBy("s").agg(F.count("*").alias("cnt")).collect()}
+    assert counts == counts2
+
+
+def test_exact_money_sum_partition_invariant(spark):
+    from financial_big_data_exp_4_spark.functions import exact_money_sum
+
+    vals = [(round(0.1 * i, 2),) for i in range(1, 5000)]
+    df = spark.createDataFrame(vals, "v double")
+    a = df.coalesce(1).agg(exact_money_sum("v").alias("s")).collect()[0]["s"]
+    b = df.repartition(17).agg(exact_money_sum("v").alias("s")).collect()[0]["s"]
+    assert a == b
+    assert math.isclose(a, sum(v for (v,) in vals), rel_tol=0, abs_tol=1e-9)
+
+
+def test_share_expr_bround_half_even(spark):
+    from financial_big_data_exp_4_spark.functions import share_expr
+
+    # 0.00005 rounds to 0.0000 (half-even, scale 4), 0.00015 → 0.0002
+    df = spark.createDataFrame([(5, 100000), (15, 100000)], "c long, t long")
+    rows = df.select(share_expr(F.col("c"), F.col("t"), 4).alias("s")).collect()
+    assert [r["s"] for r in rows] == [0.0, 0.0002]

@@ -1,0 +1,61 @@
+"""Join surface + physical-plan assertions (SURVEY §2.8 X6; VERDICT r1 #8:
+dims must be BroadcastHashJoin, not SortMergeJoin)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    from financial_big_data_exp_4_spark.operators import revenue_by_region
+
+    df = revenue_by_region(spark, sf_dir)
+    plan = _physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    assert len(rows) == 25  # 25 nations, all with orders in the fixture
+    assert all(r["revenue"] > 0 for r in rows)
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == total
+
+
+def test_anti_join_shape(spark, sf_dir):
+    from financial_big_data_exp_4_spark.operators import customers_without_orders
+
+    df = customers_without_orders(spark, sf_dir)
+    assert df.columns == ["c_mktsegment", "n_customers"]
+    assert df.count() == 0  # fixture property: every customer ordered
+
+
+def test_map_only_queries_have_no_exchange(spark, sf_dir):
+    """The round-1 scale killer: per-row queries must stay map-only."""
+    from financial_big_data_exp_4_spark.plans.reference import (
+        q_interest,
+        q_project,
+        q_workyear_filter,
+    )
+
+    for q in (q_interest, q_project, q_workyear_filter):
+        plan = _physical_plan(q(spark, sf_dir))
+        assert "Exchange" not in plan, f"{q.__name__} shuffles:\n{plan}"
+        assert "Sort" not in plan, f"{q.__name__} sorts:\n{plan}"
+
+
+def test_topk_plans_as_take_ordered(spark, sf_dir):
+    from financial_big_data_exp_4_spark.plans.reference import q_topk
+
+    plan = _physical_plan(q_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    from financial_big_data_exp_4_spark.plans.reference import q_project
+
+    plan = _physical_plan(q_project(spark, sf_dir))
+    scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+    assert "s_suppkey" in scan_line and "s_name" in scan_line
+    assert "s_nationkey" not in scan_line  # unused column not read

@@ -1,0 +1,109 @@
+"""Text-analysis + similarity operator semantics on crafted inputs."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_token_counts_regex_semantics(spark):
+    from financial_big_data_exp_4_spark.operators import token_counts
+
+    docs = spark.createDataFrame(
+        [(0, "a b,c! d"), (1, "  leading  spaces "), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert rows[0]["ws_tokens"] == 3          # 'a' 'b,c!' 'd' → \S+ runs
+    assert rows[0]["bpe_tokens"] == 6         # a b , c ! d
+    assert rows[1]["ws_tokens"] == 2          # no empty tokens from padding
+    assert rows[2]["ws_tokens"] == 0 and rows[2]["bpe_tokens"] == 0
+
+
+def test_text_quality_zero_guards_and_ranges(spark):
+    from financial_big_data_exp_4_spark.operators import text_quality
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "the quick fox"), (2, "!!!!")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text_quality(docs).collect()}
+    empty = rows[0]
+    assert empty["n_tokens"] == 0 and empty["mean_token_len"] == 0.0
+    assert empty["stopword_ratio"] == 0.0  # 0/0 guarded
+    assert rows[1]["stopword_ratio"] > 0   # 'the' present
+    assert rows[2]["punct_ratio"] == 1.0
+    for r in rows.values():
+        assert 0.0 <= r["quality_score"] <= 1.0
+
+
+def test_language_id_prefers_profile_hits(spark):
+    from financial_big_data_exp_4_spark.operators import language_id
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of a house", "en"),
+            (1, "der hund und die katze ist nicht da", "de"),
+            (2, "zzz qqq www", "en"),  # no profile hits → tie → 'de' (alpha)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = {r["doc_id"]: r for r in language_id(docs).collect()}
+    assert rows[0]["lang_pred"] == "en"
+    assert rows[1]["lang_pred"] == "de"
+    assert rows[2]["lang_pred"] == "de" and rows[2]["lang_score"] == 0
+
+
+def test_doc_fingerprint_short_doc_guard(spark):
+    from financial_big_data_exp_4_spark.operators import doc_fingerprint
+
+    docs = spark.createDataFrame(
+        [(0, "short"), (1, "long enough text for shingles")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in doc_fingerprint(docs).collect()}
+    assert rows[0]["min_shingle_hash"] is None and rows[0]["n_selected"] == 0
+    assert rows[1]["min_shingle_hash"] is not None
+
+
+def test_cosine_topk_ranks_true_neighbor_first(spark):
+    from financial_big_data_exp_4_spark.operators import cosine_topk_bruteforce
+
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),   # nearest to probe 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),   # antipode → lowest similarity
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = cosine_topk_bruteforce(df, n_probes=1, k=3).collect()
+    ranked = sorted(out, key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in ranked] == [1, 2, 3]
+    assert math.isclose(
+        ranked[0]["cos_sim"], 0.99 / math.sqrt(0.99**2 + 0.1**2), rel_tol=1e-6
+    )
+
+
+def test_multimodal_metadata_plumbing(spark):
+    import hashlib
+
+    from financial_big_data_exp_4_spark.operators import multimodal_metadata
+
+    docs = spark.createDataFrame(
+        [(0, "héllo"), (1, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in multimodal_metadata(docs).collect()}
+    assert rows[0]["n_bytes"] == len("héllo".encode())
+    assert rows[0]["digest"] == hashlib.md5("héllo".encode()).hexdigest()
+    assert rows[0]["img_w"] == rows[0]["n_bytes"] % 640
+    assert rows[1]["n_bytes"] == 0
+
+
+def test_decode_image_is_an_explicit_stub():
+    import pytest
+
+    from financial_big_data_exp_4_spark.operators import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
