@@ -29,6 +29,7 @@ from financial_big_data_exp_4_spark.operators.multimodal import (
 from financial_big_data_exp_4_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
+    embedding_neardup_pairs,
 )
 from financial_big_data_exp_4_spark.operators.text import (
     doc_fingerprint,
@@ -43,6 +44,7 @@ __all__ = [
     "customers_without_orders",
     "decode_image",
     "doc_fingerprint",
+    "embedding_neardup_pairs",
     "exact_dedup",
     "json_extract_stats",
     "language_id",

@@ -49,13 +49,23 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join: customers with no orders, counted per segment.
+LARGE_ORDER_THRESHOLD = 400_000.0
 
-    The anti-join shuffles only the key column of the big side; the
-    aggregate output is bounded by segment cardinality.
+
+def customers_without_orders(
+    spark: SparkSession, sf_dir: str, min_total: float = LARGE_ORDER_THRESHOLD
+) -> DataFrame:
+    """LEFT ANTI join: customers with no order above ``min_total``,
+    counted per segment (every fixture customer has *some* order, so the
+    unfiltered anti-join is vacuously empty — the price filter makes the
+    operator observable and pushes into the orders scan).
+
+    The anti-join shuffles only the filtered key column of the big side;
+    the aggregate output is bounded by segment cardinality.
     """
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > min_total
+    )
     customer = load_table(spark, sf_dir, "customer")
     return (
         customer.join(

@@ -31,6 +31,11 @@ from pyspark.sql import functions as F
 TOPK = 10
 IVF_CENTROID_STRIDE = 50  # every 50th vector is a "centroid" (det. sample)
 IVF_TOPK = 3
+#: Production near-dup mining would use ~0.95; the fixture embeddings are
+#: random (max observed in-cell cosine ≈ 0.48), so the declared query uses
+#: a threshold that actually yields pairs to check. The operator is
+#: threshold-parameterized either way.
+NEARDUP_COS_THRESHOLD = 0.35
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -79,27 +84,14 @@ def cosine_topk_bruteforce(
     )
 
 
-def cosine_topk_ivf(
-    embeddings: DataFrame,
-    n_probes: int = 5,
-    k: int = IVF_TOPK,
-    stride: int = IVF_CENTROID_STRIDE,
-) -> DataFrame:
-    """IVF-bucketed approximate top-k: assign every vector to its nearest
-    centroid (map-side vs broadcast centroids), search only the probe's
-    cell. nprobe=1 (single cell) — the standard IVF recall/cost knob.
-
-    Output: (probe_id, vec_id, cos_sim, rank) within the probe's cell.
-    """
+def _assign_cells(embeddings: DataFrame, stride: int) -> DataFrame:
+    """Nearest-centroid cell id per vector (centroids = every ``stride``-th
+    vector, broadcast; argmax via struct-max partial aggregation)."""
     cents = embeddings.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
     sim_to_cent = cosine(F.col("embedding"), F.col("cent_vec"))
-    # argmax via max(struct(cos, -cent_id)): partial-aggregates map-side
-    # (each partition reduces its N×C scored rows to N before the shuffle,
-    # unlike a window over vec_id which would shuffle all N×C rows).
-    # Lexicographic struct order = max cos, tie → min cent_id.
-    assigned = (
+    return (
         embeddings.crossJoin(F.broadcast(cents))
         .select(
             "vec_id",
@@ -119,6 +111,60 @@ def cosine_topk_ivf(
             (-F.col("_best.neg_cent")).alias("cell"),
         )
     )
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = NEARDUP_COS_THRESHOLD,
+    stride: int = IVF_CENTROID_STRIDE,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, cell-bucketed (never
+    all-pairs): vectors are assigned to IVF cells, candidate pairs are
+    generated only *within* a cell (self-equi-join on the cell id), and
+    pairs scoring ≥ threshold survive.
+
+    This is the vector-space sibling of the MinHash band join: cost is
+    Σ cell² instead of N², with recall bounded by the quantizer (a true
+    near-dup pair split across cells is missed — the standard IVF
+    trade-off, tuned via stride/nprobe). Output: (vec_a, vec_b, cos_sim).
+    """
+    assigned = _assign_cells(embeddings, stride)
+    a = assigned.select(
+        F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        F.col("cell").alias("cell_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+    )
+    return (
+        a.join(b, (a.cell == b.cell_b) & (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            "vec_a",
+            "vec_b",
+            cosine(F.col("ea"), F.col("eb")).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    n_probes: int = 5,
+    k: int = IVF_TOPK,
+    stride: int = IVF_CENTROID_STRIDE,
+) -> DataFrame:
+    """IVF-bucketed approximate top-k: assign every vector to its nearest
+    centroid (map-side vs broadcast centroids), search only the probe's
+    cell. nprobe=1 (single cell) — the standard IVF recall/cost knob.
+
+    Output: (probe_id, vec_id, cos_sim, rank) within the probe's cell.
+    """
+    # argmax via max(struct(cos, -cent_id)) inside _assign_cells:
+    # partial-aggregates map-side (each partition reduces its N×C scored
+    # rows to N before the shuffle, unlike a window over vec_id which
+    # would shuffle all N×C rows). Struct order = max cos, tie → min id.
+    assigned = _assign_cells(embeddings, stride)
     probes = assigned.where(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),

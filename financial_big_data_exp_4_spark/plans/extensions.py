@@ -17,6 +17,7 @@ from financial_big_data_exp_4_spark.operators import (
     cosine_topk_ivf,
     customers_without_orders,
     doc_fingerprint,
+    embedding_neardup_pairs,
     exact_dedup,
     json_extract_stats,
     language_id,
@@ -55,6 +56,10 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,6 +109,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_embed_cosine_topk": q_embed_cosine_topk,
     "q_embed_ann_ivf": q_embed_ann_ivf,
+    "q_embed_neardup": q_embed_neardup,
     "q_token_count": q_token_count,
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,

@@ -29,6 +29,7 @@ from financial_big_data_exp_4_spark.operators.dedup import (
 from financial_big_data_exp_4_spark.operators.similarity import (
     IVF_CENTROID_STRIDE,
     IVF_TOPK,
+    NEARDUP_COS_THRESHOLD,
     TOPK,
 )
 from financial_big_data_exp_4_spark.operators.text import (
@@ -249,6 +250,27 @@ Q_EMBED_ANN_IVF = f"""
     WHERE rank <= {IVF_TOPK}
 """
 
+Q_EMBED_NEARDUP = f"""
+    WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cv
+        FROM embeddings WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+    ), assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT e.vec_id, e.embedding, c.cent_id AS cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos('e.embedding', 'c.cv')} DESC,
+                                c.cent_id ASC) AS rn
+            FROM embeddings e, cents c
+        ) WHERE rn = 1
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_cos('a.embedding', 'b.embedding')} AS cos_sim
+    FROM assigned a JOIN assigned b
+      ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE {_cos('a.embedding', 'b.embedding')} >= {NEARDUP_COS_THRESHOLD}
+"""
+
 # -- text -------------------------------------------------------------------
 
 Q_TOKEN_COUNT = r"""
@@ -415,7 +437,8 @@ Q_ANTI_JOIN = """
     SELECT c_mktsegment, count(*) AS n_customers
     FROM customer c
     WHERE NOT EXISTS (
-        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
     GROUP BY c_mktsegment
 """
 
@@ -437,6 +460,7 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_ngram_jaccard": Q_NGRAM_JACCARD,
     "q_embed_cosine_topk": Q_EMBED_COSINE_TOPK,
     "q_embed_ann_ivf": Q_EMBED_ANN_IVF,
+    "q_embed_neardup": Q_EMBED_NEARDUP,
     "q_token_count": Q_TOKEN_COUNT,
     "q_text_quality": Q_TEXT_QUALITY,
     "q_lang_id": Q_LANG_ID,

@@ -79,6 +79,22 @@ def get_spark(
     return spark
 
 
+def collect_pandas(df, max_rows: int = 1_000_000):
+    """K3 — guarded ``toPandas`` (reference nb2 cell 11 collects the full
+    table for plotting). Collecting is only legitimate on small
+    (post-aggregate) results; this raises before materializing anything
+    bigger than ``max_rows`` so a 100 TB table can never be pulled onto
+    the driver by accident. Arrow transfer is already enabled session-wide.
+    """
+    n = df.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"refusing toPandas(): result exceeds {max_rows} rows; "
+            "aggregate or sample first"
+        )
+    return df.toPandas()
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Set the engine's runtime-settable SQL confs on an existing session.
 

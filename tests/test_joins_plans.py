@@ -23,12 +23,21 @@ def test_star_join_broadcasts_dims(spark, sf_dir):
     assert sum(r["n_orders"] for r in rows) == total
 
 
-def test_anti_join_shape(spark, sf_dir):
+def test_anti_join_counts(spark, sf_dir):
     from financial_big_data_exp_4_spark.operators import customers_without_orders
 
     df = customers_without_orders(spark, sf_dir)
     assert df.columns == ["c_mktsegment", "n_customers"]
-    assert df.count() == 0  # fixture property: every customer ordered
+    rows = df.collect()
+    assert sum(r["n_customers"] for r in rows) > 0
+    # cross-check one segment against a driver-side recount
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = {r["o_custkey"] for r in orders.where("o_totalprice > 400000").select("o_custkey").collect()}
+    expect = customer.where(~F.col("c_custkey").isin(big)).groupBy("c_mktsegment").count().collect()
+    assert {(r["c_mktsegment"], r["count"]) for r in expect} == {
+        (r["c_mktsegment"], r["n_customers"]) for r in rows
+    }
 
 
 def test_map_only_queries_have_no_exchange(spark, sf_dir):
