@@ -24,6 +24,7 @@ from financial_big_data_exp_4_spark.operators.dedup import (
     MINHASH_P,
     MINHASH_ROWS_PER_BAND,
     SHINGLE_K,
+    SHINGLE_STRIDE,
     SIMHASH_BITS,
 )
 from financial_big_data_exp_4_spark.operators.similarity import (
@@ -64,13 +65,14 @@ def _hex13int(mexpr: str) -> str:
     )
 
 
-def _shingle_hashes(k: int = SHINGLE_K) -> str:
-    """Distinct 52-bit hashes of all k-char shingles of ``text`` — md5
-    computed once per shingle, parsed from the cached string."""
+def _shingle_hashes(k: int = SHINGLE_K, stride: int = SHINGLE_STRIDE) -> str:
+    """Distinct 52-bit hashes of k-char shingles (every ``stride``-th
+    position) of ``text`` — md5 computed once per shingle, parsed from the
+    cached string."""
     return (
         f"CASE WHEN len(text) >= {k} THEN "
         "list_distinct(list_transform("
-        f"list_transform(generate_series(1, len(text) - {k - 1}), "
+        f"list_transform(generate_series(1, len(text) - {k - 1}, {stride}), "
         f"si -> md5(substr(text, si, {k}))), m -> {_hex13int('m')})) "
         "ELSE [] END"
     )
