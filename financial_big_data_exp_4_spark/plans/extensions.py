@@ -31,6 +31,11 @@ from financial_big_data_exp_4_spark.operators import (
     token_counts,
     tumbling_counts,
 )
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from financial_big_data_exp_4_spark.functions.core import exact_money_sum
+from financial_big_data_exp_4_spark.operators.asof import asof_join
 from financial_big_data_exp_4_spark.sources import load_table
 
 
@@ -102,6 +107,93 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_metadata(load_table(spark, sf_dir, "documents"))
 
 
+# -- OLAP surface: as-of join, rollup, windowed rank, percentiles, set ops --
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join within the events stream: each 'error' event picks up the
+    value of the same user's most recent 'purchase' at or before it.
+    One union-sort pass — see :mod:`..operators.asof` for the scale story."""
+    events = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts DIV 1000")
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", ts_us.alias("ts_us")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", ts_us.alias("ts_us"), "value"
+    )
+    return asof_join(
+        errors,
+        purchases,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ts_us",
+        payload="value",
+        tiebreak="event_id",
+        payload_out="last_purchase_value",
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(priority, status): grand total + per-priority subtotals +
+    leaf groups in one pass (Spark expands grouping sets in a single
+    aggregate — no multiple scans). Revenue exact via DECIMAL(38,2)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        exact_money_sum("o_totalprice").alias("revenue"),
+    )
+
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (generic windowed rank — the
+    per-group top-N pattern; shuffles once on the partition key)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (``F.percentile``
+    — one sort-based aggregate; at 100 TB swap for ``approx_percentile``
+    and a documented error bound)."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return orders.groupBy("o_orderpriority").agg(
+        F.percentile(p, F.lit(0.25)).alias("p25"),
+        F.percentile(p, F.lit(0.5)).alias("p50"),
+        F.percentile(p, F.lit(0.75)).alias("p75"),
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (deduplicating) of two filtered scans, then aggregate —
+    the set-operation surface. Spark plans union+distinct as one
+    hash-partitioned dedup, not a pairwise comparison."""
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    big = orders.where(F.col("o_totalprice") > 350_000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return (
+        urgent.union(big)
+        .distinct()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_neardup_minhash": q_neardup_minhash,
@@ -120,4 +212,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_star_join": q_star_join,
     "q_anti_join": q_anti_join,
     "q_multimodal_meta": q_multimodal_meta,
+    "q_asof_join": q_asof_join,
+    "q_rollup": q_rollup,
+    "q_window_rank": q_window_rank,
+    "q_percentile": q_percentile,
+    "q_set_ops": q_set_ops,
 }

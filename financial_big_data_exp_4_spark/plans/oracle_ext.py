@@ -444,6 +444,74 @@ Q_ANTI_JOIN = """
     GROUP BY c_mktsegment
 """
 
+# -- OLAP surface -----------------------------------------------------------
+
+# Mirrors the engine's union+window as-of formulation (NOT DuckDB's native
+# ASOF JOIN) so tie handling is defined identically on both sides.
+Q_ASOF_JOIN = """
+    WITH probes AS (
+        SELECT user_id AS _k, epoch_us(ts) AS _ts, 1 AS _tag,
+               CAST(NULL AS BIGINT) AS _tb, CAST(NULL AS DOUBLE) AS _pl,
+               event_id, user_id, epoch_us(ts) AS ts_us
+        FROM events WHERE event_type = 'error'
+    ), pay AS (
+        SELECT user_id, epoch_us(ts), 0, event_id, value,
+               NULL, NULL, NULL
+        FROM events WHERE event_type = 'purchase'
+    ), u AS (
+        SELECT * FROM probes UNION ALL SELECT * FROM pay
+    ), carried AS (
+        SELECT event_id, user_id, ts_us, _tag,
+               last_value(_pl IGNORE NULLS) OVER (
+                   PARTITION BY _k ORDER BY _ts, _tag, _tb
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_purchase_value
+        FROM u
+    )
+    SELECT event_id, user_id, ts_us, last_purchase_value
+    FROM carried WHERE _tag = 1
+"""
+
+Q_ROLLUP = """
+    SELECT o_orderpriority, o_orderstatus,
+           count(*) AS cnt,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+               AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+Q_WINDOW_RANK = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT)
+                   AS rn
+        FROM orders
+    ) WHERE rn <= 3
+"""
+
+Q_PERCENTILE = """
+    SELECT o_orderpriority,
+           quantile_cont(o_totalprice, 0.25) AS p25,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.75) AS p75
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+Q_SET_OPS = """
+    SELECT o_orderstatus, count(*) AS cnt FROM (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+        UNION
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_totalprice > 350000
+    )
+    GROUP BY o_orderstatus
+"""
+
 # -- multimodal -------------------------------------------------------------
 
 Q_MULTIMODAL_META = """
@@ -473,4 +541,9 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_star_join": Q_STAR_JOIN,
     "q_anti_join": Q_ANTI_JOIN,
     "q_multimodal_meta": Q_MULTIMODAL_META,
+    "q_asof_join": Q_ASOF_JOIN,
+    "q_rollup": Q_ROLLUP,
+    "q_window_rank": Q_WINDOW_RANK,
+    "q_percentile": Q_PERCENTILE,
+    "q_set_ops": Q_SET_OPS,
 }

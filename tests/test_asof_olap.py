@@ -1,0 +1,61 @@
+"""As-of join semantics + OLAP surface sanity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_asof_join_semantics(spark):
+    from financial_big_data_exp_4_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, 50),   # probe at t=50: payloads at 10,40 → take 40's
+            (2, 100, 10),   # probe exactly at payload ts → included
+            (3, 100, 5),    # before any payload → NULL
+            (4, 200, 99),   # key with no payloads at all → NULL
+        ],
+        "probe_id long, k long, t long",
+    )
+    right = spark.createDataFrame(
+        [
+            (11, 100, 10, 1.5),
+            (12, 100, 40, 2.5),
+            (13, 100, 60, 9.9),  # after every probe → never picked
+        ],
+        "rid long, k long, t long, v double",
+    )
+    out = {
+        r["probe_id"]: r["asof_value"]
+        for r in asof_join(
+            left, right, key="k", left_ts="t", right_ts="t",
+            payload="v", tiebreak="rid",
+        ).collect()
+    }
+    assert out == {1: 2.5, 2: 1.5, 3: None, 4: None}
+
+
+def test_asof_join_tie_takes_latest_by_tiebreak(spark):
+    from financial_big_data_exp_4_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 7, 100)], "probe_id long, k long, t long")
+    right = spark.createDataFrame(
+        [(21, 7, 100, 1.0), (22, 7, 100, 2.0)],
+        "rid long, k long, t long, v double",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="t", right_ts="t",
+        payload="v", tiebreak="rid",
+    ).collect()
+    assert out[0]["asof_value"] == 2.0  # max tiebreak wins, deterministic
+
+
+def test_rollup_totals_consistent(spark, sf_dir):
+    from financial_big_data_exp_4_spark.plans.extensions import q_rollup
+
+    rows = q_rollup(spark, sf_dir).collect()
+    grand = [r for r in rows if r["o_orderpriority"] is None and r["o_orderstatus"] is None]
+    leaves = [r for r in rows if r["o_orderpriority"] is not None and r["o_orderstatus"] is not None]
+    assert len(grand) == 1
+    assert grand[0]["cnt"] == sum(r["cnt"] for r in leaves)
+    assert abs(grand[0]["revenue"] - sum(r["revenue"] for r in leaves)) < 1e-6
