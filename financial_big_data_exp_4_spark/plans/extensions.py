@@ -194,6 +194,28 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) per group (distinct users and days per event
+    type). Spark plans this as expand + two-phase aggregate — partial
+    distinct map-side, so the shuffle carries (group, distinct-value)
+    pairs, not raw rows. At 100 TB the drop-in cheaper variant is
+    ``approx_count_distinct`` (HLL, one pass, mergeable sketches) — not
+    declared here because sketch estimates are not oracle-hashable."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            "event_type",
+            "user_id",
+            F.expr("ts DIV 86400000000000").alias("day"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.countDistinct("day").alias("n_days"),
+        )
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_neardup_minhash": q_neardup_minhash,
@@ -217,4 +239,5 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_rank": q_window_rank,
     "q_percentile": q_percentile,
     "q_set_ops": q_set_ops,
+    "q_distinct_agg": q_distinct_agg,
 }

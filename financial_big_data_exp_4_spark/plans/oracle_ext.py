@@ -546,4 +546,11 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_window_rank": Q_WINDOW_RANK,
     "q_percentile": Q_PERCENTILE,
     "q_set_ops": Q_SET_OPS,
+    "q_distinct_agg": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(DISTINCT epoch_us(ts) // 86400000000) AS n_days
+        FROM events
+        GROUP BY event_type
+    """,
 }
