@@ -10,9 +10,15 @@ double arithmetic is bit-identical (SURVEY.md §7 determinism rules):
 * ``round_even`` for Spark's HALF_EVEN ``bround`` (SURVEY note D);
 * total-order ORDER BY everywhere an order is declared.
 
-Rows-only queries (quantile bucketing, vector assembly, random split) have
-no entry — the driver then records the weaker rows-only check.
+Every declared reference query has an entry (zero rows-only checks):
+``q_quantile_bucket`` mirrors the exact-percentile Bucketizer via
+``quantile_cont`` + a left-closed split count; ``q_vector_assemble``
+mirrors the assembled vector element-by-element as double casts.
 """
+
+from financial_big_data_exp_4_spark.plans.reference import QUANTILE_PS
+
+_QS_LIST = "[" + ", ".join(repr(p) for p in QUANTILE_PS) + "]"
 
 REFERENCE_ORACLE_SQL: dict[str, str] = {
     "q_scan": "SELECT count(*) AS cnt FROM lineitem",
@@ -106,6 +112,30 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
         FROM orders
         GROUP BY 1
         ORDER BY split
+    """,
+    # Bucketizer with splits [-inf, q_0.05..q_0.95, +inf] assigns x the
+    # left-closed bucket [s_j, s_{j+1}) — i.e. the count of internal
+    # splits <= x. quantile_cont == Spark's exact `percentile` (same
+    # (n-1)*p linear interpolation).
+    "q_quantile_bucket": f"""
+        WITH q AS (
+            SELECT quantile_cont(o_totalprice, {_QS_LIST}) AS qs FROM orders
+        )
+        SELECT CAST(len(list_filter(q.qs, s -> s <= o.o_totalprice)) AS INTEGER)
+                   AS price_bucket,
+               count(*) AS cnt
+        FROM orders o, q
+        GROUP BY 1
+        ORDER BY price_bucket
+    """,
+    "q_vector_assemble": """
+        SELECT c_custkey,
+               CAST(3 AS BIGINT) AS n_features,
+               CAST(c_custkey AS DOUBLE) AS f_custkey,
+               CAST(c_nationkey AS DOUBLE) AS f_nationkey,
+               CAST(c_acctbal AS DOUBLE) AS f_acctbal
+        FROM customer
+        ORDER BY c_custkey
     """,
     "q_string_index": """
         WITH freq AS (

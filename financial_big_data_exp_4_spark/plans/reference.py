@@ -252,28 +252,49 @@ def q_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # M3/M4/M5 — rows-only checked ML feature ops (approximate / vector-typed)
 # ---------------------------------------------------------------------------
 
+QUANTILE_BUCKETS = 20
+QUANTILE_PS = [k / QUANTILE_BUCKETS for k in range(1, QUANTILE_BUCKETS)]
+
+
 def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """QuantileDiscretizer(numBuckets=20) on a money column (task 4 date
-    bucketing, nb4 cell 15). approxQuantile-backed → not hash-stable;
-    declared rows-only."""
-    from pyspark.ml.feature import QuantileDiscretizer
+    """Equal-frequency bucketing on a money column (task 4 date bucketing,
+    nb4 cell 15) — exact-percentile ``Bucketizer`` variant, hash-checkable
+    against DuckDB's ``quantile_cont``.
+
+    Splits come from ``F.percentile`` (exact linear interpolation — one
+    sort-based aggregate producing 19 doubles on the driver), then
+    ``Bucketizer`` assigns left-closed buckets map-side. The reference's
+    ``QuantileDiscretizer`` (nb4 cell 15) remains in the package as the
+    documented *approximate* sibling (inside
+    :func:`..ml.features.build_feature_pipeline` + pytest) — its
+    Greenwald-Khanna sketch is the 100 TB swap when a
+    full-sort percentile is too expensive, at the cost of hash stability.
+    """
+    from pyspark.ml.feature import Bucketizer
 
     orders = load_table(spark, sf_dir, "orders")
-    qd = QuantileDiscretizer(
-        numBuckets=20, inputCol="o_totalprice", outputCol="price_bucket",
-        relativeError=0.001,
+    ps = ", ".join(repr(p) for p in QUANTILE_PS)
+    qs = orders.agg(
+        F.expr(f"percentile(o_totalprice, array({ps}))").alias("qs")
+    ).head()["qs"]
+    splits = [float("-inf"), *qs, float("inf")]
+    bucketizer = Bucketizer(
+        splits=splits, inputCol="o_totalprice", outputCol="price_bucket",
+        handleInvalid="error",
     )
-    bucketed = qd.fit(orders).transform(orders)
     return (
-        bucketed.groupBy(F.col("price_bucket").cast("int").alias("price_bucket"))
+        bucketizer.transform(orders)
+        .groupBy(F.col("price_bucket").cast("int").alias("price_bucket"))
         .agg(F.count("*").alias("cnt"))
         .orderBy("price_bucket")
     )
 
 
 def q_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VectorAssembler (task 4, nb4 cells 19-20). VectorUDT is not
-    SQL-comparable → project the vector's arity and norm; rows-only."""
+    """VectorAssembler (task 4, nb4 cells 19-20). VectorUDT itself is not
+    SQL-comparable, so the declared output round-trips through
+    ``vector_to_array`` and emits every assembled element as a double
+    column — a value-level (hash) check of the assembly, not just arity."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
@@ -284,7 +305,10 @@ def q_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = vector_to_array("features")
     return assembled.select(
         "c_custkey",
-        F.size(arr).alias("n_features"),
+        F.size(arr).cast("long").alias("n_features"),
+        arr[0].alias("f_custkey"),
+        arr[1].alias("f_nationkey"),
+        arr[2].alias("f_acctbal"),
     ).orderBy("c_custkey")
 
 
