@@ -15,10 +15,12 @@ is single-table relational, so these extend the engine for LLM-data use).
   and candidate pairs come from equi-joins inside band buckets. There is
   deliberately NO all-pairs comparison anywhere: cost is
   O(docs × B + Σ bucket²), and bucket sizes concentrate near 1 for
-  non-duplicate corpora. Production would additionally cap pathological
-  buckets (e.g. boilerplate-heavy corpora) with a ``HAVING count <= N``
-  guard before pairing; left out here so the declared semantics stay
-  closed-form for the oracle.
+  non-duplicate corpora. Pathological buckets (boilerplate-heavy corpora
+  where one band key collects thousands of docs) are capped by the
+  ``max_bucket_size`` guard in :func:`minhash_candidate_pairs` — a window
+  count over the same ``(band_id, band_key)`` partitioning the join
+  shuffles on, so the cap adds no extra exchange. Default off so the
+  declared oracle semantics stay closed-form.
 * **SimHash** is one 52-bit signature per doc, computed entirely inside a
   per-row expression tree (nested ``transform``/``aggregate`` over 52 bit
   positions × token hashes) — map-only, no shuffle at all.
@@ -150,7 +152,10 @@ def _band_key(band: int) -> Column:
 
 
 def minhash_candidate_pairs(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Banded-LSH near-duplicate candidates with estimated similarity.
 
@@ -159,6 +164,17 @@ def minhash_candidate_pairs(
     distinct pairs → join signatures back (pairs are few) → estimated
     Jaccard = fraction of agreeing minhash components.
     Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
+
+    ``max_bucket_size`` caps pathological band buckets: buckets with more
+    than N member docs are dropped *before* pairing, bounding the join at
+    O(Σ min(bucket, N)²) on boilerplate-heavy corpora where one band key
+    would otherwise collect thousands of docs and degrade toward
+    all-pairs. The size comes from a window count partitioned by the same
+    ``(band_id, band_key)`` the join shuffles on, so the guard reuses that
+    exchange rather than adding one. Docs in an over-full bucket can still
+    pair through their other, non-degenerate bands — standard LSH recall
+    semantics. Default ``None`` = no cap (the declared closed-form oracle
+    semantics).
     """
     sig = with_minhash_signature(docs, text_col).select(
         F.col(id_col).alias("doc"), *[F.col(f"mh_{i}") for i in range(len(MINHASH_COEFFS))]
@@ -169,6 +185,15 @@ def minhash_candidate_pairs(
             F.array(*[_band_key(b) for b in range(MINHASH_BANDS)])
         ).alias("band_id", "band_key"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_key")
+        bands = (
+            bands.withColumn("_bucket_n", F.count("*").over(w))
+            .filter(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = (
         a.join(
@@ -243,7 +268,11 @@ def simhash_docs(
 def word_bigrams(text: Column | str) -> Column:
     """Distinct word-bigram strings ('tok1 tok2'); [] for < 2 tokens.
 
-    The ``when`` guard matters: ``sequence(1, 0)`` raises in Spark.
+    The ``when`` guard matters: with no explicit step, ``sequence(1, 0)``
+    yields the *descending* ``[1, 0]`` (default step -1; it only raises
+    when an explicit step points away from the stop bound), and the
+    subsequent ``element_at(toks, 0)`` then fails the whole job with
+    INVALID_INDEX_OF_ZERO (verified on Spark 4.1).
     """
     toks = tokenize(text)
     grams = F.array_distinct(

@@ -41,6 +41,35 @@ def test_minhash_finds_near_duplicate_pair(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+def test_minhash_bucket_cap_bounds_degenerate_corpus(spark):
+    """Boilerplate-heavy corpus: every doc shares identical text, so every
+    band bucket holds all N docs and the uncapped join is all-pairs
+    (N·(N-1)/2). A cap below N empties every bucket → zero candidates,
+    while leaving a well-behaved corpus's output untouched."""
+    from financial_big_data_exp_4_spark.operators import minhash_candidate_pairs
+
+    n = 40
+    boiler = [
+        "identical boilerplate header repeated across every document in "
+        "the crawl exactly the same way each time"
+    ] * n
+    docs = _docs(spark, boiler)
+    uncapped = minhash_candidate_pairs(docs).count()
+    assert uncapped == n * (n - 1) // 2  # degenerate: all-pairs
+    capped = minhash_candidate_pairs(docs, max_bucket_size=10).count()
+    assert capped == 0  # every bucket over the cap → dropped before pairing
+
+    # sanity: the cap is inert on a corpus whose buckets are small
+    varied = _docs(
+        spark,
+        [f"document number {i} speaks about topic {i * 7} uniquely" for i in range(20)],
+    )
+    assert (
+        minhash_candidate_pairs(varied, max_bucket_size=10).collect()
+        == minhash_candidate_pairs(varied).collect()
+    )
+
+
 def test_simhash_identical_texts_equal_and_near_texts_close(spark):
     from financial_big_data_exp_4_spark.operators import simhash_docs
 
