@@ -107,6 +107,36 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_metadata(load_table(spark, sf_dir, "documents"))
 
 
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming tumbling-window counts, drained as a bounded
+    stream (``availableNow`` → memory sink) and returned as a DataFrame —
+    puts streaming ≡ batch under the driver's oracle, not just pytest.
+
+    The memory sink is the *verification* sink (bounded drain, results on
+    the driver); production swaps in a real sink at the ``writeStream``
+    line and the plan above it is unchanged. Window starts are re-emitted
+    as epoch seconds so the batch tumbling oracle applies verbatim.
+    """
+    import tempfile
+    import uuid
+
+    from financial_big_data_exp_4_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_tumbling_counts,
+    )
+
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    stream = streaming_tumbling_counts(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(stream, name, ckpt)
+    return spark.table(name).select(
+        F.unix_timestamp("window_start").alias("window_start_s"),
+        "event_type",
+        "cnt",
+    )
+
+
 # -- OLAP surface: as-of join, rollup, windowed rank, percentiles, set ops --
 
 def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,6 +264,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_star_join": q_star_join,
     "q_anti_join": q_anti_join,
     "q_multimodal_meta": q_multimodal_meta,
+    "q_stream_tumbling": q_stream_tumbling,
     "q_asof_join": q_asof_join,
     "q_rollup": q_rollup,
     "q_window_rank": q_window_rank,

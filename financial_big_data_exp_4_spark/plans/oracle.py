@@ -137,6 +137,37 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
         FROM customer
         ORDER BY c_custkey
     """,
+    # End-to-end feature chain: indexer codes via dense_rank (the
+    # StringIndexer frequencyDesc contract), imputed acctbal, hash split —
+    # all summed exactly (BIGINT / DECIMAL(38,2)).
+    "q_feature_pipeline": """
+        WITH freq AS (
+            SELECT c_mktsegment AS seg, count(*) AS cnt
+            FROM customer GROUP BY c_mktsegment
+        ), codes AS (
+            SELECT seg,
+                   CAST(dense_rank() OVER (ORDER BY cnt DESC, seg ASC) - 1
+                        AS DOUBLE) AS mkt_idx
+            FROM freq
+        ), feat AS (
+            SELECT c.c_custkey,
+                   COALESCE(CASE WHEN c.c_custkey % 11 = 0 THEN NULL
+                                 ELSE CAST(c.c_acctbal AS DOUBLE) END,
+                            -1.0) AS acctbal,
+                   codes.mkt_idx
+            FROM customer c JOIN codes ON c.c_mktsegment = codes.seg
+        )
+        SELECT CASE WHEN ((c_custkey % 1000000007) * 2654435761)
+                         % 1000000007 % 100 < 80
+                    THEN 'train' ELSE 'test' END AS split,
+               count(*) AS cnt,
+               sum(CAST(mkt_idx AS BIGINT)) AS sum_mkt_idx,
+               CAST(sum(CAST(acctbal AS DECIMAL(38,2))) AS DOUBLE)
+                   AS sum_acctbal
+        FROM feat
+        GROUP BY 1
+        ORDER BY split
+    """,
     "q_string_index": """
         WITH freq AS (
             SELECT c_mktsegment AS seg, count(*) AS cnt

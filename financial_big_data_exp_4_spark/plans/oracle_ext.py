@@ -541,6 +541,9 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_star_join": Q_STAR_JOIN,
     "q_anti_join": Q_ANTI_JOIN,
     "q_multimodal_meta": Q_MULTIMODAL_META,
+    # streaming ≡ batch: the bounded availableNow drain must reproduce the
+    # batch tumbling aggregate exactly, so the batch oracle applies.
+    "q_stream_tumbling": Q_TUMBLING_WINDOW,
     "q_asof_join": Q_ASOF_JOIN,
     "q_rollup": Q_ROLLUP,
     "q_window_rank": Q_WINDOW_RANK,

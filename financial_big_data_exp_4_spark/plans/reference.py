@@ -327,6 +327,65 @@ def q_random_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Task-4 feature chain end-to-end as ONE ``pyspark.ml.Pipeline``
+    (M1+M2+M4+M5+M12; nb4 cells 7-22): impute → StringIndexer →
+    VectorAssembler → deterministic hash split, collapsed to
+    oracle-expressible aggregates.
+
+    The output proves each stage ran: ``cnt`` per split checks the hash
+    split; ``sum_mkt_idx`` sums the *indexer's* codes (dense_rank
+    semantics) read back out of the *assembled vector*; ``sum_acctbal``
+    sums the imputed column, also via the vector, routed through
+    DECIMAL(38,2) so the sum is exact/partitioning-invariant (raw double
+    sums are not — SURVEY §7).
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    customer = load_table(spark, sf_dir, "customer")
+    with_nulls = customer.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("c_acctbal").cast("double"))
+        .alias("acctbal"),
+    )
+    imputed = with_nulls.na.fill(-1.0, ["acctbal"])
+    pipeline = Pipeline(
+        stages=[
+            StringIndexer(
+                inputCol="c_mktsegment", outputCol="mkt_idx",
+                handleInvalid="error",
+            ),
+            VectorAssembler(
+                inputCols=["c_nationkey", "acctbal", "mkt_idx"],
+                outputCol="features",
+            ),
+        ]
+    )
+    out = pipeline.fit(imputed).transform(imputed)
+    arr = vector_to_array("features")
+    tagged = out.select(
+        train_test_split_col(F.col("c_custkey")).alias("split"),
+        arr[2].alias("mkt_val"),
+        arr[1].alias("acct_val"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum(F.col("mkt_val").cast("long")).alias("sum_mkt_idx"),
+            F.sum(F.col("acct_val").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_acctbal"),
+        )
+        .orderBy("split")
+    )
+
+
 REFERENCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan": q_scan,
     "q_industry_count": q_industry_count,
@@ -341,4 +400,5 @@ REFERENCE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_quantile_bucket": q_quantile_bucket,
     "q_vector_assemble": q_vector_assemble,
     "q_random_split": q_random_split,
+    "q_feature_pipeline": q_feature_pipeline,
 }
