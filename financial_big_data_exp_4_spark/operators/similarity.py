@@ -18,9 +18,13 @@ path (BASELINE north star).
   deterministic systematic sample (every C-th vector) so the declared
   query is closed-form for the oracle; production would k-means them —
   the *plan shape* (assign map-side, search cell-local) is identical.
-* At real scale the scored candidates per probe would be reduced with a
-  per-partition top-k (``TakeOrdered``-style) before the final window;
-  the window-over-probe-partitions form below is the semantics contract.
+* Brute-force top-k is **two-level**: a first window keyed by
+  ``(probe_id, spark_partition_id())`` reduces each input partition to at
+  most k rows per probe *before* the per-probe window — so the final
+  window (whose key space is only |probes|, the skew point at scale) sees
+  ≤ k·partitions rows, not N. The per-(probe, partition) top-k is always
+  a superset of the global top-k, so the result is identical on any
+  partition layout.
 """
 
 from __future__ import annotations
@@ -30,6 +34,22 @@ from pyspark.sql import functions as F
 
 TOPK = 10
 IVF_CENTROID_STRIDE = 50  # every 50th vector is a "centroid" (det. sample)
+
+#: The one live cell-assignment cache. Repeated operator invocations (the
+#: bench runs every query 4×) would otherwise accumulate session-lifetime
+#: cache entries; each new assignment evicts the previous one. Harnesses
+#: execute each built query before building the next, so the eviction
+#: never races an action; an evicted plan that *is* re-executed simply
+#: recomputes (slower, still correct).
+_LIVE_CACHE: list[DataFrame] = []
+
+
+def _persist_scoped(df: DataFrame) -> DataFrame:
+    while _LIVE_CACHE:
+        _LIVE_CACHE.pop().unpersist()
+    df = df.persist()
+    _LIVE_CACHE.append(df)
+    return df
 IVF_TOPK = 3
 #: Production near-dup mining would use ~0.95; the fixture embeddings are
 #: random (max observed in-cell cosine ≈ 0.48), so the declared query uses
@@ -72,13 +92,29 @@ def cosine_topk_bruteforce(
             "probe_id",
             "vec_id",
             cosine(F.col("probe_vec"), F.col("embedding")).alias("cos_sim"),
+            F.spark_partition_id().alias("_scan_part"),
         )
     )
+    # Level 1 — per-(probe, input-partition) top-k. The key includes the
+    # scan partition id, so the hash exchange spreads over
+    # |probes|·|partitions| keys (no per-probe reducer hot spot) and the
+    # filter reduces the final window's input to ≤ k rows per key. Any
+    # superset of the true top-k per probe survives this level regardless
+    # of physical layout, so the declared output is layout-invariant.
+    w_local = Window.partitionBy("probe_id", "_scan_part").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    reduced = (
+        scored.withColumn("_local_rank", F.row_number().over(w_local))
+        .where(F.col("_local_rank") <= k)
+        .drop("_local_rank", "_scan_part")
+    )
+    # Level 2 — the per-probe ranking, now over ≤ k·partitions rows.
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        reduced.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cos_sim", "rank")
     )
@@ -128,11 +164,12 @@ def embedding_neardup_pairs(
     near-dup pair split across cells is missed — the standard IVF
     trade-off, tuned via stride/nprobe). Output: (vec_a, vec_b, cos_sim).
 
-    The assignment is persisted: both sides of the self-join read it, and
-    without persistence Spark would run the N×C centroid scoring twice
-    (at real scale you would checkpoint this stage for the same reason).
+    The assignment is persisted (scoped — see :func:`_persist_scoped`):
+    both sides of the self-join read it, and without persistence Spark
+    would run the N×C centroid scoring twice (at real scale you would
+    checkpoint this stage for the same reason).
     """
-    assigned = _assign_cells(embeddings, stride).persist()
+    assigned = _persist_scoped(_assign_cells(embeddings, stride))
     a = assigned.select(
         F.col("cell"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
     )
@@ -168,8 +205,9 @@ def cosine_topk_ivf(
     # partial-aggregates map-side (each partition reduces its N×C scored
     # rows to N before the shuffle, unlike a window over vec_id which
     # would shuffle all N×C rows). Struct order = max cos, tie → min id.
-    # Persisted: probes and search targets both read the assignment.
-    assigned = _assign_cells(embeddings, stride).persist()
+    # Persisted (scoped): probes and search targets both read the
+    # assignment; see _persist_scoped for the eviction contract.
+    assigned = _persist_scoped(_assign_cells(embeddings, stride))
     probes = assigned.where(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),

@@ -57,6 +57,14 @@ def main() -> int:
             problems.append("dims not broadcast")
         if name == "q_topk" and "TakeOrderedAndProject" not in plan:
             problems.append("top-k not TakeOrderedAndProject")
+        if name == "q_embed_cosine_topk":
+            # two-level top-k: the per-probe window must read the
+            # (probe, scan-partition)-local pre-reduction, not raw scores
+            if plan.count("Window") < 2 or "_local_rank" not in plan:
+                problems.append(
+                    "per-probe window not fed by per-partition top-k "
+                    "pre-reduction"
+                )
         status = "OK " if not problems else "BAD"
         print(f"== {status} {name} {'; '.join(problems)}")
         print(plan)
