@@ -22,13 +22,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _salt(col: Column, n_salts: int) -> Column:
-    """Deterministic per-row salt derived from a uniform hash of the whole
-    row key + a monotonically varying component. ``rand()`` would also
-    work but makes plans nondeterministic; xxhash64 of the key plus the
-    partition-local row id spreads a hot key evenly and reproducibly."""
+def _salt(df: DataFrame, n_salts: int) -> Column:
+    """Deterministic per-row salt: ``xxhash64`` over every column of the
+    row, mod ``n_salts``. Derived purely from row *content* so a task
+    retry or speculative re-execution recomputes the identical salt —
+    ``monotonically_increasing_id()``/``rand()`` would not: a stage
+    recompute after a shuffle-fetch failure could re-salt rows
+    differently and silently drop/duplicate join rows at scale. Fully
+    identical rows share a salt; spreading a hot key relies on per-row
+    attribute diversity, the normal case for hot keys with distinct
+    payloads."""
     return F.pmod(
-        F.xxhash64(col, F.monotonically_increasing_id()), F.lit(n_salts)
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
     )
 
 
@@ -45,7 +50,7 @@ def salted_groupby_count(
     Output: (key, cnt) — identical to the unsalted aggregate.
     """
     stage1 = (
-        df.withColumn("_salt", _salt(F.col(key), n_salts))
+        df.withColumn("_salt", _salt(df, n_salts))
         .groupBy(key, "_salt")
         .agg(F.count("*").alias("_partial"))
     )
@@ -68,7 +73,7 @@ def salted_join_small(
     Spark never shuffles the big side then; this helper is for the middle
     regime.)
     """
-    salted_big = big.withColumn("_salt", _salt(F.col(key), n_salts))
+    salted_big = big.withColumn("_salt", _salt(big, n_salts))
     salts = big.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")
     )

@@ -246,6 +246,61 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(priority, status): all four grouping sets — leaves, both
+    one-dimension marginals, grand total — in one expand+aggregate pass
+    (vs four scans if written as unioned GROUP BYs). Same exact-decimal
+    revenue routing as q_rollup."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        exact_money_sum("o_totalprice").alias("revenue"),
+    )
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns per priority. The pivot values are
+    pinned explicitly — with an implicit value list Spark first runs a
+    distinct scan AND the output schema becomes data-dependent, which is
+    both slower and schema-unstable at 100 TB. Absent combinations are
+    coalesced to 0 (Spark's pivot-count yields null there)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pivoted = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # count(*) is rejected inside a Pivot agg
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"cnt_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    ).orderBy("o_orderpriority")
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS ((priority), (status)) — two independent
+    marginals in ONE expand+aggregate pass over the fact table (half the
+    scans of the equivalent union-of-group-bys formulation). ``gid``
+    (grouping_id) disambiguates which set a row belongs to — required in
+    general because a genuine NULL group value is otherwise
+    indistinguishable from the "aggregated away" marker."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupingSets(
+            [["o_orderpriority"], ["o_orderstatus"]],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("cnt"),
+            exact_money_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_neardup_minhash": q_neardup_minhash,
@@ -271,4 +326,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_percentile": q_percentile,
     "q_set_ops": q_set_ops,
     "q_distinct_agg": q_distinct_agg,
+    "q_cube": q_cube,
+    "q_pivot": q_pivot,
+    "q_grouping_sets": q_grouping_sets,
 }

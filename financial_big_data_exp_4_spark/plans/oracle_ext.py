@@ -556,4 +556,33 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "q_cube": """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+    "q_pivot": """
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS cnt_f,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS cnt_o,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS cnt_p
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    # GROUPING() bit order (leftmost arg = MSB) matches Spark's
+    # grouping_id() over the same column list.
+    "q_grouping_sets": """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+                   AS gid,
+               count(*) AS cnt,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
 }

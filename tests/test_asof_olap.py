@@ -59,3 +59,43 @@ def test_rollup_totals_consistent(spark, sf_dir):
     assert len(grand) == 1
     assert grand[0]["cnt"] == sum(r["cnt"] for r in leaves)
     assert abs(grand[0]["revenue"] - sum(r["revenue"] for r in leaves)) < 1e-6
+
+
+def test_cube_and_grouping_sets_consistent(spark, sf_dir):
+    from financial_big_data_exp_4_spark.plans.extensions import (
+        q_cube,
+        q_grouping_sets,
+    )
+
+    cube = q_cube(spark, sf_dir).collect()
+    # cube ⊇ rollup: per-status marginals exist with NULL priority
+    status_marginals = [
+        r for r in cube
+        if r["o_orderpriority"] is None and r["o_orderstatus"] is not None
+    ]
+    assert status_marginals
+    gs = q_grouping_sets(spark, sf_dir).collect()
+    # gid tags which column survived: 1 = (priority), 2 = (status)
+    assert {r["gid"] for r in gs} == {1, 2}
+    by_status = {
+        r["o_orderstatus"]: r["cnt"] for r in gs if r["gid"] == 2
+    }
+    for r in status_marginals:
+        assert by_status[r["o_orderstatus"]] == r["cnt"]
+
+
+def test_approx_count_distinct_tracks_exact(spark, sf_dir):
+    """The documented 100 TB swap for COUNT(DISTINCT): HLL sketch, one
+    pass, mergeable. Default rsd=0.05 — assert the estimate lands within
+    a loose 3×rsd of the exact count on the fixture."""
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    row = events.agg(
+        F.countDistinct("user_id").alias("exact"),
+        F.approx_count_distinct("user_id").alias("approx"),
+    ).head()
+    assert row["approx"] > 0
+    assert abs(row["approx"] - row["exact"]) <= max(3, 0.15 * row["exact"])
