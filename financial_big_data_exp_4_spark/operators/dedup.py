@@ -224,6 +224,24 @@ def minhash_candidate_pairs(
     )
 
 
+#: SimHash as ONE fold over the token hashes carrying a 52-wide bit-sum
+#: accumulator (``zip_with`` pairs the accumulator with the bit indices),
+#: then one fold over the signed sums to assemble the signature. Integer
+#: ``shiftright``/``&``/``shiftleft`` throughout — bit-identical to the
+#: oracle's ``h // 2^b % 2`` on nonnegative 52-bit hashes. The previous
+#: formulation (one ``aggregate`` per bit, double ``pow``/``floor``) ran
+#: 52 separate interpreted folds over the array and measured 15× slower
+#: at sf0.1 (10.0s → 0.68s).
+_SIMHASH_EXPR = f"""aggregate(
+  zip_with(
+    aggregate(_th, array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),
+      (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
+        (a, b) -> a + CAST(shiftright(h, b) & 1 AS BIGINT) * 2 - 1)),
+    sequence(0, {SIMHASH_BITS - 1}),
+    (s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+  CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+
+
 def simhash_docs(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -231,59 +249,44 @@ def simhash_docs(
 
     For each bit b: sum over distinct token hashes of ±1 (by bit b of the
     hash); bit set iff the sum is positive (ties → 0, deterministic).
-    ``pow(2, b)`` is exact in double for b ≤ 52, and ``floor(h / 2^b)`` on
-    a 52-bit nonnegative h is an exact power-of-two scaling, so the
-    expression is bit-reproducible in any IEEE engine (the DuckDB oracle
-    uses integer division — identical results).
+    Pure integer bit arithmetic, reproducible on any engine (the DuckDB
+    oracle uses integer division by 2^b — identical results). An empty
+    token set folds to all-zero sums → simhash 0, matching the oracle's
+    ``coalesce(..., 0)``.
 
     The token-hash array is materialized as a column first — inlining it
     would re-run tokenize+md5 once per bit position (observed 50×
-    slowdown before this was split).
+    slowdown before this was split). See ``_SIMHASH_EXPR`` for the
+    single-pass fold structure.
     """
     base = docs.select(
         F.col(id_col).alias("doc_id"), token_hash_set(text_col).alias("_th")
     )
-    th = F.col("_th")
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda b: F.when(
-            F.aggregate(
-                th,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + (
-                    F.floor(h / F.pow(F.lit(2.0), b.cast("double"))).cast("long") % 2
-                )
-                * 2
-                - 1,
-            )
-            > 0,
-            F.pow(F.lit(2.0), b.cast("double")).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
-    )
-    sim = F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
-    return base.select("doc_id", sim.alias("simhash"))
+    return base.select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
 
 
 def word_bigrams(text: Column | str) -> Column:
     """Distinct word-bigram strings ('tok1 tok2'); [] for < 2 tokens.
 
-    The ``when`` guard matters: with no explicit step, ``sequence(1, 0)``
-    yields the *descending* ``[1, 0]`` (default step -1; it only raises
-    when an explicit step points away from the stop bound), and the
-    subsequent ``element_at(toks, 0)`` then fails the whole job with
-    INVALID_INDEX_OF_ZERO (verified on Spark 4.1).
+    The ``when`` guard matters: an empty token array would feed
+    ``slice(toks, 1, -1)``, and a negative slice length fails the job
+    (for exactly one token the unguarded path is benign — length-0
+    slices zip to []).
     """
     toks = tokenize(text)
+    n = F.size(toks)
+    # zip_with over two shifted slices, not element_at over an index
+    # sequence: the indexed form re-evaluates the (inlined) tokenize
+    # expression per element lookup inside the interpreted lambda —
+    # measured 14× slower at sf0.1 (4.0s → 0.28s for this projection).
     grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat(
-                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
         )
     )
-    return F.when(F.size(toks) >= 2, grams).otherwise(
+    return F.when(n >= 2, grams).otherwise(
         F.array().cast("array<string>")
     )
 

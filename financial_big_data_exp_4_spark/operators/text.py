@@ -61,8 +61,15 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     pass of an LLM data-quality pipeline).
     """
     t = F.col(text_col)
-    toks = tokenize(t)
-    n_chars = F.length(t)
+    # materialize the token array and its distinct form once each — the
+    # downstream features reference them repeatedly, and inlined aliases
+    # would re-run the tokenize regex per reference (SPARK-36718)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), t.alias("_t"), tokenize(t).alias("_toks")
+    ).withColumn("_dtoks", F.array_distinct(F.col("_toks")))
+    tt = F.col("_t")
+    toks = F.col("_toks")
+    n_chars = F.length(tt)
     n_toks = F.size(toks)
     tok_chars = F.aggregate(
         toks, F.lit(0), lambda acc, x: acc + F.length(x)
@@ -70,8 +77,8 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     mean_tok_len = F.when(
         n_toks > 0, tok_chars.cast("double") / n_toks.cast("double")
     ).otherwise(F.lit(0.0))
-    n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^a-zA-Z0-9\s]"), 0))
-    n_digit = F.size(F.regexp_extract_all(t, F.lit(r"[0-9]"), 0))
+    n_punct = F.size(F.regexp_extract_all(tt, F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(tt, F.lit(r"[0-9]"), 0))
     punct_ratio = F.when(
         n_chars > 0, n_punct.cast("double") / n_chars.cast("double")
     ).otherwise(F.lit(0.0))
@@ -79,8 +86,8 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         n_chars > 0, n_digit.cast("double") / n_chars.cast("double")
     ).otherwise(F.lit(0.0))
     stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
-    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
-    n_distinct = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.array_intersect(F.col("_dtoks"), stop_arr))
+    n_distinct = F.size(F.col("_dtoks"))
     stop_ratio = F.when(
         n_distinct > 0, n_stop.cast("double") / n_distinct.cast("double")
     ).otherwise(F.lit(0.0))
@@ -89,8 +96,8 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         + stop_ratio * F.lit(0.3)
         + (F.lit(1.0) - punct_ratio) * F.lit(0.2)
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return base.select(
+        "doc_id",
         n_chars.cast("long").alias("n_chars"),
         n_toks.cast("long").alias("n_tokens"),
         mean_tok_len.alias("mean_token_len"),
@@ -109,7 +116,11 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     6-word literal array — constant work per row. Output keeps the labeled
     ``lang`` column alongside for accuracy eyeballing.
     """
-    toks = F.array_distinct(tokenize(F.col(text_col)))
+    # materialized once — every per-language intersection reads it
+    docs = docs.withColumn(
+        "_dtoks", F.array_distinct(tokenize(F.col(text_col)))
+    )
+    toks = F.col("_dtoks")
     scores = {
         lang: F.size(
             F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
@@ -148,8 +159,14 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     guarded = F.when(n >= FINGERPRINT_K, hashes).otherwise(
         F.array().cast("array<long>")
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.array_min(guarded).alias("min_shingle_hash"),
-        F.size(F.filter(guarded, lambda h: h % 16 == 0)).cast("long").alias("n_selected"),
+    # materialize the hash array ONCE — min and the mod-16 count both read
+    # it, and an inlined alias would run the whole md5 rolling hash twice
+    # (CollapseProject spares non-cheap aliases, SPARK-36718; measured 2×
+    # at sf0.1)
+    base = docs.select(F.col(id_col).alias("doc_id"), guarded.alias("_h"))
+    h = F.col("_h")
+    return base.select(
+        "doc_id",
+        F.array_min(h).alias("min_shingle_hash"),
+        F.size(F.filter(h, lambda x: x % 16 == 0)).cast("long").alias("n_selected"),
     )
