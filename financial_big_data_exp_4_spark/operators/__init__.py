@@ -20,7 +20,12 @@ from financial_big_data_exp_4_spark.operators.events import (
 )
 from financial_big_data_exp_4_spark.operators.joins import (
     customers_without_orders,
+    range_join_bucketed,
     revenue_by_region,
+)
+from financial_big_data_exp_4_spark.operators.relational import (
+    hash_sample,
+    keep_latest,
 )
 from financial_big_data_exp_4_spark.operators.multimodal import (
     decode_image,
@@ -34,6 +39,7 @@ from financial_big_data_exp_4_spark.operators.similarity import (
 from financial_big_data_exp_4_spark.operators.text import (
     doc_fingerprint,
     language_id,
+    normalize_text,
     text_quality,
     token_counts,
 )
@@ -46,11 +52,15 @@ __all__ = [
     "doc_fingerprint",
     "embedding_neardup_pairs",
     "exact_dedup",
+    "hash_sample",
     "json_extract_stats",
+    "keep_latest",
     "language_id",
     "minhash_candidate_pairs",
     "multimodal_metadata",
     "ngram_jaccard_adjacent",
+    "normalize_text",
+    "range_join_bucketed",
     "revenue_by_region",
     "sessionize",
     "simhash_docs",

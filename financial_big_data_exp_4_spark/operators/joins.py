@@ -49,6 +49,49 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+US_PER_HOUR = 3_600_000_000
+
+
+def range_join_bucketed(
+    probes: DataFrame,
+    intervals: DataFrame,
+    key: str,
+    probe_ts: str,
+    start_ts: str,
+    width_us: int = US_PER_HOUR,
+) -> DataFrame:
+    """Interval-containment join, bucketed so it plans as an EQUI-join.
+
+    Semantics: probe p matches interval i (same ``key``) iff
+    ``i.start <= p.ts < i.start + width``. A naive
+    ``ON p.ts BETWEEN ...`` condition is not an equi-join — Spark plans a
+    broadcast-nested-loop (or worse, a cartesian per key group) that is
+    O(|P|·|I|) per key. Instead both sides are mapped onto coarse time
+    buckets of the interval width: a probe lives in exactly one bucket, a
+    width-bounded interval spans at most two, so the interval side
+    explodes ×2 and the join becomes a hash join on ``(key, bucket)``
+    with the exact containment predicate applied as a cheap post-filter.
+    Cost: one shuffle of |P| + 2|I| rows — the standard bucketed range
+    join (the same trick Databricks' RANGE_JOIN hint applies). Each
+    matching pair is produced exactly once (the probe's bucket is
+    unique).
+    """
+    p = probes.withColumn("_bucket", F.expr(f"{probe_ts} DIV {width_us}"))
+    i = intervals.withColumn(
+        "_b0", F.expr(f"{start_ts} DIV {width_us}")
+    ).select(
+        "*",
+        F.explode(
+            F.array(F.col("_b0"), F.col("_b0") + F.lit(1))
+        ).alias("_bucket"),
+    ).drop("_b0")
+    joined = p.join(i, on=[key, "_bucket"]).where(
+        (F.col(probe_ts) >= F.col(start_ts))
+        & (F.col(probe_ts) < F.col(start_ts) + F.lit(width_us))
+    )
+    return joined.drop("_bucket")
+
+
 LARGE_ORDER_THRESHOLD = 400_000.0
 
 

@@ -141,6 +141,29 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Canonical text normalization for dedup preprocessing: lowercase,
+    fold tabs/newlines to spaces, collapse space runs, trim. Map-only;
+    the ``changed`` flag marks rows the normalization touched (the usual
+    monitoring hook in an ingestion pipeline). ASCII-explicit character
+    classes so the Java-regex and RE2 (oracle) behaviors are identical.
+    """
+    t = F.col(text_col)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(t), r"[\t\r\n]+", " "),
+            r" {2,}",
+            " ",
+        )
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), t.alias("_t"), norm.alias("_n"))
+    return base.select(
+        "doc_id",
+        F.col("_n").alias("norm_text"),
+        (F.col("_n") != F.col("_t")).alias("changed"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Rolling-hash document fingerprint (winnowing-style primitives).
 

@@ -19,11 +19,15 @@ from financial_big_data_exp_4_spark.operators import (
     doc_fingerprint,
     embedding_neardup_pairs,
     exact_dedup,
+    hash_sample,
     json_extract_stats,
+    keep_latest,
     language_id,
     minhash_candidate_pairs,
     multimodal_metadata,
     ngram_jaccard_adjacent,
+    normalize_text,
+    range_join_bucketed,
     revenue_by_region,
     sessionize,
     simhash_docs,
@@ -246,6 +250,54 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join (errors within 1h after a same-user
+    purchase), bucketed into an equi-join — see
+    :func:`..operators.joins.range_join_bucketed` for why the naive
+    BETWEEN condition would plan as a per-key nested loop."""
+    events = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts DIV 1000")
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), ts_us.alias("ets")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purch_id"), ts_us.alias("pts"), "value"
+    )
+    out = range_join_bucketed(
+        errors, purchases, key="user_id", probe_ts="ets", start_ts="pts"
+    )
+    return out.select("user_id", "err_id", "purch_id", "value")
+
+
+def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC keep-latest: one row per user — the latest event by
+    (timestamp, event_id). Aggregate-form argmax (max over a struct):
+    partial aggregation reduces map-side, so the shuffle carries |users|
+    rows, not |events| — the window/row_number formulation would shuffle
+    and sort everything."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_id"
+    )
+    return keep_latest(base, key="user_id", ts="ts_us", tiebreak="event_id")
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample of orders by key hash — map-only,
+    engine-portable, reproducible across runs/partitionings (none of
+    which TABLESAMPLE/rand() guarantee)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return hash_sample(orders, key="o_orderkey", pct=10).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/case normalization pass over documents with a change
+    flag — the canonical pre-dedup cleanup stage."""
+    return normalize_text(load_table(spark, sf_dir, "documents"))
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(priority, status): all four grouping sets — leaves, both
     one-dimension marginals, grand total — in one expand+aggregate pass
@@ -329,4 +381,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cube": q_cube,
     "q_pivot": q_pivot,
     "q_grouping_sets": q_grouping_sets,
+    "q_range_join": q_range_join,
+    "q_dedup_latest": q_dedup_latest,
+    "q_hash_sample": q_hash_sample,
+    "q_text_normalize": q_text_normalize,
 }

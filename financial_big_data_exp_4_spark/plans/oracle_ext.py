@@ -573,6 +573,42 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
+    "q_range_join": """
+        SELECT e.user_id, e.event_id AS err_id, p.event_id AS purch_id,
+               p.value
+        FROM events e JOIN events p ON e.user_id = p.user_id
+        WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+          AND epoch_us(e.ts) >= epoch_us(p.ts)
+          AND epoch_us(e.ts) < epoch_us(p.ts) + 3600000000
+    """,
+    # keep-latest is uniquely defined by the (ts, event_id) total order,
+    # so the window formulation here must equal the engine's aggregate
+    # argmax exactly.
+    "q_dedup_latest": """
+        SELECT user_id, ts_us, event_id FROM (
+            SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "q_hash_sample": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE ((o_orderkey % 1000000007) * 2654435761)
+              % 1000000007 % 100 < 10
+    """,
+    "q_text_normalize": """
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[\\t\\r\\n]+', ' ', 'g'), ' {2,}', ' ', 'g'))
+                   AS norm_text,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[\\t\\r\\n]+', ' ', 'g'), ' {2,}', ' ', 'g')) <> text
+                   AS changed
+        FROM documents
+    """,
     # GROUPING() bit order (leftmost arg = MSB) matches Spark's
     # grouping_id() over the same column list.
     "q_grouping_sets": """

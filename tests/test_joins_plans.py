@@ -68,3 +68,56 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
     assert "s_suppkey" in scan_line and "s_name" in scan_line
     assert "s_nationkey" not in scan_line  # unused column not read
+
+
+def test_range_join_bucketed_semantics_and_plan(spark):
+    from financial_big_data_exp_4_spark.operators import range_join_bucketed
+
+    W = 3_600_000_000  # 1h in us
+    probes = spark.createDataFrame(
+        [
+            (1, 10, 5 * W + 10),       # inside interval A
+            (1, 11, 5 * W),            # exactly at A's start (inclusive)
+            (1, 12, 6 * W),            # exactly at A's end (exclusive)
+            (1, 13, 6 * W - 1),        # last tick inside A (crosses bucket)
+            (2, 14, 5 * W + 10),       # wrong key
+        ],
+        "user_id long, err_id long, ets long",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 100, 5 * W), (1, 101, 4 * W + W // 2)],  # A, B (B spans 4.5-5.5h)
+        "user_id long, purch_id long, pts long",
+    )
+    out = range_join_bucketed(
+        probes, intervals, key="user_id", probe_ts="ets", start_ts="pts"
+    )
+    pairs = {(r["err_id"], r["purch_id"]) for r in out.collect()}
+    assert pairs == {(10, 100), (11, 100), (13, 100), (10, 101), (11, 101)}
+    # the containment join must be an equi-join (hash/sort-merge), never
+    # a nested-loop/cartesian
+    plan = _physical_plan(out)
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_keep_latest_tie_and_determinism(spark):
+    from financial_big_data_exp_4_spark.operators import keep_latest
+
+    df = spark.createDataFrame(
+        [(1, 100, 7), (1, 100, 9), (1, 50, 8), (2, 60, 1)],
+        "k long, ts long, eid long",
+    )
+    out = {r["k"]: (r["ts"], r["eid"]) for r in
+           keep_latest(df, key="k", ts="ts", tiebreak="eid").collect()}
+    assert out == {1: (100, 9), 2: (60, 1)}  # tie on ts -> max tiebreak
+
+
+def test_hash_sample_deterministic_and_proportional(spark, sf_dir):
+    from financial_big_data_exp_4_spark.operators import hash_sample
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = hash_sample(orders, "o_orderkey", 10).count()
+    b = hash_sample(orders.repartition(7), "o_orderkey", 10).count()
+    assert a == b  # layout-invariant
+    total = orders.count()
+    assert 0.05 * total < a < 0.15 * total
+    assert hash_sample(orders, "o_orderkey", 100).count() == total
