@@ -298,6 +298,41 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_text(load_table(spark, sf_dir, "documents"))
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows (native ``session_window`` gap-merge)
+    drained as a bounded stream — the stateful-operator sibling of
+    q_stream_tumbling.
+
+    Event times are second-truncated before windowing so the oracle can
+    mirror the gap semantics exactly: ``session_window`` starts a NEW
+    session when ``t - last_t >= gap`` (the window is right-open
+    [start, start+gap)), which is the ``>=`` in the oracle's lag test —
+    deliberately different from q_sessionize's batch ``>`` convention.
+    """
+    import tempfile
+    import uuid
+
+    from financial_big_data_exp_4_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_session_counts,
+    )
+
+    stream = read_events_stream(spark, sf_dir).withColumn(
+        "ts_utc", F.expr("timestamp_seconds(ts DIV 1000000000)")
+    )
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(
+            streaming_session_counts(stream), name, ckpt
+        )
+    return spark.table(name).select(
+        "user_id",
+        F.unix_timestamp("session_start").alias("session_start_s"),
+        "n_events",
+    )
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE(priority, status): all four grouping sets — leaves, both
     one-dimension marginals, grand total — in one expand+aggregate pass
@@ -381,6 +416,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cube": q_cube,
     "q_pivot": q_pivot,
     "q_grouping_sets": q_grouping_sets,
+    "q_stream_sessions": q_stream_sessions,
     "q_range_join": q_range_join,
     "q_dedup_latest": q_dedup_latest,
     "q_hash_sample": q_hash_sample,

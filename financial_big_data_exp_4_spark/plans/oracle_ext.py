@@ -573,6 +573,34 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
+    # session_window gap semantics: NEW session iff ts - last >= gap
+    # (right-open windows) — hence >= here vs q_sessionize's >.
+    "q_stream_sessions": """
+        WITH base AS (
+            SELECT user_id, event_id,
+                   CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
+            FROM events
+        ), tagged AS (
+            SELECT user_id, ts_s,
+                   CASE WHEN lag(ts_s) OVER w IS NULL
+                          OR ts_s - lag(ts_s) OVER w >= 1800
+                        THEN 1 ELSE 0 END AS is_new
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+        ), sess AS (
+            SELECT user_id, ts_s,
+                   CAST(sum(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts_s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS session_idx
+            FROM tagged
+        )
+        SELECT user_id,
+               min(ts_s) AS session_start_s,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_idx
+    """,
     "q_range_join": """
         SELECT e.user_id, e.event_id AS err_id, p.event_id AS purch_id,
                p.value

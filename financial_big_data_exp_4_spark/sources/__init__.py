@@ -8,12 +8,20 @@ from financial_big_data_exp_4_spark.sources.csv import (
     read_csv,
     write_single_csv,
 )
+from financial_big_data_exp_4_spark.sources.jsonl import (
+    read_jsonl,
+    write_jsonl,
+    write_partitioned_parquet,
+)
 
 __all__ = [
     "TABLES",
     "load_table",
     "load_tables",
-    "register_views",
     "read_csv",
+    "read_jsonl",
+    "register_views",
+    "write_jsonl",
+    "write_partitioned_parquet",
     "write_single_csv",
 ]

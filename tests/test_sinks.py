@@ -54,3 +54,58 @@ def test_roundtrip_csv_read(spark):
         assert {tuple(r) for r in back.collect()} == {
             tuple(r) for r in df.collect()
         }, "quoted commas must survive the round-trip (reference bug A fixed)"
+
+
+def test_jsonl_roundtrip_and_corrupt_quarantine(spark, sf_dir, tmp_path):
+    import json
+
+    from financial_big_data_exp_4_spark.sources import read_jsonl, write_jsonl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    # physical format: every line parses as a standalone JSON object
+    part = next((tmp_path / "docs_jsonl").glob("part-*.json"))
+    first = part.read_text().splitlines()[0]
+    assert isinstance(json.loads(first), dict)
+
+    back = read_jsonl(spark, path, "doc_id long, text string")
+    orig = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == orig
+
+    # a malformed line quarantines, not fails
+    bad = tmp_path / "docs_jsonl" / "part-bad.json"
+    bad.write_text('{"doc_id": 1, "text": "ok"}\nNOT JSON AT ALL\n')
+    # Spark refuses a query that references ONLY the corrupt-record
+    # column of a json scan (it would require re-parsing); the
+    # documented pattern is to cache the parsed batch first.
+    quarantined = read_jsonl(
+        spark, path, "doc_id long, text string, _corrupt_record string"
+    ).cache()
+    try:
+        n_bad = quarantined.where("_corrupt_record IS NOT NULL").count()
+        assert n_bad == 1
+    finally:
+        quarantined.unpersist()
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    from financial_big_data_exp_4_spark.sources import (
+        load_table,
+        write_partitioned_parquet,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    path = str(tmp_path / "events_part")
+    write_partitioned_parquet(events, path, ["event_type"])
+    back = spark.read.parquet(path)
+    one = back.where(back.event_type == "purchase")
+    plan = one.queryExecution if False else one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    want = events.where(events.event_type == "purchase").count()
+    assert one.count() == want
