@@ -74,6 +74,54 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx long, frame_off long, frame_hash string"
+
+
+def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Row-EXPANDING pandas stage: one input payload → N frame rows.
+
+    A real video pipeline would hand ``payload`` to a demuxer and emit one
+    row per sampled frame; the deterministic fake derives the frame count
+    (1-4) and per-frame byte offsets from ``n_bytes``, and reuses the
+    JVM-computed md5 digest suffixed with the index as the frame hash.
+    The expansion itself — variable output rows per input row through an
+    Arrow batch — is the plumbing under test.
+    """
+    for pdf in batches:
+        reps = (pdf["n_bytes"] % 4 + 1).to_numpy()
+        expanded = pdf.loc[pdf.index.repeat(reps)].reset_index(drop=True)
+        frame_idx = pd.Series(
+            [i for r in reps for i in range(r)], dtype="int64"
+        )
+        nb = expanded["n_bytes"]
+        nf = nb % 4 + 1
+        yield pd.DataFrame(
+            {
+                "doc_id": expanded["doc_id"],
+                "frame_idx": frame_idx,
+                "frame_off": frame_idx * (nb // nf),
+                "frame_hash": expanded["digest"] + "-" + frame_idx.astype(str),
+            }
+        )
+
+
+def sample_frames(docs: DataFrame) -> DataFrame:
+    """Frame sampling over opaque media payloads: text → binary payload →
+    ``mapInPandas`` fan-out to one row per sampled frame (count and
+    offsets deterministic from byte length; real decode stubbed — see
+    :func:`decode_image`). Length/digest stay JVM-side as in
+    :func:`multimodal_metadata`."""
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    ).select(
+        "doc_id",
+        "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+    )
+    return payloads.mapInPandas(_frame_batches, FRAME_SCHEMA)
+
+
 def multimodal_metadata(docs: DataFrame) -> DataFrame:
     """documents.text → utf-8 ``binary`` payload → native md5/length →
     mapInPandas decode stage (fake-decoded dims only).

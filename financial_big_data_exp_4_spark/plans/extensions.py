@@ -111,6 +111,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_metadata(load_table(spark, sf_dir, "documents"))
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_big_data_exp_4_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    return sample_frames(load_table(spark, sf_dir, "documents"))
+
+
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming tumbling-window counts, drained as a bounded
     stream (``availableNow`` → memory sink) and returned as a DataFrame —
@@ -406,6 +414,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_star_join": q_star_join,
     "q_anti_join": q_anti_join,
     "q_multimodal_meta": q_multimodal_meta,
+    "q_multimodal_frames": q_multimodal_frames,
     "q_stream_tumbling": q_stream_tumbling,
     "q_asof_join": q_asof_join,
     "q_rollup": q_rollup,

@@ -523,6 +523,25 @@ Q_MULTIMODAL_META = """
     FROM documents
 """
 
+Q_MULTIMODAL_FRAMES = """
+    WITH b AS (
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CAST(octet_length(encode(text)) % 4 + 1 AS BIGINT) AS nf,
+               md5(text) AS digest
+        FROM documents
+    ), e AS (
+        SELECT doc_id, n_bytes, nf, digest,
+               unnest(range(0, nf)) AS frame_idx
+        FROM b
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(frame_idx * (n_bytes // nf) AS BIGINT) AS frame_off,
+           digest || '-' || CAST(frame_idx AS VARCHAR) AS frame_hash
+    FROM e
+"""
+
 EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_dedup_exact": Q_DEDUP_EXACT,
     "q_neardup_minhash": Q_NEARDUP_MINHASH,
@@ -541,6 +560,7 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_star_join": Q_STAR_JOIN,
     "q_anti_join": Q_ANTI_JOIN,
     "q_multimodal_meta": Q_MULTIMODAL_META,
+    "q_multimodal_frames": Q_MULTIMODAL_FRAMES,
     # streaming ≡ batch: the bounded availableNow drain must reproduce the
     # batch tumbling aggregate exactly, so the batch oracle applies.
     "q_stream_tumbling": Q_TUMBLING_WINDOW,

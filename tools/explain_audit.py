@@ -28,6 +28,8 @@ MAP_ONLY = {
     "q_lang_id",
     "q_doc_fingerprint",
     "q_dedup_simhash",
+    "q_hash_sample",
+    "q_text_normalize",
 }
 
 #: queries whose plan legitimately contains a Python boundary
@@ -57,6 +59,10 @@ def main() -> int:
             problems.append("dims not broadcast")
         if name == "q_topk" and "TakeOrderedAndProject" not in plan:
             problems.append("top-k not TakeOrderedAndProject")
+        if name == "q_range_join" and (
+            "NestedLoop" in plan or "Cartesian" in plan
+        ):
+            problems.append("range join planned as nested loop/cartesian")
         if name == "q_embed_cosine_topk":
             # two-level top-k: the per-probe window must read the
             # (probe, scan-partition)-local pre-reduction, not raw scores
