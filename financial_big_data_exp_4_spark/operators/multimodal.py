@@ -74,6 +74,37 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
+RESIZED_SCHEMA = "doc_id long, payload binary, out_w long, out_h long"
+
+
+def resize_images(docs: DataFrame, out_w: int = 224, out_h: int = 224) -> DataFrame:
+    """Image resize plumbing: binary payload in → binary payload out
+    (1:1), the third mapInPandas shape next to metadata (1:1 scalar) and
+    frame sampling (1:N). A real deployment decodes, resizes via
+    PIL/libvips, and re-encodes; the deterministic fake truncates/pads
+    the payload to ``out_w*out_h//64`` bytes so the batch shape, binary
+    round-trip, and output schema are exercised end to end."""
+    target = out_w * out_h // 64
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["payload"].map(
+                        lambda b: bytes(b[:target]).ljust(target, b"\0")
+                    ),
+                    "out_w": out_w,
+                    "out_h": out_h,
+                }
+            )
+
+    payloads = docs.select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    return payloads.mapInPandas(_resize, RESIZED_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id long, frame_idx long, frame_off long, frame_hash string"
 
 

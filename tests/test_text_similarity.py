@@ -107,3 +107,38 @@ def test_decode_image_is_an_explicit_stub():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_sample_frames_expansion(spark):
+    import hashlib
+
+    from financial_big_data_exp_4_spark.operators.multimodal import sample_frames
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefgh"), (1, "")], "doc_id long, text string"
+    )
+    rows = sorted(
+        sample_frames(docs).collect(), key=lambda r: (r["doc_id"], r["frame_idx"])
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # n_bytes=8 -> 8%4+1 = 1 frame; n_bytes=0 -> 1 frame
+    assert len(by_doc[0]) == 1 and len(by_doc[1]) == 1
+    d = hashlib.md5(b"abcdefgh").hexdigest()
+    assert by_doc[0][0]["frame_hash"] == f"{d}-0"
+    assert by_doc[0][0]["frame_off"] == 0
+
+
+def test_resize_images_binary_roundtrip(spark):
+    from financial_big_data_exp_4_spark.operators.multimodal import resize_images
+
+    docs = spark.createDataFrame(
+        [(0, "x" * 2000), (1, "short")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in resize_images(docs, 32, 32).collect()}
+    target = 32 * 32 // 64
+    assert len(rows[0]["payload"]) == target  # truncated
+    assert len(rows[1]["payload"]) == target  # zero-padded
+    assert bytes(rows[1]["payload"]).startswith(b"short")
+    assert rows[0]["out_w"] == 32 and rows[0]["out_h"] == 32

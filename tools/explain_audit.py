@@ -32,8 +32,10 @@ MAP_ONLY = {
     "q_text_normalize",
 }
 
-#: queries whose plan legitimately contains a Python boundary
-PANDAS_OK = {"q_multimodal_meta"}
+#: queries whose plan legitimately contains an Arrow/pandas boundary
+#: (multimodal decode stages); anywhere else a Python node is a hot-path
+#: regression
+PANDAS_OK = {"q_multimodal_meta", "q_multimodal_frames"}
 
 
 def main() -> int:
@@ -50,6 +52,10 @@ def main() -> int:
         problems = []
         if "BatchEvalPython" in plan:
             problems.append("row-at-a-time Python UDF in plan")
+        if name not in PANDAS_OK and (
+            "MapInPandas" in plan or "ArrowEvalPython" in plan
+        ):
+            problems.append("unexpected pandas boundary in plan")
         if name in MAP_ONLY:
             if "Exchange" in plan:
                 problems.append("unexpected Exchange in map-only query")
