@@ -91,3 +91,22 @@ def test_ngram_jaccard_adjacent_bounds(spark):
     # single-token doc → empty bigram set; 0/0 guarded to 0.0, not NULL/NaN
     assert rows[(2, 3)]["jaccard"] == 0.0
     assert rows[(2, 3)]["n_union"] == 1
+
+
+def test_normalize_text_idempotent_and_flags(spark):
+    from financial_big_data_exp_4_spark.operators import normalize_text
+
+    docs = _docs(
+        spark,
+        ["Hello\t WORLD\n\n again", "already clean", "  padded  "],
+    )
+    once = normalize_text(docs)
+    rows = {r["doc_id"]: r for r in once.collect()}
+    assert rows[0]["norm_text"] == "hello world again"
+    assert rows[0]["changed"] is True
+    assert rows[1]["changed"] is False
+    # idempotency: normalizing the normalized text changes nothing
+    again = normalize_text(
+        once.select("doc_id", once.norm_text.alias("text"))
+    )
+    assert all(not r["changed"] for r in again.collect())
