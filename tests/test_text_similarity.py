@@ -142,3 +142,27 @@ def test_resize_images_binary_roundtrip(spark):
     assert len(rows[1]["payload"]) == target  # zero-padded
     assert bytes(rows[1]["payload"]).startswith(b"short")
     assert rows[0]["out_w"] == 32 and rows[0]["out_h"] == 32
+
+
+def test_cosine_pandas_matches_fold_within_fp_noise(spark, sf_dir):
+    """The vectorized production scorer and the oracle-parity fold agree
+    to FP-summation noise (different summation orders, same math)."""
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        cosine,
+        cosine_pandas,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    b = emb.select(
+        (F.col("vec_id") + 1).alias("ib"), F.col("embedding").alias("eb")
+    )
+    pairs = a.join(b, a.ia == b.ib)
+    both = pairs.select(
+        cosine(F.col("ea"), F.col("eb")).alias("exact"),
+        cosine_pandas(F.col("ea"), F.col("eb")).alias("fast"),
+    ).collect()
+    assert both
+    assert max(abs(r["exact"] - r["fast"]) for r in both) < 1e-9
