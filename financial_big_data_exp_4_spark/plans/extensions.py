@@ -312,10 +312,11 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_stream_tumbling.
 
     Event times are second-truncated before windowing so the oracle can
-    mirror the gap semantics exactly: ``session_window`` starts a NEW
-    session when ``t - last_t >= gap`` (the window is right-open
-    [start, start+gap)), which is the ``>=`` in the oracle's lag test —
-    deliberately different from q_sessionize's batch ``>`` convention.
+    mirror the gap semantics exactly. ``session_window`` merges an event
+    arriving exactly ``gap`` after the previous one (inclusive "within
+    the gap duration" — verified empirically against an exact-1800s pair
+    at sf0.1), so a NEW session starts iff ``t - last_t > gap``: the
+    same convention as the batch sessionizer's lag test.
     """
     import tempfile
     import uuid

@@ -593,8 +593,10 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         GROUP BY o_orderpriority
         ORDER BY o_orderpriority
     """,
-    # session_window gap semantics: NEW session iff ts - last >= gap
-    # (right-open windows) — hence >= here vs q_sessionize's >.
+    # session_window gap semantics: an event exactly `gap` after the
+    # previous one still MERGES (verified empirically at sf0.1 — Spark
+    # treats "within the gap duration" inclusively), so NEW session iff
+    # ts - last > gap, the same convention as the batch sessionizer.
     "q_stream_sessions": """
         WITH base AS (
             SELECT user_id, event_id,
@@ -603,7 +605,7 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         ), tagged AS (
             SELECT user_id, ts_s,
                    CASE WHEN lag(ts_s) OVER w IS NULL
-                          OR ts_s - lag(ts_s) OVER w >= 1800
+                          OR ts_s - lag(ts_s) OVER w > 1800
                         THEN 1 ELSE 0 END AS is_new
             FROM base
             WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)

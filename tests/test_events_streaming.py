@@ -114,3 +114,37 @@ def test_json_extract_values(spark):
     out = {r["event_type"]: r for r in json_extract_stats(events).collect()}
     assert out["a"]["sum_k"] == 12 and out["a"]["min_k"] == 5
     assert out["b"]["max_k"] == -1
+
+
+def test_session_window_merges_at_exact_gap(spark, tmp_path):
+    """Pin Spark's inclusive gap semantics: an event exactly `gap` after
+    the previous one MERGES into the session (caught at sf0.1 — the
+    oracle must use `> gap` for a new session, not `>=`)."""
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.streaming import (
+        run_stream_to_memory,
+        streaming_session_counts,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    base = 1_700_000_000
+    df = spark.createDataFrame(
+        [(1, 1, base), (2, 1, base + 1800), (3, 1, base + 3601)],
+        "event_id long, user_id long, ts_s long",
+    )
+    dataset = str(src / "events_ds")
+    df.write.parquet(dataset)  # a directory of part files — stream it directly
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, ts_s long")
+        .parquet(dataset)
+        .withColumn("ts_utc", F.expr("timestamp_seconds(ts_s)"))
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(
+            streaming_session_counts(stream), "gap_test", ckpt
+        )
+    rows = spark.sql("SELECT * FROM gap_test").collect()
+    # events 1+2 merge (diff == gap); event 3 starts a new session
+    assert sorted(r["n_events"] for r in rows) == [1, 2]

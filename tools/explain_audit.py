@@ -69,6 +69,13 @@ def main() -> int:
             "NestedLoop" in plan or "Cartesian" in plan
         ):
             problems.append("range join planned as nested loop/cartesian")
+        if name == "q_dedup_latest":
+            # keep-latest must be the partial-aggregating argmax, never a
+            # window (which would shuffle+sort every row)
+            if "Window" in plan:
+                problems.append("keep-latest planned as window")
+            if "partial_max" not in plan and plan.count("HashAggregate") < 2:
+                problems.append("keep-latest missing partial aggregation")
         if name == "q_embed_cosine_topk":
             # two-level top-k: the per-probe window must read the
             # (probe, scan-partition)-local pre-reduction, not raw scores
