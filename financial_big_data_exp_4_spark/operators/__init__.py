@@ -6,6 +6,14 @@ multimodal decode — is Arrow-batched ``mapInPandas``). Each has a mirrored
 ANSI-SQL oracle in :mod:`financial_big_data_exp_4_spark.plans.oracle_ext`.
 """
 
+from financial_big_data_exp_4_spark.operators.corpus import (
+    inverted_index,
+    pack_sequences,
+    quality_filter,
+    repetition_stats,
+    stratified_sample,
+    tfidf_top_terms,
+)
 from financial_big_data_exp_4_spark.operators.dedup import (
     exact_dedup,
     minhash_candidate_pairs,
@@ -53,9 +61,15 @@ __all__ = [
     "embedding_neardup_pairs",
     "exact_dedup",
     "hash_sample",
+    "inverted_index",
     "json_extract_stats",
     "keep_latest",
     "language_id",
+    "pack_sequences",
+    "quality_filter",
+    "repetition_stats",
+    "stratified_sample",
+    "tfidf_top_terms",
     "minhash_candidate_pairs",
     "multimodal_metadata",
     "ngram_jaccard_adjacent",

@@ -1,0 +1,365 @@
+"""Corpus-curation operators for LLM training-data pipelines: rule-based
+quality filtering, repetition detection, TF-IDF term statistics, sequence
+packing, stratified sampling, and inverted-index construction (BASELINE
+north star — no counterpart in the reference, whose workload is
+single-table relational).
+
+100 TB design notes
+-------------------
+* **Quality filter** and **repetition word-stats** are map-only expression
+  trees — per-row featurization at parquet-scan speed inside whole-stage
+  codegen, the standard first pass over a raw crawl.
+* **Repetition bigram stats** and **TF-IDF** explode tokens and aggregate;
+  both rely on map-side partial aggregation so the shuffle carries
+  (key, partial-count) pairs, not raw token rows. The TF-IDF corpus size
+  N joins in as a broadcast of a 1-row aggregate — never a driver-side
+  ``collect``.
+* **Sequence packing** is *chunk-local*: documents are windowed inside
+  fixed ``doc_id``-range chunks, so the running-total sort parallelizes
+  per chunk instead of forcing a single global sort — the property that
+  keeps packing feasible at 100 TB (a global greedy pack is inherently
+  sequential; chunk-local packing wastes at most one partial bin per
+  chunk, negligible for chunk ≫ budget).
+* **Stratified sampling** is map-only and deterministic across engines,
+  runs, and partition layouts (same multiplicative integer hash as
+  :func:`.relational.hash_sample`) — per-stratum rates are a literal map,
+  no per-group pass, no ``rand()``.
+* **Inverted index** bounds per-term state *before* aggregating: a
+  windowed ``row_number`` keeps only the first ``max_postings`` doc ids
+  per term, so ``collect_list`` state is O(max_postings), never O(docs) —
+  the unbounded collect would OOM a reducer on a stopword term at scale.
+  The window and the final groupBy share the ``term`` partitioning, so
+  the plan has exactly one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from financial_big_data_exp_4_spark.operators.dedup import tokenize
+from financial_big_data_exp_4_spark.operators.text import QUALITY_STOPWORDS
+
+#: Same multiplicative-hash constants as relational.hash_sample /
+#: functions.core.train_test_split_col.
+_HASH_P = 1_000_000_007
+_KNUTH = 2_654_435_761
+
+#: Gopher-style quality-rule bounds (Rae et al. 2021, table A1 shape —
+#: the *rule set* is the operator; the thresholds are tunable knobs).
+QF_MIN_WORDS = 5
+QF_MAX_WORDS = 1000
+QF_MIN_MEAN_LEN = 2.0
+QF_MAX_MEAN_LEN = 12.0
+QF_MAX_SYMBOL_RATIO = 0.3
+
+#: Sequence-packing defaults: token budget per packed sequence and the
+#: doc_id-range chunk width that bounds each packing window.
+PACK_BUDGET = 512
+PACK_CHUNK = 256
+
+#: Inverted-index posting-list bound (per-term state cap).
+INDEX_MAX_POSTINGS = 32
+
+#: Per-stratum sampling rates (per-mille) for the events table: keep all
+#: errors, half the purchases, progressively less of the high-volume
+#: low-signal strata — the canonical shape of a curation sample.
+EVENT_SAMPLE_RATES: dict[str, int] = {
+    "error": 1000,
+    "purchase": 500,
+    "signup": 250,
+    "view": 100,
+    "click": 50,
+}
+
+#: TF-IDF output size.
+TFIDF_TOP_K = 20
+
+
+def quality_filter(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style rule-based quality filter — map-only.
+
+    Rules (all inclusive bounds): word count in [5, 1000], mean word
+    length in [2, 12], symbol-to-word ratio ≤ 0.3, and at least one
+    English stopword present. Emits the per-rule features plus the
+    composite ``keep`` flag, so downstream can audit *why* a document was
+    dropped (the operational requirement for curation pipelines).
+
+    ``tok_chars`` is computed as ``length(regexp_replace(...))`` — the
+    count of ``[a-z0-9]`` chars equals the summed token lengths under the
+    ``[a-z0-9]+`` tokenizer, without materializing the token array.
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        t.alias("_t"),
+        tokenize(t).alias("_toks"),
+        F.length(F.regexp_replace(F.lower(t), "[^a-z0-9]", "")).alias(
+            "_tok_chars"
+        ),
+    )
+    n_words = F.size(F.col("_toks"))
+    n_sym = F.size(
+        F.regexp_extract_all(F.col("_t"), F.lit(r"[^a-zA-Z0-9\s]"), 0)
+    )
+    mean_len = F.when(
+        n_words > 0,
+        F.col("_tok_chars").cast("double") / n_words.cast("double"),
+    ).otherwise(F.lit(0.0))
+    sym_ratio = F.when(
+        n_words > 0, n_sym.cast("double") / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    has_stop = F.arrays_overlap(F.col("_toks"), stop_arr)
+    keep = (
+        (n_words >= QF_MIN_WORDS)
+        & (n_words <= QF_MAX_WORDS)
+        & (mean_len >= QF_MIN_MEAN_LEN)
+        & (mean_len <= QF_MAX_MEAN_LEN)
+        & (sym_ratio <= QF_MAX_SYMBOL_RATIO)
+        & has_stop
+    )
+    return base.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        sym_ratio.alias("symbol_word_ratio"),
+        has_stop.alias("has_stopword"),
+        keep.alias("keep"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Repetition signals per document: duplicate-word fraction and the
+    share of the most frequent word bigram (the Gopher "repetition"
+    family, adapted to newline-free documents).
+
+    The word-level part is map-only. The bigram part explodes bigrams and
+    aggregates (doc_id, bigram) with map-side partial counts, then a
+    per-doc window picks the modal bigram (ties broken lexicographically
+    — deterministic). Docs with < 2 tokens get ('' , 0, 0.0) via the
+    left join's coalesce.
+    """
+    t = F.col(text_col)
+    # materialize the token array once (SPARK-36718: an inlined alias
+    # would re-run the tokenize regex per downstream reference)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(t).alias("_toks")
+    ).withColumn("_n", F.size(F.col("_toks")))
+    # word stats (map-only)
+    n = F.col("_n")
+    nd = F.size(F.array_distinct(F.col("_toks")))
+    words = base.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.when(
+            n > 0, (n - nd).cast("double") / n.cast("double")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_frac"),
+    )
+    # bigram mode: all (non-distinct) adjacent bigrams
+    toks = F.col("_toks")
+    grams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = base.select("doc_id", F.explode(grams).alias("bigram"))
+    counts = exploded.groupBy("doc_id", "bigram").agg(
+        F.count("*").alias("cnt")
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("cnt"), F.asc("bigram")
+    )
+    w_tot = Window.partitionBy("doc_id")
+    top = (
+        counts.select(
+            "doc_id",
+            "bigram",
+            "cnt",
+            F.row_number().over(w_rank).alias("_rn"),
+            F.sum("cnt").over(w_tot).alias("_total"),
+        )
+        .where(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.col("cnt").alias("top_bigram_n"),
+            (F.col("cnt").cast("double") / F.col("_total").cast("double")).alias(
+                "top_bigram_frac"
+            ),
+        )
+    )
+    return words.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_word_frac",
+        F.coalesce(F.col("top_bigram"), F.lit("")).alias("top_bigram"),
+        F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long").alias(
+            "top_bigram_n"
+        ),
+        F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = TFIDF_TOP_K,
+) -> DataFrame:
+    """Global top-``k`` terms by TF-IDF over the corpus.
+
+    tf = total occurrences, df = documents containing the term,
+    score = tf · (N / df) — the *linear* idf variant: ``ln`` is avoided
+    deliberately because IEEE +·−·×·÷ are exactly rounded (bit-identical
+    across engines) while transcendental functions are not; production
+    swaps ``N/df`` for ``ln(N/df)`` without touching the plan shape.
+
+    One explode + one hash aggregate (tf and df in the same pass —
+    Spark plans the distinct count as an expand with partial aggregation);
+    N broadcasts as a 1-row aggregate; top-k plans as
+    TakeOrderedAndProject.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
+    )
+    stats = terms.groupBy("term").agg(
+        F.count("*").alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    n_docs = docs.agg(F.count("*").alias("_n"))
+    score = (
+        F.col("tf").cast("double")
+        * F.col("_n").cast("double")
+        / F.col("df").cast("double")
+    )
+    return (
+        stats.crossJoin(F.broadcast(n_docs))
+        .select(
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            score.alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("term"))
+        .limit(k)
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = PACK_BUDGET,
+    chunk: int = PACK_CHUNK,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents (in ``doc_id`` order) to
+    fixed-token-budget bins, summarized per bin.
+
+    Token counts use the BPE-ish tokenizer (word runs + single
+    punctuation — the same regex as :func:`.text.token_counts`). The
+    running total is windowed *within doc_id-range chunks* of
+    ``chunk`` documents, so the sort distributes (see module notes); a
+    document straddling a budget boundary lands in the bin its last
+    token falls in. Output: one row per (chunk, bin) with doc and token
+    counts.
+    """
+    t = F.col(text_col)
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
+    )
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"{id_col} DIV {chunk}").alias("chunk"),
+        n_tok.cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("chunk")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = base.select(
+        "chunk", "n_tok", F.sum("n_tok").over(w).alias("_cum")
+    ).select(
+        "chunk",
+        "n_tok",
+        F.expr(f"(greatest(_cum, 1) - 1) DIV {budget}").alias("bin"),
+    )
+    return packed.groupBy("chunk", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame, key: str, stratum: str, rates_permille: dict[str, int]
+) -> DataFrame:
+    """Deterministic per-stratum sample: keep a row iff its integer-key
+    hash bucket (0-999) falls under the stratum's per-mille rate.
+
+    Map-only (the CASE over strata folds into the scan filter) and
+    layout/run/engine-independent — the property ``rand()``-based
+    ``sampleBy`` cannot give. Strata absent from ``rates_permille``
+    are dropped (rate 0).
+    """
+    k = F.col(key)
+    bucket = ((k % _HASH_P) * _KNUTH) % _HASH_P % 1000
+    rate = F.lit(0)
+    for s, r in sorted(rates_permille.items()):
+        rate = F.when(F.col(stratum) == s, F.lit(r)).otherwise(rate)
+    return df.where(bucket < rate)
+
+
+def inverted_index(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_postings: int = INDEX_MAX_POSTINGS,
+) -> DataFrame:
+    """Term → bounded posting list (first ``max_postings`` doc ids in
+    ascending order) + full document frequency.
+
+    The posting list is bounded *before* ``collect_list`` via a windowed
+    ``row_number`` over the same ``term`` partitioning the final groupBy
+    uses — one exchange total, O(max_postings) aggregation state per term
+    (see module notes). ``n_docs`` is the un-truncated document frequency
+    from a window count over the full partition.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),
+    )
+    w_rank = Window.partitionBy("term").orderBy("doc_id")
+    w_all = Window.partitionBy("term")
+    ranked = terms.select(
+        "term",
+        "doc_id",
+        F.row_number().over(w_rank).alias("_rn"),
+        F.count("*").over(w_all).alias("_df"),
+    )
+    return (
+        ranked.where(F.col("_rn") <= max_postings)
+        .groupBy("term")
+        .agg(
+            F.max("_df").cast("long").alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )

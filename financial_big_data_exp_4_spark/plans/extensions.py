@@ -14,6 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from financial_big_data_exp_4_spark.operators import (
     cosine_topk_bruteforce,
+    inverted_index,
+    pack_sequences,
+    quality_filter,
+    repetition_stats,
+    stratified_sample,
+    tfidf_top_terms,
     cosine_topk_ivf,
     customers_without_orders,
     doc_fingerprint,
@@ -40,6 +46,7 @@ from pyspark.sql import functions as F
 
 from financial_big_data_exp_4_spark.functions.core import exact_money_sum
 from financial_big_data_exp_4_spark.operators.asof import asof_join
+from financial_big_data_exp_4_spark.operators.corpus import EVENT_SAMPLE_RATES
 from financial_big_data_exp_4_spark.sources import load_table
 
 
@@ -397,6 +404,112 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- corpus-curation surface: quality rules, repetition, tf-idf, packing,
+# -- stratified sampling, inverted index, sketches, skew, pricing summary --
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"))
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_sequences(load_table(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return stratified_sample(
+        events, key="event_id", stratum="event_type",
+        rates_permille=EVENT_SAMPLE_RATES,
+    ).select("event_id", "event_type", "user_id")
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return inverted_index(load_table(spark, sf_dir, "documents"))
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL ``approx_count_distinct`` (rsd 2%) per event type, hash-checked
+    by *proof of tolerance*: the sketch estimate is not oracle-hashable
+    (engine-specific), so the query emits the exact count plus a boolean
+    asserting the estimate landed within ±5% — the oracle expects TRUE on
+    every row, making the sketch's accuracy (not just its existence) part
+    of the correctness gate. At 100 TB the sketch is the one to ship:
+    one pass, mergeable, constant memory; the exact count here is the
+    audit column."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("_approx"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+        .select(
+            "event_type",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            (
+                F.abs(F.col("_approx").cast("double") - F.col("n_exact"))
+                <= F.lit(0.05) * F.col("n_exact").cast("double")
+            ).alias("within_5pct"),
+        )
+    )
+
+
+def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-stage aggregate declared under the oracle: counts by
+    ``event_type`` — 5 hot keys over 32 reducers, exactly the shape where
+    the final combine funnels into few tasks. The oracle is the *unsalted*
+    GROUP BY: salting must be output-invariant."""
+    from financial_big_data_exp_4_spark.operators.skew import (
+        salted_groupby_count,
+    )
+
+    return salted_groupby_count(
+        load_table(spark, sf_dir, "events"), key="event_type", n_salts=16
+    )
+
+
+def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: filtered scan → 4-way grouped
+    aggregate with derived measures. All money math routes through
+    DECIMAL so the sums are order-independent (a double sum's value
+    depends on reduction order — non-deterministic under retries at
+    scale); averages derive from the decimal sums, cast to double with
+    one division. Products stay inside DECIMAL: (12,2)×(4,2)×(4,2)
+    widens to scale 6 without overflow or rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc1 = (F.lit(1.0) - F.col("l_discount")).cast("decimal(4,2)")
+    tax1 = (F.lit(1.0) + F.col("l_tax")).cast("decimal(4,2)")
+    cnt = F.count("*")
+    sum_qty = F.sum(F.col("l_quantity").cast("decimal(38,2)"))
+    sum_base = F.sum(F.col("l_extendedprice").cast("decimal(38,2)"))
+    sum_disc_raw = F.sum(F.col("l_discount").cast("decimal(8,2)"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sum_qty.cast("double").alias("sum_qty"),
+            sum_base.cast("double").alias("sum_base_price"),
+            F.sum(price * disc1).cast("double").alias("sum_disc_price"),
+            F.sum(price * disc1 * tax1).cast("double").alias("sum_charge"),
+            (sum_qty.cast("double") / cnt.cast("double")).alias("avg_qty"),
+            (sum_base.cast("double") / cnt.cast("double")).alias("avg_price"),
+            (sum_disc_raw.cast("double") / cnt.cast("double")).alias(
+                "avg_disc"
+            ),
+            cnt.alias("cnt"),
+        )
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_neardup_minhash": q_neardup_minhash,
@@ -431,4 +544,13 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_latest": q_dedup_latest,
     "q_hash_sample": q_hash_sample,
     "q_text_normalize": q_text_normalize,
+    "q_quality_filter": q_quality_filter,
+    "q_repetition": q_repetition,
+    "q_tfidf": q_tfidf,
+    "q_seq_pack": q_seq_pack,
+    "q_stratified_sample": q_stratified_sample,
+    "q_inverted_index": q_inverted_index,
+    "q_approx_distinct": q_approx_distinct,
+    "q_skew_agg": q_skew_agg,
+    "q_lineitem_pricing": q_lineitem_pricing,
 }

@@ -33,6 +33,18 @@ from financial_big_data_exp_4_spark.operators.similarity import (
     NEARDUP_COS_THRESHOLD,
     TOPK,
 )
+from financial_big_data_exp_4_spark.operators.corpus import (
+    EVENT_SAMPLE_RATES,
+    INDEX_MAX_POSTINGS,
+    PACK_BUDGET,
+    PACK_CHUNK,
+    QF_MAX_MEAN_LEN,
+    QF_MAX_SYMBOL_RATIO,
+    QF_MAX_WORDS,
+    QF_MIN_MEAN_LEN,
+    QF_MIN_WORDS,
+    TFIDF_TOP_K,
+)
 from financial_big_data_exp_4_spark.operators.text import (
     FINGERPRINT_K,
     LANG_PROFILES,
@@ -40,6 +52,14 @@ from financial_big_data_exp_4_spark.operators.text import (
 )
 
 TOKENIZE = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _rate_cases() -> str:
+    """``WHEN 'stratum' THEN rate`` arms for the stratified-sample CASE —
+    generated from the same rate map the Spark operator uses."""
+    return " ".join(
+        f"WHEN '{s}' THEN {r}" for s, r in sorted(EVENT_SAMPLE_RATES.items())
+    )
 
 
 def _md5int(expr: str) -> str:
@@ -670,5 +690,186 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
                    AS revenue
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+    """,
+    "q_quality_filter": f"""
+        WITH f AS (
+            SELECT doc_id,
+                   {TOKENIZE} AS toks,
+                   CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                        AS BIGINT) AS tok_chars,
+                   CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
+                        AS BIGINT) AS n_sym
+            FROM documents
+        ), g AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   tok_chars, n_sym,
+                   list_has_any(toks, {_sql_list(QUALITY_STOPWORDS)})
+                       AS has_stopword
+            FROM f
+        ), h AS (
+            SELECT doc_id, n_words,
+                   CASE WHEN n_words > 0
+                        THEN CAST(tok_chars AS DOUBLE)
+                             / CAST(n_words AS DOUBLE)
+                        ELSE 0.0 END AS mean_word_len,
+                   CASE WHEN n_words > 0
+                        THEN CAST(n_sym AS DOUBLE) / CAST(n_words AS DOUBLE)
+                        ELSE 0.0 END AS symbol_word_ratio,
+                   has_stopword
+            FROM g
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+               has_stopword,
+               (n_words >= {QF_MIN_WORDS} AND n_words <= {QF_MAX_WORDS}
+                AND mean_word_len >= {QF_MIN_MEAN_LEN}
+                AND mean_word_len <= {QF_MAX_MEAN_LEN}
+                AND symbol_word_ratio <= {QF_MAX_SYMBOL_RATIO}
+                AND has_stopword) AS keep
+        FROM h
+    """,
+    "q_repetition": f"""
+        WITH toks AS (
+            SELECT doc_id, {TOKENIZE} AS t FROM documents
+        ), words AS (
+            SELECT doc_id,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(t)) AS BIGINT) AS nd
+            FROM toks
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 1),
+                          bi -> t[bi] || ' ' || t[bi + 1])) AS bigram
+            FROM toks WHERE len(t) >= 2
+        ), bgc AS (
+            SELECT doc_id, bigram, count(*) AS cnt
+            FROM bg GROUP BY doc_id, bigram
+        ), bgr AS (
+            SELECT doc_id, bigram, cnt,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, bigram) AS rn,
+                   sum(cnt) OVER (PARTITION BY doc_id) AS total
+            FROM bgc
+        )
+        SELECT w.doc_id, w.n_tokens,
+               CASE WHEN w.n_tokens > 0
+                    THEN CAST(w.n_tokens - w.nd AS DOUBLE)
+                         / CAST(w.n_tokens AS DOUBLE)
+                    ELSE 0.0 END AS dup_word_frac,
+               coalesce(b.bigram, '') AS top_bigram,
+               CAST(coalesce(b.cnt, 0) AS BIGINT) AS top_bigram_n,
+               coalesce(CAST(b.cnt AS DOUBLE) / CAST(b.total AS DOUBLE),
+                        0.0) AS top_bigram_frac
+        FROM words w
+        LEFT JOIN (SELECT * FROM bgr WHERE rn = 1) b USING (doc_id)
+    """,
+    # linear idf (tf * N / df): ln() is deliberately absent — IEEE
+    # +-*/ are exactly rounded (bit-identical across engines),
+    # transcendentals are not. Same expression order as the Spark side.
+    "q_tfidf": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({TOKENIZE}) AS term FROM documents
+        ), stats AS (
+            SELECT term,
+                   CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok GROUP BY term
+        ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT term, tf, df,
+               CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE)
+                   / CAST(df AS DOUBLE) AS tfidf
+        FROM stats, n
+        ORDER BY tfidf DESC, term
+        LIMIT {TFIDF_TOP_K}
+    """,
+    "q_seq_pack": f"""
+        WITH d AS (
+            SELECT doc_id,
+                   doc_id // {PACK_CHUNK} AS chunk,
+                   CAST(len(regexp_extract_all(lower(text),
+                        '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT chunk, n_tok,
+                   sum(n_tok) OVER (PARTITION BY chunk ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum
+            FROM d
+        )
+        SELECT chunk,
+               (greatest(cum, 1) - 1) // {PACK_BUDGET} AS bin,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        FROM c
+        GROUP BY chunk, bin
+    """,
+    "q_stratified_sample": f"""
+        SELECT event_id, event_type, user_id
+        FROM events
+        WHERE ((event_id % 1000000007) * 2654435761) % 1000000007 % 1000
+              < CASE event_type {_rate_cases()} ELSE 0 END
+    """,
+    "q_inverted_index": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(list_distinct({TOKENIZE})) AS term
+            FROM documents
+        ), r AS (
+            SELECT term, doc_id,
+                   row_number() OVER (PARTITION BY term ORDER BY doc_id)
+                       AS rn,
+                   count(*) OVER (PARTITION BY term) AS df
+            FROM tok
+        )
+        SELECT term,
+               CAST(max(df) AS BIGINT) AS n_docs,
+               array_to_string(
+                   list_transform(list_sort(list(doc_id)),
+                                  pv -> CAST(pv AS VARCHAR)), ',')
+                   AS postings
+        FROM r WHERE rn <= {INDEX_MAX_POSTINGS}
+        GROUP BY term
+    """,
+    # the Spark side emits (exact, sketch-within-±5%); the oracle asserts
+    # the flag is TRUE on every row — the sketch's accuracy is the check.
+    "q_approx_distinct": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+               TRUE AS within_5pct
+        FROM events
+        GROUP BY event_type
+    """,
+    # salting must be output-invariant: the oracle is the UNSALTED agg.
+    "q_skew_agg": """
+        SELECT event_type, count(*) AS cnt
+        FROM events
+        GROUP BY event_type
+    """,
+    # all money math inside DECIMAL (order-independent sums; identical
+    # widening as Spark: (12,2)*(4,2)*(4,2) -> scale 6), averages derived
+    # from the decimal sums with one double division each.
+    "q_lineitem_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                   AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                   AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+                    AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(4,2))
+                        * CAST(1.0 + l_tax AS DECIMAL(4,2)))
+                    AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS avg_disc,
+               count(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+        GROUP BY l_returnflag, l_linestatus
     """,
 }

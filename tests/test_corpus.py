@@ -1,0 +1,177 @@
+"""Corpus-curation operator semantics on crafted inputs: quality rules,
+repetition, TF-IDF, sequence packing, stratified sampling, inverted index."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_quality_filter_rules(spark):
+    from financial_big_data_exp_4_spark.operators import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over dog"),  # passes all rules
+            (1, "too few"),                             # < 5 words
+            (2, "a b c d e f g"),                       # mean len 1 < 2
+            (3, "#$% #$% the cat sat on the mat !!! ###"),  # symbol-heavy
+            (4, "quick brown foxes jump over seven lazy dogs"),  # no stopword
+            (5, ""),                                    # empty: 0 words
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in quality_filter(docs).collect()}
+    assert rows[0]["keep"] is True
+    assert rows[1]["keep"] is False and rows[1]["n_words"] == 2
+    assert rows[2]["keep"] is False and rows[2]["mean_word_len"] == 1.0
+    assert rows[3]["keep"] is False
+    assert rows[3]["symbol_word_ratio"] > 0.3
+    assert rows[4]["keep"] is False and rows[4]["has_stopword"] is False
+    assert rows[5]["keep"] is False and rows[5]["n_words"] == 0
+    assert rows[5]["mean_word_len"] == 0.0  # 0/0 guarded
+
+
+def test_repetition_stats_modal_bigram(spark):
+    from financial_big_data_exp_4_spark.operators import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spam ham spam ham spam"),  # 'ham spam'x2, 'spam ham'x2 tie
+            (1, "all words differ here"),
+            (2, "one"),                     # no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    # 5 tokens, 2 distinct → dup fraction 3/5
+    assert rows[0]["dup_word_frac"] == 0.6
+    # tie on count=2 broken lexicographically: 'ham spam' < 'spam ham'
+    assert rows[0]["top_bigram"] == "ham spam"
+    assert rows[0]["top_bigram_n"] == 2
+    assert rows[0]["top_bigram_frac"] == 0.5  # 2 of 4 bigrams
+    assert rows[1]["dup_word_frac"] == 0.0
+    assert rows[1]["top_bigram_n"] == 1
+    assert rows[2]["top_bigram"] == "" and rows[2]["top_bigram_n"] == 0
+    assert rows[2]["top_bigram_frac"] == 0.0
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    from financial_big_data_exp_4_spark.operators import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (0, "common rare rare rare"),
+            (1, "common other"),
+            (2, "common thing"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(docs, k=2).collect()
+    assert [r["term"] for r in out] == ["rare", "common"]
+    rare = out[0]
+    # tf=3, df=1, N=3 → 3 * 3 / 1 = 9
+    assert rare["tf"] == 3 and rare["df"] == 1 and rare["tfidf"] == 9.0
+
+
+def test_pack_sequences_budget_respected(spark):
+    from financial_big_data_exp_4_spark.operators import pack_sequences
+
+    # 6 docs x 3 tokens, budget 5, chunk 1000 → bins of cum tokens:
+    # cum 3,6,9,12,15,18 → bins (cum-1)//5 = 0,1,1,2,2,3
+    docs = spark.createDataFrame(
+        [(i, "tok tok tok") for i in range(6)],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["chunk"], r["bin"]): r
+        for r in pack_sequences(docs, budget=5, chunk=1000).collect()
+    }
+    assert out[(0, 0)]["n_docs"] == 1 and out[(0, 0)]["n_tokens"] == 3
+    assert out[(0, 1)]["n_docs"] == 2 and out[(0, 1)]["n_tokens"] == 6
+    assert out[(0, 3)]["n_docs"] == 1
+    # chunk-locality: doc_ids in different chunks never share a window
+    out2 = pack_sequences(docs, budget=5, chunk=3).collect()
+    assert {r["chunk"] for r in out2} == {0, 1}
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    from financial_big_data_exp_4_spark.operators import stratified_sample
+    from financial_big_data_exp_4_spark.sources import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    rates = {"error": 1000, "purchase": 500, "view": 0}
+    out = stratified_sample(
+        events, key="event_id", stratum="event_type", rates_permille=rates
+    )
+    counts = {
+        r["event_type"]: r["n"]
+        for r in out.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    totals = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    assert counts["error"] == totals["error"]       # rate 1000 keeps all
+    assert "view" not in counts                      # rate 0 drops all
+    assert "click" not in counts                     # unlisted stratum drops
+    assert 0 < counts["purchase"] < totals["purchase"]
+    # deterministic: same rows on a re-run over a different layout
+    a = sorted(r["event_id"] for r in out.collect())
+    b = sorted(
+        r["event_id"]
+        for r in stratified_sample(
+            events.repartition(7),
+            key="event_id",
+            stratum="event_type",
+            rates_permille=rates,
+        ).collect()
+    )
+    assert a == b
+
+
+def test_inverted_index_bounded_postings(spark):
+    from financial_big_data_exp_4_spark.operators import inverted_index
+
+    docs = spark.createDataFrame(
+        [(i, "shared unique%d" % i) for i in range(10)],
+        "doc_id long, text string",
+    )
+    out = {r["term"]: r for r in inverted_index(docs, max_postings=4).collect()}
+    shared = out["shared"]
+    assert shared["n_docs"] == 10  # full df survives the truncation
+    assert shared["postings"] == "0,1,2,3"  # first 4 ids, ascending
+    assert out["unique3"]["postings"] == "3"
+    # per-term state is bounded even for the hottest term
+    assert all(len(r["postings"].split(",")) <= 4 for r in out.values())
+
+
+def test_lineitem_pricing_decimal_exactness(spark, sf_dir):
+    """The decimal-routed sums must equal DuckDB's decimal arithmetic on
+    the same rows — order-independence is the point of the routing."""
+    import duckdb
+
+    from financial_big_data_exp_4_spark.plans.extensions import (
+        q_lineitem_pricing,
+    )
+
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): r
+        for r in q_lineitem_pricing(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    from financial_big_data_exp_4_spark.plans.oracle_ext import (
+        EXTENSION_ORACLE_SQL,
+    )
+
+    res = con.execute(EXTENSION_ORACLE_SQL["q_lineitem_pricing"])
+    cols = [d[0] for d in res.description]
+    for row in res.fetchall():
+        d = dict(zip(cols, row))
+        g = got[(d["l_returnflag"], d["l_linestatus"])]
+        for c in cols:
+            assert g[c] == d[c], (c, g[c], d[c])
