@@ -14,6 +14,10 @@ from financial_big_data_exp_4_spark.operators.corpus import (
     stratified_sample,
     tfidf_top_terms,
 )
+from financial_big_data_exp_4_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
 from financial_big_data_exp_4_spark.operators.dedup import (
     exact_dedup,
     minhash_candidate_pairs,
@@ -55,8 +59,10 @@ from financial_big_data_exp_4_spark.operators.text import (
 __all__ = [
     "cosine_topk_bruteforce",
     "cosine_topk_ivf",
+    "connected_components",
     "customers_without_orders",
     "decode_image",
+    "dedup_clusters",
     "doc_fingerprint",
     "embedding_neardup_pairs",
     "exact_dedup",

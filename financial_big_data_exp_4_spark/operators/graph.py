@@ -1,0 +1,110 @@
+"""Graph operators for dedup pipelines: connected components over a
+candidate-pair edge list (BASELINE north star — the clustering step that
+turns pairwise near-duplicate candidates into dedup *groups*, so "keep one
+doc per component" becomes a single argmin per cluster).
+
+100 TB design notes
+-------------------
+* The algorithm is iterative **min-label propagation**: every node adopts
+  the minimum label among itself and its neighbors until a fixpoint. Each
+  round is two hash-shuffles (edge⋈label join + per-node min); rounds =
+  O(component diameter). Near-dup graphs are overwhelmingly tiny, shallow
+  components (pairs/triangles — measured diameter ≤ 3 on the fixture
+  corpus), so the loop converges in a handful of rounds; for adversarial
+  long-chain graphs the classic large-star/small-star variant (Kiveris et
+  al. 2014) halves path lengths per round and drops in here without
+  changing the output contract.
+* This is a *driver-side loop over distributed operations* — the per-round
+  convergence test is one scalar ``count``, never a ``collect`` of data
+  rows, and lineage is cut per round with ``localCheckpoint`` so plan
+  depth and task-deserialization cost stay constant regardless of round
+  count (an un-checkpointed loop doubles the plan each round and dies at
+  ~15 iterations).
+* The label table carries exactly (node, label) — two longs — and every
+  shuffle key is a node id: uniform, payload-free, skew only if one node
+  has pathological degree (which the LSH bucket cap upstream already
+  bounds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Fixpoint-loop bound: propagation rounds equal the largest component
+#: diameter; 20 covers any realistic dedup graph (and the loop exits the
+#: moment a round changes nothing).
+CC_MAX_ITER = 20
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = CC_MAX_ITER,
+) -> DataFrame:
+    """Label each node of the undirected ``edges`` graph with the minimum
+    node id reachable from it. Output: (doc_id, cluster_id), one row per
+    node that appears in at least one edge.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached in ``max_iter``
+    rounds — a diameter that large means the input is not a dedup graph
+    and the large-star/small-star variant should be used instead.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # edges reused every round: cut the
+    # upstream (possibly expensive) candidate-generation lineage once
+
+    labels = (
+        sym.select("u")
+        .distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .select(sym["u"].alias("node"), F.col("lbl"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        # one checkpoint carries (lbl, nbr_lbl): the convergence count and
+        # the next label table are both cheap reads of it — no extra join
+        step = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.col("lbl"),
+                F.coalesce(F.col("nbr_lbl"), F.col("lbl")).alias("nbr_lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = step.where(F.col("nbr_lbl") < F.col("lbl")).count()
+        labels = step.select(
+            "node", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl")
+        )
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iter} rounds "
+        "(component diameter too large — use large-star/small-star)"
+    )
+
+
+def dedup_clusters(docs: DataFrame) -> DataFrame:
+    """Near-duplicate *groups*: MinHash-LSH candidate pairs → connected
+    components. One row per clustered doc with its cluster id (the
+    minimum doc_id in the component) — downstream keeps ``doc_id ==
+    cluster_id`` rows and drops the rest, completing the dedup pipeline
+    end-to-end (signature → banding → pairing → clustering)."""
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
+    return connected_components(pairs)

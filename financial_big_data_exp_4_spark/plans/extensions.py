@@ -435,6 +435,16 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH candidate pairs → connected components
+    (iterative min-label propagation; the oracle is a recursive-CTE
+    transitive closure over the same candidate SQL — see
+    :mod:`..operators.graph` for the scale story)."""
+    from financial_big_data_exp_4_spark.operators.graph import dedup_clusters
+
+    return dedup_clusters(load_table(spark, sf_dir, "documents"))
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL ``approx_count_distinct`` (rsd 2%) per event type, hash-checked
     by *proof of tolerance*: the sketch estimate is not oracle-hashable
@@ -550,6 +560,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_seq_pack": q_seq_pack,
     "q_stratified_sample": q_stratified_sample,
     "q_inverted_index": q_inverted_index,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_approx_distinct": q_approx_distinct,
     "q_skew_agg": q_skew_agg,
     "q_lineitem_pricing": q_lineitem_pricing,

@@ -830,6 +830,25 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         FROM r WHERE rn <= {INDEX_MAX_POSTINGS}
         GROUP BY term
     """,
+    # clustering oracle: transitive closure (recursive CTE) over the SAME
+    # generated candidate-pair SQL the q_neardup_minhash oracle uses, then
+    # min reachable id per node — the closed-form mirror of the iterative
+    # min-label propagation on the Spark side.
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE cand AS ({Q_NEARDUP_MINHASH}),
+        e AS (
+            SELECT doc_a AS u, doc_b AS v FROM cand
+            UNION
+            SELECT doc_b AS u, doc_a AS v FROM cand
+        ),
+        tc AS (
+            SELECT u, v FROM e
+            UNION
+            SELECT tc.u, e.v FROM tc JOIN e ON tc.v = e.u
+        )
+        SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+        FROM tc GROUP BY u
+    """,
     # the Spark side emits (exact, sketch-within-±5%); the oracle asserts
     # the flag is TRUE on every row — the sketch's accuracy is the check.
     "q_approx_distinct": """

@@ -13,6 +13,10 @@ from financial_big_data_exp_4_spark.sources.jsonl import (
     write_jsonl,
     write_partitioned_parquet,
 )
+from financial_big_data_exp_4_spark.sources.orc import (
+    read_orc,
+    write_orc,
+)
 
 __all__ = [
     "TABLES",
@@ -20,8 +24,10 @@ __all__ = [
     "load_tables",
     "read_csv",
     "read_jsonl",
+    "read_orc",
     "register_views",
     "write_jsonl",
+    "write_orc",
     "write_partitioned_parquet",
     "write_single_csv",
 ]

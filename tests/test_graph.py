@@ -1,0 +1,72 @@
+"""Connected-components semantics on crafted graphs + the dedup-cluster
+pipeline on fixture data."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_connected_components_chain_and_islands(spark):
+    from financial_big_data_exp_4_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            (2, 1),    # chain 1-2-3-4 (mixed edge direction)
+            (2, 3),
+            (4, 3),
+            (10, 11),  # separate pair
+            (20, 20),  # self-loop only
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+
+
+def test_connected_components_deep_chain_converges(spark):
+    from financial_big_data_exp_4_spark.operators import connected_components
+
+    # a 12-node path: worst case for plain min-propagation (diameter 11);
+    # must still reach the fixpoint within the default bound
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    got = connected_components(edges).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 13
+
+
+def test_connected_components_iteration_bound(spark):
+    from financial_big_data_exp_4_spark.operators import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=1)
+
+
+def test_dedup_clusters_cover_candidate_pairs(spark, sf_dir):
+    """Every candidate pair must land in one cluster, and each cluster id
+    must be the minimum doc_id of its member set."""
+    from financial_big_data_exp_4_spark.operators import (
+        dedup_clusters,
+        minhash_candidate_pairs,
+    )
+    from financial_big_data_exp_4_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b").collect()
+    labels = {
+        r["doc_id"]: r["cluster_id"] for r in dedup_clusters(docs).collect()
+    }
+    for p in pairs:
+        assert labels[p["doc_a"]] == labels[p["doc_b"]]
+    by_cluster: dict[int, list[int]] = {}
+    for node, c in labels.items():
+        by_cluster.setdefault(c, []).append(node)
+    for c, members in by_cluster.items():
+        assert c == min(members)

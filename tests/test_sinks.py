@@ -109,3 +109,28 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(event_type" in plan
     want = events.where(events.event_type == "purchase").count()
     assert one.count() == want
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    from financial_big_data_exp_4_spark.sources import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, bloom_filter_cols=["o_orderkey"])
+    back = read_orc(spark, path)
+    assert back.schema == orders.schema  # ORC embeds the typed schema
+    assert back.count() == orders.count()
+    # value-level round-trip on a deterministic slice
+    a = sorted(map(tuple, orders.where("o_orderkey % 97 = 0").collect()))
+    b = sorted(map(tuple, back.where("o_orderkey % 97 = 0").collect()))
+    assert a == b
+    # predicate pushdown reaches the ORC scan exactly as for parquet
+    one = back.where(back.o_orderkey == 42)
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
