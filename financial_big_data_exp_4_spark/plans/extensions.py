@@ -445,6 +445,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(load_table(spark, sf_dir, "documents"))
 
 
+def q_group_center(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas transform (``applyInPandas``): per-event-type
+    median centering of ``value``. The median is exactly engine-portable,
+    so the Arrow→pandas→Arrow group path itself is under the oracle hash
+    — see :mod:`..operators.grouped` for when to use (and not use) this
+    API at scale."""
+    from financial_big_data_exp_4_spark.operators.grouped import (
+        group_median_center,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return group_median_center(events, key="event_type", value="value")
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL ``approx_count_distinct`` (rsd 2%) per event type, hash-checked
     by *proof of tolerance*: the sketch estimate is not oracle-hashable
@@ -561,6 +577,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stratified_sample": q_stratified_sample,
     "q_inverted_index": q_inverted_index,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_group_center": q_group_center,
     "q_approx_distinct": q_approx_distinct,
     "q_skew_agg": q_skew_agg,
     "q_lineitem_pricing": q_lineitem_pricing,

@@ -849,6 +849,21 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         SELECT u AS doc_id, least(u, min(v)) AS cluster_id
         FROM tc GROUP BY u
     """,
+    # the pandas grouped-map's median is quantile_cont(0.5) exactly
+    # (interpolated middle = one IEEE-exact average), so the Arrow
+    # boundary sits under the hash. Aggregate+join form here mirrors the
+    # per-group computation without window syntax differences.
+    "q_group_center": """
+        WITH m AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events WHERE value IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               e.value - m.med AS centered_value
+        FROM events e JOIN m USING (event_type)
+        WHERE e.value IS NOT NULL
+    """,
     # the Spark side emits (exact, sketch-within-±5%); the oracle asserts
     # the flag is TRUE on every row — the sketch's accuracy is the check.
     "q_approx_distinct": """

@@ -175,3 +175,30 @@ def test_lineitem_pricing_decimal_exactness(spark, sf_dir):
         g = got[(d["l_returnflag"], d["l_linestatus"])]
         for c in cols:
             assert g[c] == d[c], (c, g[c], d[c])
+
+
+def test_group_median_center_semantics(spark):
+    from financial_big_data_exp_4_spark.operators.grouped import (
+        group_median_center,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.0), (2, "a", 3.0), (3, "a", 10.0),   # odd n: med 3
+            (4, "b", 2.0), (5, "b", 4.0),                    # even n: med 3
+            (6, "b", None),                                  # dropped
+        ],
+        "event_id long, event_type string, value double",
+    )
+    rows = {
+        r["event_id"]: r
+        for r in group_median_center(
+            df, key="event_type", value="value"
+        ).collect()
+    }
+    assert len(rows) == 5  # null row dropped
+    assert rows[1]["centered_value"] == -2.0
+    assert rows[2]["centered_value"] == 0.0
+    assert rows[3]["centered_value"] == 7.0
+    assert rows[4]["centered_value"] == -1.0   # (2+4)/2 interpolated
+    assert rows[5]["centered_value"] == 1.0

@@ -30,12 +30,14 @@ MAP_ONLY = {
     "q_dedup_simhash",
     "q_hash_sample",
     "q_text_normalize",
+    "q_quality_filter",
+    "q_stratified_sample",
 }
 
 #: queries whose plan legitimately contains an Arrow/pandas boundary
 #: (multimodal decode stages); anywhere else a Python node is a hot-path
 #: regression
-PANDAS_OK = {"q_multimodal_meta", "q_multimodal_frames"}
+PANDAS_OK = {"q_multimodal_meta", "q_multimodal_frames", "q_group_center"}
 
 
 def main() -> int:
@@ -53,7 +55,9 @@ def main() -> int:
         if "BatchEvalPython" in plan:
             problems.append("row-at-a-time Python UDF in plan")
         if name not in PANDAS_OK and (
-            "MapInPandas" in plan or "ArrowEvalPython" in plan
+            "MapInPandas" in plan
+            or "ArrowEvalPython" in plan
+            or "FlatMapGroupsInPandas" in plan
         ):
             problems.append("unexpected pandas boundary in plan")
         if name in MAP_ONLY:
@@ -76,6 +80,16 @@ def main() -> int:
                 problems.append("keep-latest planned as window")
             if "partial_max" not in plan and plan.count("HashAggregate") < 2:
                 problems.append("keep-latest missing partial aggregation")
+        if name == "q_tfidf" and "TakeOrderedAndProject" not in plan:
+            problems.append("tf-idf top-k not TakeOrderedAndProject")
+        if name == "q_inverted_index" and plan.count("Exchange") > 1:
+            # the bounding window and the posting-list aggregate must share
+            # the `term` partitioning — a second exchange means they don't
+            problems.append("inverted index re-shuffles between window+agg")
+        if name == "q_lineitem_pricing" and (
+            "PushedFilters: [IsNotNull(l_shipdate)" not in plan
+        ):
+            problems.append("shipdate filter not pushed to the scan")
         if name == "q_embed_cosine_topk":
             # two-level top-k: the per-probe window must read the
             # (probe, scan-partition)-local pre-reduction, not raw scores
