@@ -19,6 +19,7 @@ from financial_big_data_exp_4_spark.operators.graph import (
     dedup_clusters,
 )
 from financial_big_data_exp_4_spark.operators.dedup import (
+    apply_exact_dedup,
     exact_dedup,
     minhash_candidate_pairs,
     ngram_jaccard_adjacent,
@@ -27,6 +28,7 @@ from financial_big_data_exp_4_spark.operators.dedup import (
 )
 from financial_big_data_exp_4_spark.operators.events import (
     json_extract_stats,
+    moving_value_avg,
     sessionize,
     tumbling_counts,
 )
@@ -52,12 +54,16 @@ from financial_big_data_exp_4_spark.operators.text import (
     doc_fingerprint,
     language_id,
     normalize_text,
+    scrub_pii,
     text_quality,
     token_counts,
 )
 
 __all__ = [
+    "apply_exact_dedup",
     "cosine_topk_bruteforce",
+    "moving_value_avg",
+    "scrub_pii",
     "cosine_topk_ivf",
     "connected_components",
     "customers_without_orders",

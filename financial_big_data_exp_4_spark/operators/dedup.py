@@ -323,3 +323,31 @@ def ngram_jaccard_adjacent(
             .alias("jaccard"),
         )
     )
+
+
+def apply_exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The *apply* step of exact dedup: the kept corpus itself — one full
+    row per distinct text (the min-id copy), not just the digest table.
+
+    Aggregate-then-join, never a window: the keeper table
+    (digest → min id) reduces map-side before its shuffle, then joins
+    back on the digest. A window/row_number formulation computes the same
+    rows but shuffles and sorts every full-payload row; here the payload
+    rows move through the join hash-partitioned once and the *aggregate*
+    shuffle carries only (digest, id) pairs. Output: (doc_id, lang,
+    n_chars) of kept rows.
+    """
+    digest = F.md5(F.col(text_col)).alias("_digest")
+    keepers = (
+        docs.select(digest, F.col(id_col))
+        .groupBy("_digest")
+        .agg(F.min(id_col).alias("_keep_id"))
+    )
+    return (
+        docs.select(digest, id_col, "lang", "n_chars")
+        .join(keepers, "_digest")
+        .where(F.col(id_col) == F.col("_keep_id"))
+        .select(id_col, "lang", "n_chars")
+    )

@@ -104,3 +104,36 @@ def json_extract_stats(events: DataFrame) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+def moving_value_avg(events: DataFrame, n: int = 3) -> DataFrame:
+    """Per-user moving sum/average of ``value`` over the last ``n`` events
+    (bounded ROWS frame, ordered by (µs timestamp, event_id) — a total
+    order, so the frame contents are deterministic).
+
+    The frame sum routes through DECIMAL(18,6): windowed double sums are
+    engine-specific in association order (sliding-window optimizers
+    subtract-and-add, segment trees regroup) and would drift by ULPs;
+    decimal addition is associative, so the moving average is exact and
+    portable. One shuffle on user_id; the frame is O(n) state per row.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000").alias("ts_us"),
+        F.col("value").cast("decimal(18,6)").alias("_v"),
+    )
+    msum = F.sum("_v").over(w)
+    mcnt = F.count("_v").over(w)
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        msum.cast("double").alias("mov_sum"),
+        (msum.cast("double") / mcnt.cast("double")).alias("mov_avg"),
+    )

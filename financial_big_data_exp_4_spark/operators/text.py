@@ -193,3 +193,30 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
         F.array_min(h).alias("min_shingle_hash"),
         F.size(F.filter(h, lambda x: x % 16 == 0)).cast("long").alias("n_selected"),
     )
+
+
+#: PII patterns for the scrubber — the RE2∩Java-regex common subset
+#: (char classes, counted repeats, word boundaries; no lookaround), so the
+#: engine and the DuckDB oracle redact identically.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\b"
+
+
+def scrub_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails and phone numbers from ``text`` — map-only, runs at
+    scan speed; the standard compliance pass before any corpus leaves the
+    ingestion boundary. Emits the scrubbed text plus per-kind match counts
+    (the audit trail a compliance pipeline must keep).
+    """
+    t = F.col(text_col)
+    n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
+    n_phone = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0))
+    clean = F.regexp_replace(
+        F.regexp_replace(t, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        clean.alias("clean_text"),
+        n_email.cast("long").alias("n_emails"),
+        n_phone.cast("long").alias("n_phones"),
+    )

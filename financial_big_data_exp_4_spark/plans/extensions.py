@@ -13,7 +13,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from financial_big_data_exp_4_spark.operators import (
+    apply_exact_dedup,
     cosine_topk_bruteforce,
+    moving_value_avg,
+    scrub_pii,
     inverted_index,
     pack_sequences,
     quality_filter,
@@ -502,6 +505,82 @@ def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup drained as a bounded stream: the distinct
+    (user_id, event_type) pairs seen on the events stream — the third
+    streaming query class (stateful dedup) under the batch DISTINCT
+    oracle."""
+    import tempfile
+    import uuid
+
+    from financial_big_data_exp_4_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_distinct_keys,
+    )
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    stream = streaming_distinct_keys(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(stream, name, ckpt, output_mode="append")
+    return spark.table(name).select("user_id", "event_type")
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (the EXISTS physical form): customers holding at
+    least one order above 400k. Semi joins short-circuit on first match
+    and never duplicate the probe side — the OUTER-join-then-filter
+    formulation both duplicates and shuffles more."""
+    customer = load_table(spark, sf_dir, "customer")
+    big_orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400_000
+    )
+    return customer.join(
+        big_orders,
+        customer.c_custkey == big_orders.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_acctbal")
+
+
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return moving_value_avg(load_table(spark, sf_dir, "events"))
+
+
+def q_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return apply_exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return scrub_pii(load_table(spark, sf_dir, "documents"))
+
+
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based median per priority with a proof-of-tolerance row
+    (same pattern as q_approx_distinct): the oracle hashes the exact
+    median plus TRUE, so the Greenwald-Khanna sketch's accuracy is the
+    check. At 100 TB the sketch is the production path — one pass,
+    mergeable, bounded memory vs the exact sort-based percentile."""
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.percentile(p, F.lit(0.5)).alias("p50_exact"),
+            F.expr(
+                "approx_percentile(o_totalprice, 0.5, 10000)"
+            ).alias("_p50_approx"),
+        )
+        .select(
+            "o_orderpriority",
+            "p50_exact",
+            (
+                F.abs(F.col("_p50_approx") - F.col("p50_exact"))
+                <= F.lit(0.02) * F.col("p50_exact")
+            ).alias("within_2pct"),
+        )
+    )
+
+
 def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: filtered scan → 4-way grouped
     aggregate with derived measures. All money math routes through
@@ -581,4 +660,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_distinct": q_approx_distinct,
     "q_skew_agg": q_skew_agg,
     "q_lineitem_pricing": q_lineitem_pricing,
+    "q_stream_dedup": q_stream_dedup,
+    "q_semi_join": q_semi_join,
+    "q_moving_avg": q_moving_avg,
+    "q_dedup_apply": q_dedup_apply,
+    "q_pii_scrub": q_pii_scrub,
+    "q_approx_percentile": q_approx_percentile,
 }

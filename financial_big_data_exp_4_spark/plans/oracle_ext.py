@@ -48,6 +48,8 @@ from financial_big_data_exp_4_spark.operators.corpus import (
 from financial_big_data_exp_4_spark.operators.text import (
     FINGERPRINT_K,
     LANG_PROFILES,
+    PII_EMAIL,
+    PII_PHONE,
     QUALITY_STOPWORDS,
 )
 
@@ -878,6 +880,66 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         SELECT event_type, count(*) AS cnt
         FROM events
         GROUP BY event_type
+    """,
+    # streaming dedup ≡ batch DISTINCT: the bounded availableNow drain of
+    # dropDuplicates must emit exactly the distinct key set.
+    "q_stream_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    "q_semi_join": """
+        SELECT c_custkey, c_acctbal
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_totalprice > 400000
+        )
+    """,
+    # frame sums route through DECIMAL(18,6) on both sides: windowed
+    # double sums are engine-specific in association order (sliding
+    # optimizers subtract-and-add; segment trees regroup) — decimal
+    # addition is associative, so the moving stats hash identically.
+    "q_moving_avg": """
+        WITH b AS (
+            SELECT event_id, user_id,
+                   epoch_us(ts) AS ts_us,
+                   CAST(value AS DECIMAL(18,6)) AS v
+            FROM events
+        )
+        SELECT event_id, user_id, ts_us,
+               CAST(sum(v) OVER w AS DOUBLE) AS mov_sum,
+               CAST(sum(v) OVER w AS DOUBLE)
+                   / CAST(count(v) OVER w AS DOUBLE) AS mov_avg
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+    "q_dedup_apply": """
+        SELECT d.doc_id, d.lang, d.n_chars
+        FROM documents d
+        JOIN (
+            SELECT md5(text) AS dg, min(doc_id) AS keep_id
+            FROM documents GROUP BY md5(text)
+        ) k ON md5(d.text) = k.dg AND d.doc_id = k.keep_id
+    """,
+    "q_pii_scrub": f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(text,
+                   '{PII_EMAIL}', '[EMAIL]', 'g'),
+                   '{PII_PHONE}', '[PHONE]', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
+                   AS n_emails,
+               CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
+                   AS n_phones
+        FROM documents
+    """,
+    # sketch-accuracy proof row (same pattern as q_approx_distinct): the
+    # oracle pins the exact median and expects the tolerance flag TRUE.
+    "q_approx_percentile": """
+        SELECT o_orderpriority,
+               quantile_cont(o_totalprice, 0.5) AS p50_exact,
+               TRUE AS within_2pct
+        FROM orders
+        GROUP BY o_orderpriority
     """,
     # all money math inside DECIMAL (order-independent sums; identical
     # widening as Spark: (12,2)*(4,2)*(4,2) -> scale 6), averages derived

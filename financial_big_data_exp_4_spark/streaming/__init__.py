@@ -1,6 +1,7 @@
 from financial_big_data_exp_4_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
+    streaming_distinct_keys,
     streaming_session_counts,
     streaming_tumbling_counts,
 )
@@ -8,6 +9,7 @@ from financial_big_data_exp_4_spark.streaming.windows import (
 __all__ = [
     "read_events_stream",
     "run_stream_to_memory",
+    "streaming_distinct_keys",
     "streaming_session_counts",
     "streaming_tumbling_counts",
 ]

@@ -84,15 +84,38 @@ def streaming_session_counts(
     )
 
 
+def streaming_distinct_keys(
+    events: DataFrame, cols: tuple[str, str] = ("user_id", "event_type")
+) -> DataFrame:
+    """Streaming dedup: the distinct set of ``cols`` pairs seen on the
+    stream (``dropDuplicates`` — Spark's stateful streaming dedup; emits
+    each key once, on first sight, in append mode).
+
+    Only the key columns are projected *before* the dedup, so the emitted
+    rows are fully deterministic (a subset-dedup over wider rows would
+    emit whichever payload arrived first). This bounded-drain form keeps
+    dedup state for the whole run — correct for availableNow backfills;
+    an unbounded 24/7 stream caps state with
+    ``dropDuplicatesWithinWatermark`` instead, which scopes the
+    exactly-once guarantee to the watermark horizon (keys recur after
+    the horizon passes — a deliberate memory/semantics trade)."""
+    return events.select(*cols).dropDuplicates(list(cols))
+
+
 def run_stream_to_memory(
-    df: DataFrame, query_name: str, checkpoint_dir: str
+    df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "complete",
 ) -> None:
     """Drain a bounded stream into the in-memory sink (availableNow) and
-    block until done — the test/verification harness for streaming plans."""
+    block until done — the test/verification harness for streaming plans.
+    Aggregations drain in ``complete`` mode; streaming dedup only
+    supports ``append``/``update``."""
     q = (
         df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -202,3 +202,60 @@ def test_group_median_center_semantics(spark):
     assert rows[3]["centered_value"] == 7.0
     assert rows[4]["centered_value"] == -1.0   # (2+4)/2 interpolated
     assert rows[5]["centered_value"] == 1.0
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from financial_big_data_exp_4_spark.operators import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (0, "mail me at Jo.Doe+x@Example.org or call 555-123-4567 now"),
+            (1, "no pii here"),
+            (2, "a@b.io c@d.net 111.222.3333"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert rows[0]["clean_text"] == "mail me at [EMAIL] or call [PHONE] now"
+    assert rows[0]["n_emails"] == 1 and rows[0]["n_phones"] == 1
+    assert rows[1]["clean_text"] == "no pii here"
+    assert rows[1]["n_emails"] == 0 and rows[1]["n_phones"] == 0
+    assert rows[2]["clean_text"] == "[EMAIL] [EMAIL] [PHONE]"
+
+
+def test_apply_exact_dedup_keeps_min_id_rows(spark):
+    from financial_big_data_exp_4_spark.operators import apply_exact_dedup
+
+    docs = spark.createDataFrame(
+        [
+            (5, "same text", "en", 9),
+            (1, "same text", "en", 9),
+            (3, "other", "de", 5),
+        ],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = sorted(map(tuple, apply_exact_dedup(docs).collect()))
+    assert got == [(1, "en", 9), (3, "de", 5)]
+
+
+def test_moving_avg_frame_semantics(spark):
+    from financial_big_data_exp_4_spark.operators import moving_value_avg
+
+    ns = 1_000_000_000
+    events = spark.createDataFrame(
+        [
+            (1, 7, 1 * ns, 2.0),
+            (2, 7, 2 * ns, 4.0),
+            (3, 7, 3 * ns, 6.0),
+            (4, 7, 4 * ns, 8.0),
+            (5, 9, 1 * ns, 10.0),
+        ],
+        "event_id long, user_id long, ts long, value double",
+    )
+    rows = {r["event_id"]: r for r in moving_value_avg(events, n=3).collect()}
+    assert rows[1]["mov_avg"] == 2.0           # frame: [2]
+    assert rows[2]["mov_avg"] == 3.0           # [2,4]
+    assert rows[3]["mov_avg"] == 4.0           # [2,4,6]
+    assert rows[4]["mov_avg"] == 6.0           # [4,6,8] — 2.0 left the frame
+    assert rows[4]["mov_sum"] == 18.0
+    assert rows[5]["mov_avg"] == 10.0          # other user: own frame

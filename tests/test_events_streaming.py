@@ -148,3 +148,30 @@ def test_session_window_merges_at_exact_gap(spark, tmp_path):
     rows = spark.sql("SELECT * FROM gap_test").collect()
     # events 1+2 merge (diff == gap); event 3 starts a new session
     assert sorted(r["n_events"] for r in rows) == [1, 2]
+
+
+def test_streaming_dedup_equals_batch_distinct(spark, sf_dir, tmp_path):
+    from financial_big_data_exp_4_spark.sources import load_table
+    from financial_big_data_exp_4_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_distinct_keys,
+    )
+
+    stream = streaming_distinct_keys(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(
+        stream, "t_stream_dedup", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = sorted(
+        map(tuple, spark.table("t_stream_dedup").collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            load_table(spark, sf_dir, "events")
+            .select("user_id", "event_type")
+            .distinct()
+            .collect(),
+        )
+    )
+    assert got == want

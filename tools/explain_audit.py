@@ -32,6 +32,7 @@ MAP_ONLY = {
     "q_text_normalize",
     "q_quality_filter",
     "q_stratified_sample",
+    "q_pii_scrub",
 }
 
 #: queries whose plan legitimately contains an Arrow/pandas boundary
@@ -80,6 +81,10 @@ def main() -> int:
                 problems.append("keep-latest planned as window")
             if "partial_max" not in plan and plan.count("HashAggregate") < 2:
                 problems.append("keep-latest missing partial aggregation")
+        if name == "q_semi_join" and "LeftSemi" not in plan:
+            problems.append("semi join not planned as LeftSemi")
+        if name == "q_dedup_apply" and "Window" in plan:
+            problems.append("dedup-apply planned as window, not agg+join")
         if name == "q_tfidf" and "TakeOrderedAndProject" not in plan:
             problems.append("tf-idf top-k not TakeOrderedAndProject")
         if name == "q_inverted_index" and plan.count("Exchange") > 1:
