@@ -505,6 +505,41 @@ def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``spark.sql`` front-end over registered views — the same engine
+    (identical Catalyst plan as the DataFrame flagship), declared once so
+    the SQL-text entry path is itself under the oracle. A user of the
+    engine can submit ANSI SQL strings instead of DataFrame calls and get
+    plan-for-plan identical execution."""
+    from financial_big_data_exp_4_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS cnt
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY cnt DESC, c_mktsegment
+        """
+    )
+
+
+def q_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile assignment per order within its priority group (``ntile``
+    — equal-frequency binning over a total order; the window shuffles
+    once on the partition key). Deterministic because the order key
+    (o_totalprice, o_orderkey) is total."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dedup drained as a bounded stream: the distinct
     (user_id, event_type) pairs seen on the events stream — the third
@@ -660,6 +695,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_distinct": q_approx_distinct,
     "q_skew_agg": q_skew_agg,
     "q_lineitem_pricing": q_lineitem_pricing,
+    "q_sql_surface": q_sql_surface,
+    "q_ntile": q_ntile,
     "q_stream_dedup": q_stream_dedup,
     "q_semi_join": q_semi_join,
     "q_moving_avg": q_moving_avg,

@@ -881,6 +881,21 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         FROM events
         GROUP BY event_type
     """,
+    "q_sql_surface": """
+        SELECT c_mktsegment, count(*) AS cnt
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY cnt DESC, c_mktsegment
+    """,
+    # ntile bucket boundaries are defined identically (first n_rows%k
+    # buckets get the extra row) given the same total order.
+    "q_ntile": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice, o_orderkey) AS BIGINT)
+                   AS quartile
+        FROM orders
+    """,
     # streaming dedup ≡ batch DISTINCT: the bounded availableNow drain of
     # dropDuplicates must emit exactly the distinct key set.
     "q_stream_dedup": """
