@@ -20,15 +20,15 @@ time map-only queries as parquet row-counts (round-2 ADVICE).
 For the cross-engine reference the same script runs every DuckDB oracle
 once over the same parquet files and reports ``oracle_total_sec`` and the
 Spark/oracle ``oracle_ratio``. Round-3 measured numbers on this host:
-Spark ≈ 23s vs oracle ≈ 7.5s at sf0.1 over 47 queries — ratio ≈ 3. The
-gap decomposes as (a) Spark's ~0.1-0.25s per-action floor (~8-10s
-across 47 queries — scheduler/stage setup that DuckDB's ~10ms floor
-doesn't pay, and that amortizes away at real scale), (b) ~2.6s of
-Structured-Streaming engine startup for the two availableNow streaming
+Spark ≈ 30s vs oracle ≈ 16s at sf0.1 over 66+ queries — ratio ≈ 1.8.
+The gap decomposes as (a) Spark's ~0.1-0.25s per-action floor (~10-13s
+across the suite — scheduler/stage setup that DuckDB's ~10ms floor
+doesn't pay, and that amortizes away at real scale), (b) ~3s of
+Structured-Streaming engine startup for the three availableNow streaming
 queries, and (c) md5-parity hashing where DuckDB's vectorized md5 is
 ~1.3× the JVM's. Per-query ratios on the non-floor-dominated heavy
-queries (minhash 1.5×, fingerprint 1.3×, ngram 1.3×) are the
-scale-relevant signal.
+queries (minhash 1.5×, fingerprint 1.3×, ngram 1.3×, clusters ~1.2×
+vs its recursive-CTE oracle) are the scale-relevant signal.
 """
 
 from __future__ import annotations

@@ -77,7 +77,10 @@ TFIDF_TOP_K = 20
 
 
 def quality_filter(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style rule-based quality filter — map-only.
 
@@ -90,9 +93,14 @@ def quality_filter(
     ``tok_chars`` is computed as ``length(regexp_replace(...))`` — the
     count of ``[a-z0-9]`` chars equals the summed token lengths under the
     ``[a-z0-9]+`` tokenizer, without materializing the token array.
+
+    ``keep_cols`` pass through untouched, so downstream aggregates (e.g.
+    per-source yield) compose in the SAME scan instead of joining the
+    filter output back to the table — one pass, no shuffle on doc_id.
     """
     t = F.col(text_col)
     base = docs.select(
+        *keep_cols,
         F.col(id_col).alias("doc_id"),
         t.alias("_t"),
         tokenize(t).alias("_toks"),
@@ -122,6 +130,7 @@ def quality_filter(
         & has_stop
     )
     return base.select(
+        *keep_cols,
         "doc_id",
         n_words.cast("long").alias("n_words"),
         mean_len.alias("mean_word_len"),

@@ -505,6 +505,34 @@ def q_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curation_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation yield: how many documents each ingest source
+    contributes and what fraction survives the quality filter — the
+    monitoring table every curation pipeline keeps (a source whose yield
+    collapses is the first sign of a crawler regression). The filter
+    passes ``source`` through its own scan (``keep_cols``), so the plan
+    is ONE pass over documents + one partial-aggregated shuffle on the
+    low-cardinality source — never a doc_id self-join of two full
+    scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        quality_filter(docs, keep_cols=("source",))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_keep"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            (
+                F.col("n_keep").cast("double") / F.col("n_docs").cast("double")
+            ).alias("yield_rate"),
+        )
+    )
+
+
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``spark.sql`` front-end over registered views — the same engine
     (identical Catalyst plan as the DataFrame flagship), declared once so
@@ -695,6 +723,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_distinct": q_approx_distinct,
     "q_skew_agg": q_skew_agg,
     "q_lineitem_pricing": q_lineitem_pricing,
+    "q_curation_yield": q_curation_yield,
     "q_sql_surface": q_sql_surface,
     "q_ntile": q_ntile,
     "q_stream_dedup": q_stream_dedup,

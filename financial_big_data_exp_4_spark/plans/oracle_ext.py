@@ -984,3 +984,17 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         GROUP BY l_returnflag, l_linestatus
     """,
 }
+
+# Composed post-hoc so the yield oracle reuses the quality-filter SQL
+# verbatim — the two can never drift.
+EXTENSION_ORACLE_SQL["q_curation_yield"] = f"""
+    WITH qf AS ({EXTENSION_ORACLE_SQL["q_quality_filter"]})
+    SELECT d.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN qf.keep THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           CAST(sum(CASE WHEN qf.keep THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS yield_rate
+    FROM documents d JOIN qf USING (doc_id)
+    GROUP BY d.source
+"""
