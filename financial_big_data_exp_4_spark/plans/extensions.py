@@ -533,6 +533,27 @@ def q_curation_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked self-join (errors ⋈ same-user purchases
+    within the preceding hour) drained as a bounded stream — the fourth
+    streaming class (two-sided join state), under the SAME oracle as the
+    batch bucketed range join: streaming ≡ batch on a bounded drain."""
+    import tempfile
+    import uuid
+
+    from financial_big_data_exp_4_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_error_purchase_join,
+    )
+
+    name = f"stream_range_join_{uuid.uuid4().hex[:8]}"
+    stream = streaming_error_purchase_join(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(stream, name, ckpt, output_mode="append")
+    return spark.table(name).select("user_id", "err_id", "purch_id", "value")
+
+
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``spark.sql`` front-end over registered views — the same engine
     (identical Catalyst plan as the DataFrame flagship), declared once so
@@ -727,6 +748,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sql_surface": q_sql_surface,
     "q_ntile": q_ntile,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_range_join": q_stream_range_join,
     "q_semi_join": q_semi_join,
     "q_moving_avg": q_moving_avg,
     "q_dedup_apply": q_dedup_apply,

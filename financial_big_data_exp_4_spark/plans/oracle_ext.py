@@ -998,3 +998,9 @@ EXTENSION_ORACLE_SQL["q_curation_yield"] = f"""
     FROM documents d JOIN qf USING (doc_id)
     GROUP BY d.source
 """
+
+# streaming ≡ batch: the bounded stream-stream join drain must reproduce
+# the batch bucketed range join exactly, so its oracle applies verbatim.
+EXTENSION_ORACLE_SQL["q_stream_range_join"] = EXTENSION_ORACLE_SQL[
+    "q_range_join"
+]

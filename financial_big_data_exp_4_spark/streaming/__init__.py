@@ -2,6 +2,7 @@ from financial_big_data_exp_4_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
     streaming_distinct_keys,
+    streaming_error_purchase_join,
     streaming_session_counts,
     streaming_tumbling_counts,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "read_events_stream",
     "run_stream_to_memory",
     "streaming_distinct_keys",
+    "streaming_error_purchase_join",
     "streaming_session_counts",
     "streaming_tumbling_counts",
 ]

@@ -121,3 +121,58 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_error_purchase_join(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each error event joins the same user's
+    purchases from the preceding hour — the streaming twin of the batch
+    bucketed range join (``operators.joins.range_join_bucketed``).
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can evict join state once the watermark passes a
+    row's latest possible match — without the time bound the state would
+    grow with the stream. Timestamps compare in µs precision
+    (``ts DIV 1000``) to mirror the batch/oracle arithmetic exactly.
+    """
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("user_id").alias("e_user"),
+            F.expr("ts DIV 1000").alias("e_ts_us"),
+            "ts_utc",
+        )
+        .withWatermark("ts_utc", watermark)
+        .withColumnRenamed("ts_utc", "e_ts_utc")
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purch_id"),
+            F.col("user_id").alias("p_user"),
+            F.expr("ts DIV 1000").alias("p_ts_us"),
+            "value",
+            "ts_utc",
+        )
+        .withWatermark("ts_utc", watermark)
+        .withColumnRenamed("ts_utc", "p_ts_utc")
+    )
+    us_per_hour = 3_600_000_000
+    joined = errors.join(
+        purchases,
+        (F.col("e_user") == F.col("p_user"))
+        & (F.col("e_ts_us") >= F.col("p_ts_us"))
+        & (F.col("e_ts_us") < F.col("p_ts_us") + F.lit(us_per_hour))
+        # event-time bound on the watermark columns so the state store
+        # can evict: purchases older than 1h (+ watermark) never match
+        & (F.col("e_ts_utc") >= F.col("p_ts_utc"))
+        & (F.col("e_ts_utc") <= F.col("p_ts_utc") + F.expr(f"INTERVAL {window}")),
+    )
+    return joined.select(
+        F.col("e_user").alias("user_id"),
+        "err_id",
+        "purch_id",
+        "value",
+    )

@@ -175,3 +175,43 @@ def test_streaming_dedup_equals_batch_distinct(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def test_stream_stream_join_equals_batch_range_join(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.operators import range_join_bucketed
+    from financial_big_data_exp_4_spark.sources import load_table
+    from financial_big_data_exp_4_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_error_purchase_join,
+    )
+
+    stream = streaming_error_purchase_join(read_events_stream(spark, sf_dir))
+    run_stream_to_memory(
+        stream, "t_ss_join", str(tmp_path / "ckpt"), output_mode="append"
+    )
+    got = sorted(map(tuple, spark.table("t_ss_join").collect()))
+
+    events = load_table(spark, sf_dir, "events")
+    ts_us = F.expr("ts DIV 1000")
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"), ts_us.alias("ets")
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purch_id"),
+        ts_us.alias("pts"), "value",
+    )
+    want = sorted(
+        map(
+            tuple,
+            range_join_bucketed(
+                errors, purchases, key="user_id", probe_ts="ets",
+                start_ts="pts",
+            )
+            .select("user_id", "err_id", "purch_id", "value")
+            .collect(),
+        )
+    )
+    assert got == want and len(got) > 0
