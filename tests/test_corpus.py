@@ -259,3 +259,51 @@ def test_moving_avg_frame_semantics(spark):
     assert rows[4]["mov_avg"] == 6.0           # [4,6,8] — 2.0 left the frame
     assert rows[4]["mov_sum"] == 18.0
     assert rows[5]["mov_avg"] == 10.0          # other user: own frame
+
+
+def test_corpus_ops_on_empty_input(spark):
+    """Every corpus operator must be total: an empty corpus yields an
+    empty, correctly-typed result, never an error (at scale, empty
+    partitions and empty filtered subsets are routine)."""
+    from financial_big_data_exp_4_spark.operators import (
+        inverted_index,
+        pack_sequences,
+        quality_filter,
+        repetition_stats,
+        tfidf_top_terms,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    for op in (
+        quality_filter,
+        repetition_stats,
+        tfidf_top_terms,
+        pack_sequences,
+        inverted_index,
+    ):
+        out = op(empty)
+        assert out.count() == 0, op.__name__
+        assert out.schema is not None
+
+
+def test_observation_metrics_ride_the_quality_pass(spark, sf_dir):
+    """`Observation` collects pipeline metrics (row counts, kept counts)
+    as a side channel of the SAME action — no second pass over the data,
+    which is how a curation pipeline reports yield at 100 TB without
+    re-scanning."""
+    from pyspark.sql import Observation
+
+    from financial_big_data_exp_4_spark.operators import quality_filter
+    from financial_big_data_exp_4_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    obs = Observation("quality_pass")
+    observed = quality_filter(docs).observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )
+    n = observed.count()
+    got = obs.get
+    assert got["n_rows"] == n
+    assert 0 < got["n_kept"] <= n
