@@ -351,3 +351,50 @@ def apply_exact_dedup(
         .where(F.col(id_col) == F.col("_keep_id"))
         .select(id_col, "lang", "n_chars")
     )
+
+
+#: Minimum exact word-bigram Jaccard for an LSH candidate pair to be
+#: confirmed a near-duplicate (the precision pass; LSH banding is the
+#: recall pass).
+NEARDUP_VERIFY_THRESHOLD = 0.5
+
+
+def neardup_verified_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = NEARDUP_VERIFY_THRESHOLD,
+) -> DataFrame:
+    """LSH candidates confirmed by *exact* n-gram Jaccard — the full
+    recall-then-precision near-dup pipeline (band join proposes, exact
+    similarity disposes; the confirmed pairs are what clustering should
+    consume when false-positive cost matters).
+
+    The exact comparison runs ONLY on candidate pairs (O(|candidates|),
+    never all-pairs); each side's bigram set joins in by doc id — two
+    hash joins of |candidates| rows against the docs table. Output:
+    (doc_a, doc_b, jaccard), jaccard ≥ threshold.
+    """
+    cand = minhash_candidate_pairs(docs, text_col, id_col).select(
+        "doc_a", "doc_b"
+    )
+    grams = docs.select(
+        F.col(id_col).alias("_gdoc"), word_bigrams(text_col).alias("_grams")
+    )
+    a = grams.select(
+        F.col("_gdoc").alias("doc_a"), F.col("_grams").alias("_ga")
+    )
+    b = grams.select(
+        F.col("_gdoc").alias("doc_b"), F.col("_grams").alias("_gb")
+    )
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = F.size(F.array_union(F.col("_ga"), F.col("_gb")))
+    jac = F.when(
+        union > 0, inter.cast("double") / union.cast("double")
+    ).otherwise(F.lit(0.0))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

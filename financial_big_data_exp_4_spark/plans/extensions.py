@@ -438,6 +438,17 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(load_table(spark, sf_dir, "documents"))
 
 
+def q_neardup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH recall-then-precision pipeline: band-join candidates
+    confirmed by exact word-bigram Jaccard ≥ 0.5 — exact similarity runs
+    only on candidates, never all-pairs."""
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        neardup_verified_pairs,
+    )
+
+    return neardup_verified_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clustering: LSH candidate pairs → connected components
     (iterative min-label propagation; the oracle is a recursive-CTE
@@ -739,6 +750,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_seq_pack": q_seq_pack,
     "q_stratified_sample": q_stratified_sample,
     "q_inverted_index": q_inverted_index,
+    "q_neardup_verified": q_neardup_verified,
     "q_dedup_clusters": q_dedup_clusters,
     "q_group_center": q_group_center,
     "q_approx_distinct": q_approx_distinct,

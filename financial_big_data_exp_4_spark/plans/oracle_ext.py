@@ -1004,3 +1004,30 @@ EXTENSION_ORACLE_SQL["q_curation_yield"] = f"""
 EXTENSION_ORACLE_SQL["q_stream_range_join"] = EXTENSION_ORACLE_SQL[
     "q_range_join"
 ]
+
+# LSH recall → exact-precision verify: candidates from the generated
+# minhash SQL, exact bigram Jaccard computed only on those pairs.
+from financial_big_data_exp_4_spark.operators.dedup import (  # noqa: E402
+    NEARDUP_VERIFY_THRESHOLD,
+)
+
+EXTENSION_ORACLE_SQL["q_neardup_verified"] = f"""
+    WITH cand AS ({Q_NEARDUP_MINHASH}),
+    g AS (
+        SELECT doc_id AS doc, {_GRAMS} AS grams
+        FROM (SELECT doc_id, {TOKENIZE} AS toks FROM documents)
+    ),
+    j AS (
+        SELECT c.doc_a, c.doc_b,
+               CASE WHEN len(list_distinct(list_concat(a.grams, b.grams))) > 0
+                    THEN CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / CAST(len(list_distinct(list_concat(a.grams,
+                                b.grams))) AS DOUBLE)
+                    ELSE 0.0 END AS jaccard
+        FROM cand c
+        JOIN g a ON c.doc_a = a.doc
+        JOIN g b ON c.doc_b = b.doc
+    )
+    SELECT doc_a, doc_b, jaccard FROM j
+    WHERE jaccard >= {NEARDUP_VERIFY_THRESHOLD}
+"""

@@ -158,3 +158,23 @@ def test_share_expr_bround_half_even(spark):
     df = spark.createDataFrame([(5, 100000), (15, 100000)], "c long, t long")
     rows = df.select(share_expr(F.col("c"), F.col("t"), 4).alias("s")).collect()
     assert [r["s"] for r in rows] == [0.0, 0.0002]
+
+
+def test_schemaless_read_comparison_semantics(spark, tmp_path):
+    """SURVEY semantic note (reference nb2 cell 31 / README:236): a
+    schema-less CSV read types every column string, and the reference
+    then compares work-year strings against ints. Document both edges of
+    the trap: a string-literal comparison is LEXICOGRAPHIC ('10' < '3'),
+    while an int-literal comparison coerces to numeric — which is why the
+    engine's declared queries always cast explicitly instead of relying
+    on whichever of the two a reader happens to write."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "wy.csv"
+    p.write_text("id,wy\n1,10\n2,9\n3,3\n")
+    df = spark.read.option("header", True).csv(str(p))  # all columns string
+    assert dict(df.dtypes)["wy"] == "string"
+    # lexicographic: '9' > '3' only ('10' sorts before '3')
+    assert df.where(F.col("wy") > "3").count() == 1
+    # numeric coercion: 10 and 9 both exceed 3
+    assert df.where(F.col("wy") > 3).count() == 2
