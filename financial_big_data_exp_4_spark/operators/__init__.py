@@ -22,6 +22,7 @@ from financial_big_data_exp_4_spark.operators.dedup import (
     apply_exact_dedup,
     exact_dedup,
     minhash_candidate_pairs,
+    neardup_verified_pairs,
     ngram_jaccard_adjacent,
     simhash_docs,
     with_minhash_signature,
@@ -84,6 +85,7 @@ __all__ = [
     "tfidf_top_terms",
     "minhash_candidate_pairs",
     "multimodal_metadata",
+    "neardup_verified_pairs",
     "ngram_jaccard_adjacent",
     "normalize_text",
     "range_join_bucketed",

@@ -307,3 +307,28 @@ def test_observation_metrics_ride_the_quality_pass(spark, sf_dir):
     got = obs.get
     assert got["n_rows"] == n
     assert 0 < got["n_kept"] <= n
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    """Packing must conserve mass: every document lands in exactly one
+    bin, so per-bin token/doc counts sum to the corpus totals."""
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.operators import pack_sequences
+    from financial_big_data_exp_4_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(docs)
+    agg = packed.agg(
+        F.sum("n_docs").alias("d"), F.sum("n_tokens").alias("t")
+    ).collect()[0]
+    n_docs = docs.count()
+    n_tokens = docs.select(
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0
+            )
+        ).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert agg["d"] == n_docs
+    assert agg["t"] == n_tokens
