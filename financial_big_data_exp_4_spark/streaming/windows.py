@@ -107,20 +107,40 @@ def run_stream_to_memory(
     query_name: str,
     checkpoint_dir: str,
     output_mode: str = "complete",
+    drain_partitions: int | None = 8,
 ) -> None:
     """Drain a bounded stream into the in-memory sink (availableNow) and
     block until done — the test/verification harness for streaming plans.
     Aggregations drain in ``complete`` mode; streaming dedup only
-    supports ``append``/``update``."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    supports ``append``/``update``.
+
+    ``drain_partitions`` sizes the stateful-shuffle (= state store)
+    partition count for the drain and restores the session conf after.
+    Stateful operators pay per-partition state-store commit + checkpoint
+    overhead EVERY microbatch regardless of data volume (a stream-stream
+    join keeps four stores per partition), so the partition count must
+    track state volume, not the session's batch-shuffle default: a
+    bounded test drain wants few, a 100 TB production stream sizes it to
+    keep per-partition state inside executor memory. The value is pinned
+    into the checkpoint at first batch, which is why it is set before
+    ``start()`` and why production re-partitioning requires a new
+    checkpoint."""
+    spark = df.sparkSession
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if drain_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def streaming_error_purchase_join(
@@ -133,15 +153,19 @@ def streaming_error_purchase_join(
     Both sides carry watermarks and the join condition bounds event-time
     distance, so Spark can evict join state once the watermark passes a
     row's latest possible match — without the time bound the state would
-    grow with the stream. Timestamps compare in µs precision
-    (``ts DIV 1000``) to mirror the batch/oracle arithmetic exactly.
+    grow with the stream. The range compares the watermarked ``ts_utc``
+    columns directly: they are derived as ``timestamp_micros(ts DIV
+    1000)``, so µs-precision comparison (the batch/oracle arithmetic) and
+    the state-eviction time bound are the SAME predicate — a separate
+    non-watermark µs column in the condition would force the eviction
+    planner to ignore it (it cannot bound state from a column it has no
+    watermark for).
     """
     errors = (
         events.where(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("err_id"),
             F.col("user_id").alias("e_user"),
-            F.expr("ts DIV 1000").alias("e_ts_us"),
             "ts_utc",
         )
         .withWatermark("ts_utc", watermark)
@@ -152,23 +176,17 @@ def streaming_error_purchase_join(
         .select(
             F.col("event_id").alias("purch_id"),
             F.col("user_id").alias("p_user"),
-            F.expr("ts DIV 1000").alias("p_ts_us"),
             "value",
             "ts_utc",
         )
         .withWatermark("ts_utc", watermark)
         .withColumnRenamed("ts_utc", "p_ts_utc")
     )
-    us_per_hour = 3_600_000_000
     joined = errors.join(
         purchases,
         (F.col("e_user") == F.col("p_user"))
-        & (F.col("e_ts_us") >= F.col("p_ts_us"))
-        & (F.col("e_ts_us") < F.col("p_ts_us") + F.lit(us_per_hour))
-        # event-time bound on the watermark columns so the state store
-        # can evict: purchases older than 1h (+ watermark) never match
         & (F.col("e_ts_utc") >= F.col("p_ts_utc"))
-        & (F.col("e_ts_utc") <= F.col("p_ts_utc") + F.expr(f"INTERVAL {window}")),
+        & (F.col("e_ts_utc") < F.col("p_ts_utc") + F.expr(f"INTERVAL {window}")),
     )
     return joined.select(
         F.col("e_user").alias("user_id"),
