@@ -71,6 +71,36 @@ def make_classifier(name: str, n_features: int | None = None):
     raise ValueError(f"unknown classifier {name!r}; pick from {REFERENCE_CLASSIFIERS}")
 
 
+def strip_training_summary(model):
+    """Drop a fitted model's training summary so the model serializes.
+
+    Spark 4.1 interaction: ``fit`` attaches a training summary that holds
+    the ``SparkSession``; the session's ``observationManager`` is a lazy
+    val of a non-Serializable class. It stays ``null`` (and harmless)
+    until the first ``df.observe(...)`` anywhere in the session — after
+    which every action on ``model.transform(...)`` dies with
+    ``NotSerializableException: ObservationManager`` when the task closure
+    serializes model → summary → session. Since this engine exposes
+    Observation-based metrics (``operators/corpus.py``) alongside ML,
+    the two WILL share a session; stripping the summary after ``fit``
+    makes the model self-contained. ``setSummary`` is ``private[ml]`` in
+    Scala, which compiles to a public JVM method, so py4j can call it.
+    No-op for models without the HasTrainingSummary mixin.
+    """
+    from py4j.protocol import Py4JError
+    from pyspark import SparkContext
+
+    jm = getattr(model, "_java_obj", None)
+    sc = SparkContext._active_spark_context
+    if jm is None or sc is None:
+        return model
+    try:
+        jm.setSummary(getattr(getattr(sc._jvm.scala, "None$"), "MODULE$"))
+    except Py4JError:  # model class without the HasTrainingSummary mixin
+        pass
+    return model
+
+
 def evaluate_auc(predictions: DataFrame, label_col: str = "label") -> float:
     """M10: areaUnderROC via BinaryClassificationEvaluator.
 
@@ -98,7 +128,7 @@ def train_and_evaluate(
     n_features = train.first()["features"].size
     aucs: dict[str, float] = {}
     for name in names:
-        model = make_classifier(name, n_features).fit(train)
+        model = strip_training_summary(make_classifier(name, n_features).fit(train))
         aucs[name] = evaluate_auc(model.transform(test))
         if save_dir:
             model.write().overwrite().save(f"{save_dir}/{name}")

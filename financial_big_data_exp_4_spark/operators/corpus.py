@@ -156,7 +156,9 @@ def repetition_stats(
     t = F.col(text_col)
     # materialize the token array once (SPARK-36718: an inlined alias
     # would re-run the tokenize regex per downstream reference)
-    base = docs.select(
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    base = rebalance_for_cpu(docs, id_col).select(
         F.col(id_col).alias("doc_id"), tokenize(t).alias("_toks")
     ).withColumn("_n", F.size(F.col("_toks")))
     # word stats (map-only)
@@ -240,6 +242,9 @@ def tfidf_top_terms(
     N broadcasts as a 1-row aggregate; top-k plans as
     TakeOrderedAndProject.
     """
+    # no CPU rebalance here: tokenize-explode is scan-cheap (no md5), and
+    # the map-side partial aggregate absorbs the explode — an upstream
+    # keyed shuffle measured *slower* at sf0.1 (0.42s → 0.69s)
     terms = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.col(text_col))).alias("term"),
@@ -346,6 +351,8 @@ def inverted_index(
     (see module notes). ``n_docs`` is the un-truncated document frequency
     from a window count over the full partition.
     """
+    # no CPU rebalance: same reasoning as tfidf_top_terms — the explode
+    # feeds the term-keyed window shuffle directly
     terms = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),

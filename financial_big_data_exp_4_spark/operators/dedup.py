@@ -127,6 +127,9 @@ def with_minhash_signature(
     expressions (SPARK-36718), so the md5 work is not duplicated across
     the K minhash expressions.
     """
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    docs = rebalance_for_cpu(docs, text_col)
     df = docs.withColumn(
         "_th",
         F.transform(shingle_hash_set(text_col), lambda h: h % MINHASH_P),
@@ -160,9 +163,9 @@ def minhash_candidate_pairs(
     """Banded-LSH near-duplicate candidates with estimated similarity.
 
     Pipeline: signature (map-only) → explode B ``(band_id, band_key)`` rows
-    per doc → self-equi-join inside band buckets (never all-pairs) →
-    distinct pairs → join signatures back (pairs are few) → estimated
-    Jaccard = fraction of agreeing minhash components.
+    per doc, signature columns riding along → self-equi-join inside band
+    buckets (never all-pairs) → estimated Jaccard = fraction of agreeing
+    minhash components, read off the joined row → distinct pairs.
     Output: (doc_a, doc_b, est_jaccard), doc_a < doc_b.
 
     ``max_bucket_size`` caps pathological band buckets: buckets with more
@@ -176,11 +179,20 @@ def minhash_candidate_pairs(
     semantics. Default ``None`` = no cap (the declared closed-form oracle
     semantics).
     """
+    k = len(MINHASH_COEFFS)
     sig = with_minhash_signature(docs, text_col).select(
-        F.col(id_col).alias("doc"), *[F.col(f"mh_{i}") for i in range(len(MINHASH_COEFFS))]
+        F.col(id_col).alias("doc"), *[F.col(f"mh_{i}") for i in range(k)]
     )
+    # The signature columns RIDE the band explode (8 longs ≈ 64 bytes per
+    # band row) so agreement counts fall straight out of the band join —
+    # the alternative (join signatures back onto the pair list) reads the
+    # corpus and recomputes every md5 shingle twice more: the signature
+    # expression is the dominant cost and Spark does not share scans
+    # between self-join branches. Together with the CPU rebalance above,
+    # measured 3.1× on the whole query at sf0.1 (3.06s → 0.99s warm).
     bands = sig.select(
         "doc",
+        *[F.col(f"mh_{i}") for i in range(k)],
         F.posexplode(
             F.array(*[_band_key(b) for b in range(MINHASH_BANDS)])
         ).alias("band_id", "band_key"),
@@ -195,32 +207,27 @@ def minhash_candidate_pairs(
             .drop("_bucket_n")
         )
     a, b = bands.alias("a"), bands.alias("b")
-    pairs = (
+    agree = sum(
+        F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
-    sa = sig.alias("sa")
-    sb = sig.alias("sb")
-    agree = sum(
-        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
-        for i in range(len(MINHASH_COEFFS))
-    )
-    return (
-        pairs.join(sa, pairs.doc_a == F.col("sa.doc"))
-        .join(sb, pairs.doc_b == F.col("sb.doc"))
         .select(
-            "doc_a",
-            "doc_b",
-            (agree.cast("double") / F.lit(float(len(MINHASH_COEFFS)))).alias(
-                "est_jaccard"
-            ),
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            # distinct AFTER the similarity projection: est_jaccard is a
+            # function of the pair (signatures are functions of the doc
+            # ids), so cardinality is identical and the dedup shuffle
+            # carries 3 columns instead of 18.
+            (agree.cast("double") / F.lit(float(k))).alias("est_jaccard"),
         )
+        .distinct()
     )
 
 
@@ -259,7 +266,9 @@ def simhash_docs(
     slowdown before this was split). See ``_SIMHASH_EXPR`` for the
     single-pass fold structure.
     """
-    base = docs.select(
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    base = rebalance_for_cpu(docs, id_col).select(
         F.col(id_col).alias("doc_id"), token_hash_set(text_col).alias("_th")
     )
     return base.select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
@@ -299,6 +308,9 @@ def ngram_jaccard_adjacent(
     Jaccard operator (the general pair source is the LSH candidates from
     :func:`minhash_candidate_pairs`; all-pairs is never materialized).
     """
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    docs = rebalance_for_cpu(docs, id_col)
     g = docs.select(
         F.col(id_col).alias("doc"),
         # materialized join key: `a.doc + 1 == b.doc` as a raw condition is
@@ -375,10 +387,12 @@ def neardup_verified_pairs(
     hash joins of |candidates| rows against the docs table. Output:
     (doc_a, doc_b, jaccard), jaccard ≥ threshold.
     """
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
     cand = minhash_candidate_pairs(docs, text_col, id_col).select(
         "doc_a", "doc_b"
     )
-    grams = docs.select(
+    grams = rebalance_for_cpu(docs, id_col).select(
         F.col(id_col).alias("_gdoc"), word_bigrams(text_col).alias("_grams")
     )
     a = grams.select(

@@ -5,6 +5,12 @@ All four are **map-only** expression trees — no shuffle, no Python workers;
 at 100 TB they run at parquet-scan speed inside whole-stage codegen. The
 DuckDB oracles mirror every expression exactly (same regexes, same division
 guards, same md5-derived hashes).
+
+The two hash/HOF-heavy ops (fingerprint, quality) additionally route
+through :func:`..session.rebalance_for_cpu`: when the scan is
+under-partitioned relative to the cluster (single-file local fixtures),
+they pay one tiny keyed shuffle to unlock every core; at production split
+counts the rebalance is a no-op and the plans stay shuffle-free.
 """
 
 from __future__ import annotations
@@ -64,7 +70,9 @@ def text_quality(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     # materialize the token array and its distinct form once each — the
     # downstream features reference them repeatedly, and inlined aliases
     # would re-run the tokenize regex per reference (SPARK-36718)
-    base = docs.select(
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    base = rebalance_for_cpu(docs, id_col).select(
         F.col(id_col).alias("doc_id"), t.alias("_t"), tokenize(t).alias("_toks")
     ).withColumn("_dtoks", F.array_distinct(F.col("_toks")))
     tt = F.col("_t")
@@ -186,7 +194,11 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     # it, and an inlined alias would run the whole md5 rolling hash twice
     # (CollapseProject spares non-cheap aliases, SPARK-36718; measured 2×
     # at sf0.1)
-    base = docs.select(F.col(id_col).alias("doc_id"), guarded.alias("_h"))
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    base = rebalance_for_cpu(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), guarded.alias("_h")
+    )
     h = F.col("_h")
     return base.select(
         "doc_id",

@@ -79,6 +79,30 @@ def get_spark(
     return spark
 
 
+def rebalance_for_cpu(df, key: str, target: int | None = None):
+    """Scale-up-only hash rebalance for CPU-bound map stages.
+
+    A hash-heavy projection (md5 shingling, higher-order-function folds)
+    costs ~100× the parquet scan feeding it, so its parallelism must
+    track cores, not file splits. A small or over-compacted input (a
+    single-file local fixture, one fat row group) scans as fewer
+    partitions than the cluster has cores, serializing the expensive map
+    stage on one task; this repartitions UP to the default parallelism,
+    keyed by ``key`` (content-derived → deterministic under task retry,
+    uniform when the key is unique). Whenever the scan already has
+    ≥ cores partitions — every real 100 TB layout — it is a no-op and
+    the plan stays shuffle-free. The explicit partition count keeps AQE
+    from coalescing the deliberately tiny shuffle back down to one
+    partition.
+    """
+    from pyspark.sql import functions as F
+
+    target = target or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
 def collect_pandas(df, max_rows: int = 1_000_000):
     """K3 — guarded ``toPandas`` (reference nb2 cell 11 collects the full
     table for plotting). Collecting is only legitimate on small

@@ -87,6 +87,7 @@ def test_svc_and_mlp_train_on_small_sample(split_features):
     from financial_big_data_exp_4_spark.ml.models import (
         evaluate_auc,
         make_classifier,
+        strip_training_summary,
     )
 
     train, test = split_features
@@ -99,6 +100,25 @@ def test_svc_and_mlp_train_on_small_sample(split_features):
     # SURVEY trap 4); asserted as a smoke check only.
     floors = {"svc": 0.75, "mlp": 0.45}
     for name in ("svc", "mlp"):
-        model = make_classifier(name, nf).fit(small)
+        model = strip_training_summary(make_classifier(name, nf).fit(small))
         auc = evaluate_auc(model.transform(test))
         assert auc > floors[name], (name, auc)
+
+
+def test_models_survive_session_with_observations(spark, split_features):
+    """Regression: a df.observe() anywhere in the session initializes the
+    lazily-created (non-Serializable) ObservationManager; an un-stripped
+    training summary then makes every model action fail task
+    serialization. strip_training_summary must keep training usable."""
+    from pyspark.sql import Observation
+
+    from financial_big_data_exp_4_spark.ml import train_and_evaluate
+
+    obs = Observation("poison")
+    spark.range(5).observe(obs, F.count(F.lit(1)).alias("n")).collect()
+    assert obs.get["n"] == 5
+
+    train, test = split_features
+    small = train.sample(0.1, seed=2).coalesce(1)
+    aucs = train_and_evaluate(small, test, ("lr",))
+    assert 0.0 <= aucs["lr"] <= 1.0

@@ -24,15 +24,23 @@ MAP_ONLY = {
     "q_workyear_filter",
     "q_fillna",
     "q_token_count",
-    "q_text_quality",
     "q_lang_id",
-    "q_doc_fingerprint",
-    "q_dedup_simhash",
     "q_hash_sample",
     "q_text_normalize",
     "q_quality_filter",
     "q_stratified_sample",
     "q_pii_scrub",
+}
+
+#: map-only except for the scale-up-only CPU rebalance
+#: (session.rebalance_for_cpu): on an under-partitioned scan — the local
+#: single-file fixtures — the plan carries exactly one keyed Exchange that
+#: fans the hash-heavy projection across all cores; at production split
+#: counts the rebalance is a no-op and these plans are Exchange-free too.
+MAP_REBALANCED = {
+    "q_text_quality",
+    "q_doc_fingerprint",
+    "q_dedup_simhash",
 }
 
 #: queries whose plan legitimately contains an Arrow/pandas boundary
@@ -66,6 +74,13 @@ def main() -> int:
                 problems.append("unexpected Exchange in map-only query")
             if "Sort" in plan:
                 problems.append("unexpected Sort in map-only query")
+        if name in MAP_REBALANCED:
+            if plan.count("Exchange") > 1:
+                problems.append("more than the one rebalance Exchange")
+            if "Exchange" in plan and "Exchange hashpartitioning" not in plan:
+                problems.append("rebalance is not the keyed hash form")
+            if "Sort" in plan:
+                problems.append("unexpected Sort in rebalanced map query")
         if name == "q_star_join" and "BroadcastHashJoin" not in plan:
             problems.append("dims not broadcast")
         if name == "q_topk" and "TakeOrderedAndProject" not in plan:
@@ -87,9 +102,13 @@ def main() -> int:
             problems.append("dedup-apply planned as window, not agg+join")
         if name == "q_tfidf" and "TakeOrderedAndProject" not in plan:
             problems.append("tf-idf top-k not TakeOrderedAndProject")
-        if name == "q_inverted_index" and plan.count("Exchange") > 1:
+        if name == "q_inverted_index" and (
+            plan.count("hashpartitioning(term") > 1
+        ):
             # the bounding window and the posting-list aggregate must share
-            # the `term` partitioning — a second exchange means they don't
+            # the `term` partitioning — a second term-keyed exchange means
+            # they don't (the doc_id-keyed CPU rebalance is a different,
+            # upstream exchange)
             problems.append("inverted index re-shuffles between window+agg")
         if name == "q_lineitem_pricing" and (
             "PushedFilters: [IsNotNull(l_shipdate)" not in plan
