@@ -22,9 +22,11 @@ from financial_big_data_exp_4_spark.operators.dedup import (
     apply_exact_dedup,
     exact_dedup,
     minhash_candidate_pairs,
+    neardup_edit_distance,
     neardup_verified_pairs,
     ngram_jaccard_adjacent,
     simhash_docs,
+    simhash_neardup_pairs,
     with_minhash_signature,
 )
 from financial_big_data_exp_4_spark.operators.events import (
@@ -84,6 +86,7 @@ __all__ = [
     "stratified_sample",
     "tfidf_top_terms",
     "minhash_candidate_pairs",
+    "neardup_edit_distance",
     "multimodal_metadata",
     "neardup_verified_pairs",
     "ngram_jaccard_adjacent",
@@ -92,6 +95,7 @@ __all__ = [
     "revenue_by_region",
     "sessionize",
     "simhash_docs",
+    "simhash_neardup_pairs",
     "text_quality",
     "token_counts",
     "tumbling_counts",

@@ -274,6 +274,136 @@ def simhash_docs(
     return base.select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
 
 
+def neardup_edit_distance(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact character edit distance over the LSH candidate pairs.
+
+    The third verify metric next to bigram Jaccard
+    (:func:`neardup_verified_pairs`) and Hamming
+    (:func:`simhash_neardup_pairs`): candidates come from the banded
+    MinHash join (never all-pairs), then the full Levenshtein distance is
+    computed only on those |candidates| pairs via two hash joins back to
+    the text. Output: (doc_a, doc_b, edit_dist).
+
+    100 TB: Levenshtein is O(len_a × len_b) per pair — fine on a pruned
+    candidate set, catastrophic all-pairs; the LSH front end IS the cost
+    model. For long documents bound the cost with Spark's thresholded
+    ``levenshtein(l, r, threshold)`` form (early-exits the DP once the
+    band exceeds the threshold) — not used here because the oracle's
+    engine computes the unbounded distance.
+    """
+    cand = minhash_candidate_pairs(docs, text_col, id_col).select(
+        "doc_a", "doc_b"
+    )
+    txt = docs.select(
+        F.col(id_col).alias("_edoc"), F.col(text_col).alias("_etext")
+    )
+    a = txt.select(
+        F.col("_edoc").alias("doc_a"), F.col("_etext").alias("_ta")
+    )
+    b = txt.select(
+        F.col("_edoc").alias("doc_b"), F.col("_etext").alias("_tb")
+    )
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein(F.col("_ta"), F.col("_tb"))
+            .cast("long")
+            .alias("edit_dist"),
+        )
+    )
+
+
+#: SimHash band count for Hamming-banded pairing: by pigeonhole, any two
+#: signatures within Hamming distance ``SIMHASH_NEARDUP_BANDS - 1`` agree
+#: exactly on at least one of the bands, so the banded equi-join is
+#: *complete* (not approximate) for that radius. 4 bands × 13 bits covers
+#: the full 52-bit signature.
+SIMHASH_NEARDUP_BANDS = 4
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = SIMHASH_NEARDUP_BANDS - 1,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-duplicate pairs within ``max_hamming`` bit flips.
+
+    Pipeline: 52-bit SimHash per doc (map-only, :func:`simhash_docs`) →
+    explode into ``SIMHASH_NEARDUP_BANDS`` 13-bit band keys, the full
+    signature riding along → self-equi-join inside band buckets (never
+    all-pairs) → exact Hamming distance via ``bit_count(xor)`` read off
+    the joined row → filter ≤ ``max_hamming`` → distinct pairs. Output:
+    (doc_a, doc_b, hamming), doc_a < doc_b.
+
+    **Completeness**: with the default ``max_hamming = bands - 1`` the
+    pigeonhole guarantee makes this the *exact* set of pairs within the
+    radius — banding is a pruning strategy, not an approximation (unlike
+    MinHash banding, which is probabilistic in the signature itself).
+
+    100 TB: same shape as :func:`minhash_candidate_pairs` — cost is
+    O(docs × bands + Σ bucket²) with 13-bit keys spreading the join;
+    ``max_bucket_size`` caps pathological buckets (same window-count
+    guard, no extra exchange). The Hamming filter runs *inside* the join
+    before the distinct, so the dedup shuffle carries only surviving
+    pairs.
+    """
+    bands_n = SIMHASH_NEARDUP_BANDS
+    width = SIMHASH_BITS // bands_n
+    mask = (1 << width) - 1
+    sh = simhash_docs(docs, text_col, id_col).select(
+        F.col("doc_id").alias("doc"), "simhash"
+    )
+    bands = sh.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
+                        F.lit(mask)
+                    )
+                    for b in range(bands_n)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_key")
+        bands = (
+            bands.withColumn("_bucket_n", F.count("*").over(w))
+            .where(F.col("_bucket_n") <= max_bucket_size)
+            .drop("_bucket_n")
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .where(ham <= max_hamming)
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 def word_bigrams(text: Column | str) -> Column:
     """Distinct word-bigram strings ('tok1 tok2'); [] for < 2 tokens.
 

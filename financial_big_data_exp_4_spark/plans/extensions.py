@@ -33,6 +33,7 @@ from financial_big_data_exp_4_spark.operators import (
     keep_latest,
     language_id,
     minhash_candidate_pairs,
+    neardup_edit_distance,
     multimodal_metadata,
     ngram_jaccard_adjacent,
     normalize_text,
@@ -40,6 +41,7 @@ from financial_big_data_exp_4_spark.operators import (
     revenue_by_region,
     sessionize,
     simhash_docs,
+    simhash_neardup_pairs,
     text_quality,
     token_counts,
     tumbling_counts,
@@ -63,6 +65,16 @@ def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_docs(load_table(spark, sf_dir, "documents"))
+
+
+def q_neardup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein over the LSH candidate pairs (verify metric #3)."""
+    return neardup_edit_distance(load_table(spark, sf_dir, "documents"))
+
+
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash pairs within Hamming ≤ 3 — banded join, pigeonhole-complete."""
+    return simhash_neardup_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -710,10 +722,76 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: 3-way join (lineitem ⋈ orders ⋈
+    customer) with per-table filters, exact-DECIMAL revenue, top 10.
+
+    100 TB plan: every filter is pushed to its own scan before any join
+    (the segment filter prunes ~80% of customers, the date filters prune
+    both fact tables); joins are left unhinted — at this fixture scale AQE
+    broadcasts the filtered customer side, at warehouse scale the same
+    plan degrades gracefully to shuffle joins on the (uniform) key
+    columns. Revenue routes through DECIMAL(12,2)×(4,2) so the grouped
+    sum is reduction-order-independent, and the final (revenue DESC,
+    o_orderdate, l_orderkey) sort is a total order, making the LIMIT 10
+    deterministic — plans as TakeOrderedAndProject, never a global sort."""
+    cutoff = F.lit("1998-06-15").cast("timestamp")
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < cutoff
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > cutoff
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted replicate-join declared under the oracle: lineitem ⋈
+    part on partkey, brand-level quantity totals. Salting spreads any hot
+    partkey over 8 reducers and replicates the (small) part side per salt;
+    the oracle is the *plain* join + GROUP BY — salting must be
+    output-invariant. Quantity sums route through DECIMAL."""
+    from financial_big_data_exp_4_spark.operators.skew import (
+        salted_join_small,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    return (
+        salted_join_small(li, part, key="partkey", n_salts=8)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
 EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_neardup_minhash": q_neardup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
+    "q_simhash_neardup": q_simhash_neardup,
+    "q_neardup_edit": q_neardup_edit,
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_embed_cosine_topk": q_embed_cosine_topk,
     "q_embed_ann_ivf": q_embed_ann_ivf,
@@ -756,6 +834,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_approx_distinct": q_approx_distinct,
     "q_skew_agg": q_skew_agg,
     "q_lineitem_pricing": q_lineitem_pricing,
+    "q_shipping_priority": q_shipping_priority,
+    "q_skew_join": q_skew_join,
     "q_curation_yield": q_curation_yield,
     "q_sql_surface": q_sql_surface,
     "q_ntile": q_ntile,

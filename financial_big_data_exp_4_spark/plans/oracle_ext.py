@@ -181,6 +181,28 @@ Q_DEDUP_SIMHASH = f"""
     FROM (SELECT doc_id, {_TH_RAW} AS th FROM documents)
 """
 
+_SH_BANDS = "\n        UNION ALL ".join(
+    f"SELECT doc_id AS doc, simhash, {b} AS band_id, "
+    f"(simhash >> {b * (SIMHASH_BITS // 4)}) & "
+    f"{(1 << (SIMHASH_BITS // 4)) - 1} AS band_key FROM sh"
+    for b in range(4)
+)
+
+#: Hamming-banded SimHash pairing: 4 bands of 13 bits — pigeonhole-complete
+#: for Hamming ≤ 3 (operators/dedup.py simhash_neardup_pairs).
+Q_SIMHASH_NEARDUP = f"""
+    WITH sh AS ({Q_DEDUP_SIMHASH}
+    ), bands AS (
+        {_SH_BANDS}
+    )
+    SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b,
+           CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+    FROM bands x JOIN bands y
+      ON x.band_id = y.band_id AND x.band_key = y.band_key
+     AND x.doc < y.doc
+    WHERE bit_count(xor(x.simhash, y.simhash)) <= 3
+"""
+
 _GRAMS = (
     "CASE WHEN len(toks) >= 2 THEN "
     "list_distinct(list_transform(generate_series(1, len(toks) - 1), "
@@ -568,6 +590,7 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_dedup_exact": Q_DEDUP_EXACT,
     "q_neardup_minhash": Q_NEARDUP_MINHASH,
     "q_dedup_simhash": Q_DEDUP_SIMHASH,
+    "q_simhash_neardup": Q_SIMHASH_NEARDUP,
     "q_ngram_jaccard": Q_NGRAM_JACCARD,
     "q_embed_cosine_topk": Q_EMBED_COSINE_TOPK,
     "q_embed_ann_ivf": Q_EMBED_ANN_IVF,
@@ -959,6 +982,30 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     # all money math inside DECIMAL (order-independent sums; identical
     # widening as Spark: (12,2)*(4,2)*(4,2) -> scale 6), averages derived
     # from the decimal sums with one double division each.
+    "q_shipping_priority": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+                    AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-15'
+          AND l_shipdate > TIMESTAMP '1998-06-15'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    # salting is output-invariant: the oracle is the plain join+aggregate
+    "q_skew_join": """
+        SELECT p_brand,
+               count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    """,
     "q_lineitem_pricing": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
@@ -1010,6 +1057,17 @@ EXTENSION_ORACLE_SQL["q_stream_range_join"] = EXTENSION_ORACLE_SQL[
 from financial_big_data_exp_4_spark.operators.dedup import (  # noqa: E402
     NEARDUP_VERIFY_THRESHOLD,
 )
+
+# Same candidate front end, exact character edit distance as the verify
+# metric (integer → hash-exact on any engine).
+EXTENSION_ORACLE_SQL["q_neardup_edit"] = f"""
+    WITH cand AS ({Q_NEARDUP_MINHASH})
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+    FROM cand c
+    JOIN documents da ON c.doc_a = da.doc_id
+    JOIN documents db ON c.doc_b = db.doc_id
+"""
 
 EXTENSION_ORACLE_SQL["q_neardup_verified"] = f"""
     WITH cand AS ({Q_NEARDUP_MINHASH}),

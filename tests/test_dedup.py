@@ -81,6 +81,33 @@ def test_simhash_identical_texts_equal_and_near_texts_close(spark):
     assert 0 <= sims[0] < 2**52
 
 
+def test_simhash_neardup_pairs_pigeonhole_complete(spark):
+    """Banding with bands = max_hamming + 1 must return EXACTLY the pairs
+    within the radius — banding prunes, it never drops an in-radius pair
+    (pigeonhole: ≤3 flipped bits cannot touch all 4 bands)."""
+    from financial_big_data_exp_4_spark.operators import (
+        simhash_docs,
+        simhash_neardup_pairs,
+    )
+
+    t = "spark engines shuffle data between executors for aggregation"
+    texts = [t, t, t + " daily", "unrelated words entirely about gardening"]
+    docs = _docs(spark, texts)
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+    expected = {
+        (a, b): bin(sims[a] ^ sims[b]).count("1")
+        for a in sims
+        for b in sims
+        if a < b and bin(sims[a] ^ sims[b]).count("1") <= 3
+    }
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(docs).collect()
+    }
+    assert got == expected
+    assert (0, 1) in got and got[(0, 1)] == 0  # identical pair survives
+
+
 def test_ngram_jaccard_adjacent_bounds(spark):
     from financial_big_data_exp_4_spark.operators import ngram_jaccard_adjacent
 

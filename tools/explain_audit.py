@@ -83,6 +83,13 @@ def main() -> int:
                 problems.append("unexpected Sort in rebalanced map query")
         if name == "q_star_join" and "BroadcastHashJoin" not in plan:
             problems.append("dims not broadcast")
+        if name == "q_shipping_priority":
+            if "TakeOrderedAndProject" not in plan:
+                problems.append("shipping-priority top-10 is a global sort")
+            if "PushedFilters: [IsNotNull(c_mktsegment)" not in plan and (
+                "EqualTo(c_mktsegment,BUILDING)" not in plan
+            ):
+                problems.append("segment filter not pushed to customer scan")
         if name == "q_topk" and "TakeOrderedAndProject" not in plan:
             problems.append("top-k not TakeOrderedAndProject")
         if name == "q_range_join" and (
