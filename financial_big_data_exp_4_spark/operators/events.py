@@ -87,6 +87,44 @@ def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     )
 
 
+def gap_fill_hourly(events: DataFrame) -> DataFrame:
+    """Time-series resampling: per event_type, the *dense* hourly count
+    series between that type's first and last event — missing hours
+    emitted with count 0 (the gap-fill every downstream
+    charting/forecasting consumer needs; an aggregate alone silently
+    drops empty buckets).
+
+    Shape: one partial-aggregated shuffle to hourly counts (bounded key
+    space: types × hours), then the dense grid is *generated* from the
+    tiny per-type (min, max) span via ``sequence``+``explode`` — the fact
+    table is never scanned twice — and left-joined back to the counts.
+    At 100 TB the grid is still only types × hours rows; everything after
+    the first aggregate is dimension-sized.
+    """
+    hour = F.expr(f"ts DIV {NS_PER_SEC * 3600}").cast("long")
+    counts = (
+        events.select(F.col("event_type"), hour.alias("hour_bucket"))
+        .groupBy("event_type", "hour_bucket")
+        .agg(F.count("*").alias("n_events"))
+    )
+    spans = counts.groupBy("event_type").agg(
+        F.min("hour_bucket").alias("_lo"), F.max("hour_bucket").alias("_hi")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(
+            "hour_bucket"
+        ),
+    )
+    return grid.join(counts, ["event_type", "hour_bucket"], "left").select(
+        "event_type",
+        (F.col("hour_bucket") * 3600).cast("long").alias("hour_start_s"),
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+            "n_events"
+        ),
+    )
+
+
 def json_extract_stats(events: DataFrame) -> DataFrame:
     """Parse the ``props`` JSON column (``{"k": <int>}``) and aggregate the
     extracted value per event_type — the semi-structured-column pattern.

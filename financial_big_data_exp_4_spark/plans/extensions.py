@@ -722,6 +722,71 @@ def q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly event series with zero-filled gaps (resampling)."""
+    from financial_big_data_exp_4_spark.operators.events import (
+        gap_fill_hourly,
+    )
+
+    return gap_fill_hourly(load_table(spark, sf_dir, "events"))
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer cumulative spend: unbounded-preceding window sum over
+    a total order (o_orderdate, o_orderkey). The frame sum routes through
+    DECIMAL(38,2) — Spark evaluates running window sums with pairwise/
+    segment-tree association at scale, so a double frame sum is
+    reduction-order-dependent; decimal is associative and bit-stable.
+    One shuffle on o_custkey; the in-partition sort is the window's."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(38,2)"))
+        .over(w)
+        .cast("double")
+        .alias("cum_spend"),
+    )
+
+
+def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price per return flag,
+    computed from DECIMAL-routed moment sums instead of ``F.corr`` —
+    corr's streaming covariance accumulator is reduction-order-dependent
+    in its low bits, so the sums are made associative (decimal) and the
+    closed-form combination runs in IEEE double (−, ×, /, sqrt are all
+    correctly rounded → bit-identical on any engine evaluating the same
+    expression tree). Per-row double products (qty×price) are themselves
+    correctly rounded, deterministically, before the decimal cast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    # cast each factor to DECIMAL *before* multiplying: a double→decimal
+    # cast of a product is engine-dependent in the last digit (Spark
+    # rounds the shortest decimal repr, DuckDB the exact binary value),
+    # but these 2-dp columns cast exactly, and decimal×decimal is exact
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+
+    def dsum(c):
+        return F.sum(c).cast("double")
+
+    n = F.count("*").cast("double")
+    sx, sy = dsum(x), dsum(y)
+    sxy, sxx, syy = dsum(x * y), dsum(x * x), dsum(y * y)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return li.groupBy("l_returnflag").agg(
+        corr.alias("corr_qty_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped shipping priority: 3-way join (lineitem ⋈ orders ⋈
     customer) with per-table filters, exact-DECIMAL revenue, top 10.
@@ -836,6 +901,9 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lineitem_pricing": q_lineitem_pricing,
     "q_shipping_priority": q_shipping_priority,
     "q_skew_join": q_skew_join,
+    "q_gap_fill": q_gap_fill,
+    "q_running_total": q_running_total,
+    "q_correlation": q_correlation,
     "q_curation_yield": q_curation_yield,
     "q_sql_surface": q_sql_surface,
     "q_ntile": q_ntile,

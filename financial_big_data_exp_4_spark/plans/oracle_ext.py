@@ -997,6 +997,59 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         ORDER BY revenue DESC, o_orderdate, l_orderkey
         LIMIT 10
     """,
+    # ns→µs reader truncation cannot move an event across a whole-second
+    # hour boundary; grid generated from the aggregate, not a rescan
+    "q_gap_fill": """
+        WITH counts AS (
+            SELECT event_type,
+                   epoch_us(ts) // 3600000000 AS hour_bucket,
+                   count(*) AS n_events
+            FROM events GROUP BY 1, 2
+        ), spans AS (
+            SELECT event_type, min(hour_bucket) AS lo, max(hour_bucket) AS hi
+            FROM counts GROUP BY 1
+        ), grid AS (
+            SELECT event_type, unnest(range(lo, hi + 1)) AS hour_bucket
+            FROM spans
+        )
+        SELECT g.event_type,
+               CAST(g.hour_bucket * 3600 AS BIGINT) AS hour_start_s,
+               CAST(coalesce(c.n_events, 0) AS BIGINT) AS n_events
+        FROM grid g LEFT JOIN counts c USING (event_type, hour_bucket)
+    """,
+    "q_running_total": """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS cum_spend
+        FROM orders
+    """,
+    "q_correlation": """
+        WITH d AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS DECIMAL(12,2)) AS xd,
+                   CAST(l_extendedprice AS DECIMAL(12,2)) AS yd
+            FROM lineitem
+        ), m AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS DOUBLE) AS n,
+                   CAST(sum(xd) AS DOUBLE) AS sx,
+                   CAST(sum(yd) AS DOUBLE) AS sy,
+                   CAST(sum(xd * yd) AS DOUBLE) AS sxy,
+                   CAST(sum(xd * xd) AS DOUBLE) AS sxx,
+                   CAST(sum(yd * yd) AS DOUBLE) AS syy,
+                   count(*) AS n_rows
+            FROM d GROUP BY l_returnflag
+        )
+        SELECT l_returnflag,
+               (n * sxy - sx * sy)
+                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                   AS corr_qty_price,
+               n_rows
+        FROM m
+    """,
     # salting is output-invariant: the oracle is the plain join+aggregate
     "q_skew_join": """
         SELECT p_brand,

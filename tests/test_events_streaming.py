@@ -54,6 +54,33 @@ def test_tumbling_counts_window_edges(spark):
     assert out == {10 * 3600: 3, 11 * 3600: 1}
 
 
+def test_gap_fill_emits_zero_rows_for_empty_hours(spark):
+    """The dense grid must cover every hour in [first, last] per type,
+    with absent hours as explicit zeros — per type, not globally."""
+    from financial_big_data_exp_4_spark.operators.events import (
+        gap_fill_hourly,
+    )
+
+    h = 3600 * NS
+    rows = [
+        (1, "a", 10 * h + 5),
+        (2, "a", 13 * h + 5),  # hours 11, 12 are gaps for "a"
+        (3, "b", 11 * h + 5),  # "b" spans a single hour: no fill rows
+    ]
+    events = spark.createDataFrame(rows, "event_id long, event_type string, ts long")
+    out = {
+        (r["event_type"], r["hour_start_s"]): r["n_events"]
+        for r in gap_fill_hourly(events).collect()
+    }
+    assert out == {
+        ("a", 10 * 3600): 1,
+        ("a", 11 * 3600): 0,
+        ("a", 12 * 3600): 0,
+        ("a", 13 * 3600): 1,
+        ("b", 11 * 3600): 1,
+    }
+
+
 def test_streaming_tumbling_matches_batch(spark, sf_dir):
     from financial_big_data_exp_4_spark.operators import tumbling_counts
     from financial_big_data_exp_4_spark.sources import load_table
