@@ -19,16 +19,16 @@ time map-only queries as parquet row-counts (round-2 ADVICE).
 
 For the cross-engine reference the same script runs every DuckDB oracle
 once over the same parquet files and reports ``oracle_total_sec`` and the
-Spark/oracle ``oracle_ratio``. Round-3 measured numbers on this host:
-Spark ≈ 30s vs oracle ≈ 16s at sf0.1 over 66+ queries — ratio ≈ 1.8.
-The gap decomposes as (a) Spark's ~0.1-0.25s per-action floor (~10-13s
-across the suite — scheduler/stage setup that DuckDB's ~10ms floor
-doesn't pay, and that amortizes away at real scale), (b) ~3s of
-Structured-Streaming engine startup for the three availableNow streaming
-queries, and (c) md5-parity hashing where DuckDB's vectorized md5 is
-~1.3× the JVM's. Per-query ratios on the non-floor-dominated heavy
-queries (minhash 1.5×, fingerprint 1.3×, ngram 1.3×, clusters ~1.2×
-vs its recursive-CTE oracle) are the scale-relevant signal.
+Spark/oracle ``oracle_ratio``. Round-3 measured numbers on this host
+(late round, 76 queries): Spark ≈ 28-30s vs oracle ≈ 18-20s at sf0.1 —
+ratio ≈ 1.5. The gap decomposes as (a) Spark's ~0.1-0.25s per-action
+floor (~12-14s across the suite — scheduler/stage setup that DuckDB's
+~10ms floor doesn't pay, and that amortizes away at real scale), (b) ~4s
+of Structured-Streaming engine startup for the four availableNow
+streaming queries, and (c) md5-parity hashing where DuckDB's vectorized
+md5 is ~1.3× the JVM's. Per-query ratios on the non-floor-dominated
+heavy queries (minhash, fingerprint, ngram, clusters vs its
+recursive-CTE oracle — all ≈ 1-1.5×) are the scale-relevant signal.
 """
 
 from __future__ import annotations

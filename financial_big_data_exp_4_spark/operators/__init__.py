@@ -16,6 +16,7 @@ from financial_big_data_exp_4_spark.operators.corpus import (
 )
 from financial_big_data_exp_4_spark.operators.graph import (
     connected_components,
+    connected_components_twostar,
     dedup_clusters,
 )
 from financial_big_data_exp_4_spark.operators.dedup import (
@@ -69,6 +70,7 @@ __all__ = [
     "scrub_pii",
     "cosine_topk_ivf",
     "connected_components",
+    "connected_components_twostar",
     "customers_without_orders",
     "decode_image",
     "dedup_clusters",

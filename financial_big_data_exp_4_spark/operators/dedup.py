@@ -190,12 +190,19 @@ def minhash_candidate_pairs(
     # expression is the dominant cost and Spark does not share scans
     # between self-join branches. Together with the CPU rebalance above,
     # measured 3.1× on the whole query at sf0.1 (3.06s → 0.99s warm).
-    bands = sig.select(
-        "doc",
-        *[F.col(f"mh_{i}") for i in range(k)],
-        F.posexplode(
-            F.array(*[_band_key(b) for b in range(MINHASH_BANDS)])
-        ).alias("band_id", "band_key"),
+    from financial_big_data_exp_4_spark.session import persist_scoped
+
+    # persist the exploded band rows: both self-join branches read them,
+    # and Spark does not share scans between branches — unpersisted, the
+    # dominant md5-shingle signature expression would compute twice
+    bands = persist_scoped(
+        sig.select(
+            "doc",
+            *[F.col(f"mh_{i}") for i in range(k)],
+            F.posexplode(
+                F.array(*[_band_key(b) for b in range(MINHASH_BANDS)])
+            ).alias("band_id", "band_key"),
+        )
     )
     if max_bucket_size is not None:
         from pyspark.sql import Window
@@ -360,19 +367,25 @@ def simhash_neardup_pairs(
     sh = simhash_docs(docs, text_col, id_col).select(
         F.col("doc_id").alias("doc"), "simhash"
     )
-    bands = sh.select(
-        "doc",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("simhash"), b * width).bitwiseAND(
-                        F.lit(mask)
-                    )
-                    for b in range(bands_n)
-                ]
-            )
-        ).alias("band_id", "band_key"),
+    from financial_big_data_exp_4_spark.session import persist_scoped
+
+    # persisted for the same reason as the minhash band rows: the 52-bit
+    # HOF fold would otherwise run once per self-join branch
+    bands = persist_scoped(
+        sh.select(
+            "doc",
+            "simhash",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.shiftright(
+                            F.col("simhash"), b * width
+                        ).bitwiseAND(F.lit(mask))
+                        for b in range(bands_n)
+                    ]
+                )
+            ).alias("band_id", "band_key"),
+        )
     )
     if max_bucket_size is not None:
         from pyspark.sql import Window

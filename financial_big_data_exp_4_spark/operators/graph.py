@@ -96,6 +96,114 @@ def connected_components(
     )
 
 
+def connected_components_twostar(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = CC_MAX_ITER,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+    — the adversarial-graph variant of :func:`connected_components`.
+
+    Min-label propagation needs O(diameter) rounds; two-star needs
+    O(log n) regardless of diameter, because each round re-wires nodes
+    directly toward the component minimum (path halving). Use it when the
+    candidate graph may contain long chains (e.g. near-dup edges over
+    shifting boilerplate); output contract is identical:
+    (doc_id, cluster_id = component minimum), one row per node with ≥ 1
+    edge.
+
+    Per round: two grouped aggregates keyed by node id (uniform keys,
+    2-long rows) and one distinct — same shuffle shape as one propagation
+    round, but the round COUNT is diameter-independent. The fixpoint test
+    is exact (two ``exceptAll`` probes with ``limit(1)``, not a checksum),
+    and lineage is cut per round with ``localCheckpoint``.
+
+    * large-star: for each node u, every *larger* neighbor is re-wired to
+      ``m = min(Γ(u) ∪ {u})``.
+    * small-star: edges oriented (big → small); each big node and its
+      smaller neighbors all re-wire to their collective minimum.
+    Stars (every non-min node pointing straight at its component min) are
+    the joint fixpoint; labels read directly off the final edge set.
+    """
+    raw = edges.select(
+        F.col(src).cast("long").alias("u"),
+        F.col(dst).cast("long").alias("v"),
+    )
+    # node inventory BEFORE dropping self-loops: a node whose only edge is
+    # (x, x) is still a (singleton) component — same contract as
+    # connected_components
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    canon = (
+        raw.where(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        # v > u ≥ m, so (v, m) is already canonical (big, small)
+        return (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # e is canonical (u > v); min over smaller neighbors is < u
+        mins = e.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            e.join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        center = mins.select(F.col("u"), F.col("m").alias("v"))
+        out = rewired.union(center)
+        return out.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).where(F.col("u") != F.col("v"))
+
+    e = canon
+    for _ in range(max_iter):
+        e_next = (
+            small_star(large_star(e)).distinct().localCheckpoint(eager=True)
+        )
+        stable = (
+            e_next.exceptAll(e).limit(1).count() == 0
+            and e.exceptAll(e_next).limit(1).count() == 0
+        )
+        e = e_next
+        if stable:
+            star = e.select(
+                F.col("u").alias("node"), F.col("v").alias("lbl")
+            )
+            return (
+                all_nodes.join(star, "node", "left")
+                .select(
+                    F.col("node").alias("doc_id"),
+                    F.coalesce(F.col("lbl"), F.col("node")).alias(
+                        "cluster_id"
+                    ),
+                )
+            )
+    raise RuntimeError(
+        f"connected_components_twostar: no fixpoint after {max_iter} rounds"
+    )
+
+
 def dedup_clusters(docs: DataFrame) -> DataFrame:
     """Near-duplicate *groups*: MinHash-LSH candidate pairs → connected
     components. One row per clustered doc with its cluster id (the

@@ -37,21 +37,11 @@ from pyspark.sql import functions as F
 TOPK = 10
 IVF_CENTROID_STRIDE = 50  # every 50th vector is a "centroid" (det. sample)
 
-#: The one live cell-assignment cache. Repeated operator invocations (the
-#: bench runs every query 4×) would otherwise accumulate session-lifetime
-#: cache entries; each new assignment evicts the previous one. Harnesses
-#: execute each built query before building the next, so the eviction
-#: never races an action; an evicted plan that *is* re-executed simply
-#: recomputes (slower, still correct).
-_LIVE_CACHE: list[DataFrame] = []
-
-
-def _persist_scoped(df: DataFrame) -> DataFrame:
-    while _LIVE_CACHE:
-        _LIVE_CACHE.pop().unpersist()
-    df = df.persist()
-    _LIVE_CACHE.append(df)
-    return df
+# single-slot scoped cache shared engine-wide (moved to session.py so the
+# LSH band joins in operators/dedup.py use the same eviction slot)
+from financial_big_data_exp_4_spark.session import (  # noqa: E402
+    persist_scoped as _persist_scoped,
+)
 IVF_TOPK = 3
 #: Production near-dup mining would use ~0.95; the fixture embeddings are
 #: random (max observed in-cell cosine ≈ 0.48), so the declared query uses

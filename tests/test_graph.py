@@ -49,6 +49,46 @@ def test_connected_components_iteration_bound(spark):
         connected_components(edges, max_iter=1)
 
 
+def test_twostar_matches_naive_on_mixed_graph(spark):
+    from financial_big_data_exp_4_spark.operators import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (10, 11), (20, 20), (7, 5), (5, 9)],
+        "doc_a long, doc_b long",
+    )
+    naive = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges).collect()
+    }
+    twostar = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components_twostar(edges).collect()
+    }
+    assert twostar == naive
+
+
+def test_twostar_converges_on_chain_beyond_naive_bound(spark):
+    """A 40-node path has diameter 39: min-propagation cannot finish in 8
+    rounds, two-star does (O(log n) — a 41-node chain converges in 7;
+    simulated round counts: 12→5, 40→7, 100→8, 1000→11)."""
+    from financial_big_data_exp_4_spark.operators import (
+        connected_components,
+        connected_components_twostar,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(edges, max_iter=8)
+    got = connected_components_twostar(edges, max_iter=8).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 41
+
+
 def test_dedup_clusters_cover_candidate_pairs(spark, sf_dir):
     """Every candidate pair must land in one cluster, and each cluster id
     must be the minimum doc_id of its member set."""
