@@ -349,8 +349,10 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_session_counts,
     )
 
+    # Truncate the loader's µs event time to whole seconds (works for both
+    # physical ts encodings — the raw column is not referenced here).
     stream = read_events_stream(spark, sf_dir).withColumn(
-        "ts_utc", F.expr("timestamp_seconds(ts DIV 1000000000)")
+        "ts_utc", F.expr("timestamp_seconds(unix_micros(ts_utc) DIV 1000000)")
     )
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory() as ckpt:

@@ -6,13 +6,16 @@ directory. At cluster scale these would be partitioned datasets; the loaders
 take any path Spark's parquet source accepts, so directory-of-files layouts
 work unchanged and benefit from partition pruning.
 
-``events.parquet`` is INT64 TIMESTAMP(NANOS); with the session conf
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set by
-:func:`~financial_big_data_exp_4_spark.session.ensure_session_confs`) the
-``ts`` column arrives as bigint nanoseconds. :func:`events_with_timestamp`
-derives a proper microsecond timestamp column via exact integer arithmetic
-(no double round-trip — at ~1.7e18 ns a double division would lose
-precision).
+``events.ts`` has shipped in two physical encodings across fixture
+generations: INT64 TIMESTAMP(NANOS) (read as bigint ns under the session
+conf ``spark.sql.legacy.parquet.nanosAsLong=true``) and plain
+TIMESTAMP(MICROS). The engine's canonical form is **bigint epoch
+nanoseconds** — :func:`load_table` normalizes ``events`` to it on read, so
+every downstream operator keeps exact integer window/gap arithmetic (at
+~1.7e18 ns a double round-trip would lose precision). µs→ns is exact
+(×1000 on ~1.7e15 fits int64 with 3 decimal digits to spare). The DuckDB
+oracles read the same files through ``epoch_us(ts)``, polymorphic over
+both encodings.
 """
 
 from __future__ import annotations
@@ -41,9 +44,22 @@ BROADCAST_TABLES: frozenset[str] = frozenset({"region", "nation"})
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Column pruning / predicate pushdown is left to
-    Catalyst — callers ``select``/``filter`` and the scan narrows itself."""
+    Catalyst — callers ``select``/``filter`` and the scan narrows itself.
+
+    ``events`` is normalized so ``ts`` is always bigint epoch **nanoseconds**
+    (module docstring) — the one projection the engine inserts at scan time.
+    """
     ensure_session_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type != "bigint":
+            # TIMESTAMP_NTZ/LTZ µs → exact integer ns. NTZ casts to LTZ in
+            # the session zone (pinned UTC), so epoch extraction is stable.
+            df = df.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
