@@ -8,9 +8,11 @@ Streaming (see :mod:`financial_big_data_exp_4_spark.streaming`), and the
 sessionizer is the batch twin of a ``session_window`` / stateful
 ``applyInPandasWithState`` aggregation.
 
-``events.ts`` is physically INT64 TIMESTAMP(NANOS); the engine reads it as
-bigint nanoseconds (session conf) and windows with exact integer
-arithmetic — at ~1.7e18 ns a double round-trip would lose precision. The
+``events.ts`` arrives from the loader as canonical bigint nanoseconds
+(``sources.parquet.load_table`` normalizes both physical encodings —
+TIMESTAMP(NANOS) and TIMESTAMP(MICROS) — to it) and windows with exact
+integer arithmetic — at ~1.7e18 ns a double round-trip would lose
+precision. The
 oracle mirrors via ``epoch_us`` (its reader truncates ns→µs; truncation
 cannot move an event across an hour or session boundary defined in whole
 seconds... gaps are computed in seconds below for exactly that reason).

@@ -4,9 +4,12 @@ The reference runs Spark 2.4.5 ``local[*]`` with all defaults
 (reference ``README.md:420-424``, nb2 cell 1). We target Spark 4.x and set
 the handful of configs that matter for correctness and for scale:
 
-* ``spark.sql.legacy.parquet.nanosAsLong`` — the driver fixture
-  ``events.parquet`` is physically INT64 TIMESTAMP(NANOS); Spark refuses to
-  read it without this flag (the column then arrives as bigint nanoseconds).
+* ``spark.sql.legacy.parquet.nanosAsLong`` — earlier fixture generations
+  shipped ``events.parquet`` as INT64 TIMESTAMP(NANOS), which Spark refuses
+  to read without this flag (the column then arrives as bigint
+  nanoseconds). Current fixtures use TIMESTAMP(MICROS); the flag is kept so
+  both encodings load, and ``sources.parquet.load_table`` normalizes either
+  to the engine's canonical bigint-ns ``ts``.
 * AQE on — runtime shuffle-partition coalescing + skew-join splitting; this
   is what makes a fixed ``spark.sql.shuffle.partitions`` safe from sf0.001
   up to cluster scale.
