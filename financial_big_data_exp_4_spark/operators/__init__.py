@@ -7,6 +7,8 @@ ANSI-SQL oracle in :mod:`financial_big_data_exp_4_spark.plans.oracle_ext`.
 """
 
 from financial_big_data_exp_4_spark.operators.corpus import (
+    bm25_scores,
+    chunk_documents,
     inverted_index,
     pack_sequences,
     quality_filter,
@@ -44,6 +46,9 @@ from financial_big_data_exp_4_spark.operators.joins import (
 from financial_big_data_exp_4_spark.operators.relational import (
     hash_sample,
     keep_latest,
+    merge_changes,
+    scd2_intervals,
+    winsorize,
 )
 from financial_big_data_exp_4_spark.operators.multimodal import (
     decode_image,
@@ -53,6 +58,7 @@ from financial_big_data_exp_4_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     embedding_neardup_pairs,
+    hyperplane_signatures,
 )
 from financial_big_data_exp_4_spark.operators.text import (
     doc_fingerprint,
@@ -65,6 +71,8 @@ from financial_big_data_exp_4_spark.operators.text import (
 
 __all__ = [
     "apply_exact_dedup",
+    "bm25_scores",
+    "chunk_documents",
     "cosine_topk_bruteforce",
     "moving_value_avg",
     "scrub_pii",
@@ -78,10 +86,14 @@ __all__ = [
     "embedding_neardup_pairs",
     "exact_dedup",
     "hash_sample",
+    "hyperplane_signatures",
     "inverted_index",
     "json_extract_stats",
     "keep_latest",
     "language_id",
+    "merge_changes",
+    "scd2_intervals",
+    "winsorize",
     "pack_sequences",
     "quality_filter",
     "repetition_stats",

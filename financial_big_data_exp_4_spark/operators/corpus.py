@@ -75,6 +75,20 @@ EVENT_SAMPLE_RATES: dict[str, int] = {
 #: TF-IDF output size.
 TFIDF_TOP_K = 20
 
+#: Chunking defaults: window width and overlap in characters (step =
+#: width − overlap). Character-based here; a token-based chunker swaps the
+#: ``substr`` for an array slice over the token array, same plan shape.
+CHUNK_WIDTH = 120
+CHUNK_OVERLAP = 30
+
+#: BM25 defaults (Robertson-Spärck Jones): saturation and length norm.
+BM25_K1 = 1.5
+BM25_B = 0.75
+#: Fixed query-term set for the declared query (present in the fixture
+#: vocabulary); the operator takes any term tuple.
+BM25_QUERY_TERMS: tuple[str, ...] = ("join", "hash", "window", "spark")
+BM25_TOP_K = 10
+
 
 def quality_filter(
     docs: DataFrame,
@@ -334,6 +348,122 @@ def stratified_sample(
     for s, r in sorted(rates_permille.items()):
         rate = F.when(F.col(stratum) == s, F.lit(r)).otherwise(rate)
     return df.where(bucket < rate)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = CHUNK_WIDTH,
+    overlap: int = CHUNK_OVERLAP,
+) -> DataFrame:
+    """Split documents into overlapping fixed-width character chunks —
+    the context-window preparation step of an embedding/RAG pipeline.
+
+    Chunk starts are ``1, 1+step, …`` while ``start ≤ max(len−overlap,
+    1)`` (step = width − overlap), so consecutive chunks share
+    ``overlap`` characters, every character is covered, and no chunk
+    starts inside the final overlap (which would emit a redundant
+    tail ⊂ the previous chunk). Map-only row expansion:
+    ``sequence``+``explode`` inside whole-stage codegen, no shuffle, no
+    Python — the output is immediately partition-parallel for the
+    downstream embedder. Emits the md5 of each chunk (the id a
+    chunk-level exact-dedup keys on) rather than the chunk text, keeping
+    the declared output narrow; production would carry the text.
+    """
+    step = width - overlap
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(t) - F.lit(overlap), F.lit(1)),
+        F.lit(step),
+    )
+    chunk = F.substring(F.col("_t"), F.col("start"), width)
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"), t.alias("_t"),
+            F.explode(starts).alias("start"),
+        )
+        .select(
+            "doc_id",
+            F.expr(f"CAST((start - 1) DIV {step} AS BIGINT)").alias(
+                "chunk_idx"
+            ),
+            F.col("start").cast("long").alias("start"),
+            F.length(chunk).cast("long").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = BM25_TOP_K,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-term BM25 ranking: the top-``k`` documents for each query term.
+
+    ``score = idf · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with the
+    *linear* idf ``(N − df + 0.5)/(df + 0.5)`` — ``ln``-free for the same
+    bit-portability reason as :func:`tfidf_top_terms` (transcendentals
+    are not exactly rounded across libms; +·−·×·÷ are). ``ln`` drops in
+    without touching the plan.
+
+    Plan shape: one scan computes doc length and explodes only matching
+    terms (the ``isin`` filter sits under the explode-aggregate, so
+    non-query terms never reach the shuffle); ``dl`` rides the tf
+    aggregate as ``min`` (constant per doc) — no doc-keyed join back.
+    df-per-term and the (N, avgdl) corpus stats are broadcast 1-row/tiny
+    aggregates. Scores are per (doc, term) — summing across terms would
+    add doubles in engine-defined order; ranking is per term, so no
+    cross-term float sum exists. Ties rank by doc_id asc (total order).
+    """
+    t = F.col(text_col)
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize(t).alias("_toks")
+    )
+    hits = base.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("_dl"),
+        F.explode("_toks").alias("term"),
+    ).where(F.col("term").isin(*terms))
+    tf = hits.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.min("_dl").alias("dl")
+    )
+    df_per_term = tf.groupBy("term").agg(F.count("*").alias("df"))
+    corpus = base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("_toks").cast("long")).alias("_sum_dl"),
+    )
+    idf = (
+        F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5)
+    ) / (F.col("df").cast("double") + F.lit(0.5))
+    avgdl = F.col("_sum_dl").cast("double") / F.col("n_docs").cast("double")
+    tf_d = F.col("tf").cast("double")
+    score = idf * (
+        (tf_d * F.lit(k1 + 1.0))
+        / (tf_d + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(df_per_term), "term")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "term",
+            "doc_id",
+            F.col("tf").cast("long").alias("tf"),
+            "dl",
+            score.alias("bm25"),
+        )
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+    )
 
 
 def inverted_index(

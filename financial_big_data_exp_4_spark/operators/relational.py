@@ -1,7 +1,8 @@
-"""Relational pipeline patterns: CDC keep-latest deduplication and
-deterministic sampling (BASELINE north star — staples of a training-data
-ingestion pipeline that the reference's single-table workload never
-needed).
+"""Relational pipeline patterns: CDC keep-latest deduplication,
+deterministic sampling, MERGE-style change application, SCD Type-2
+interval builds, and per-group winsorization (BASELINE north star —
+staples of a training-data ingestion pipeline that the reference's
+single-table workload never needed).
 
 100 TB design notes
 -------------------
@@ -16,11 +17,30 @@ needed).
   arithmetic (same formula as the train/test split), so a sample drawn
   today reproduces bit-for-bit tomorrow, which ``TABLESAMPLE``/``rand``
   cannot promise. Filter sits directly on the scan.
+* **MERGE apply** never shuffles the base table: the change set (tiny by
+  CDC construction) is **broadcast**, matched rows resolve map-side
+  (update = overwrite, delete = filter), and tagged inserts union in —
+  the whole merge is one map-only pass over the base plus a union. A
+  full-outer-join formulation computes the same rows but shuffles 100 TB
+  of base to co-locate a few MB of changes; Delta/Iceberg MERGE works
+  like this broadcast form (find touched files, rewrite them map-side).
+* **SCD Type-2** is one exchange total: the change-detection window, the
+  (key, version) aggregate, and the validity-interval window all cluster
+  by the entity key, and hash-partitioning on ``user_id`` satisfies the
+  ``(user_id, version)`` clustering requirement, so Catalyst reuses the
+  first shuffle for all three (verified in the plan audit).
+* **Winsorize** computes per-group exact percentile bounds in a first
+  aggregate pass (group count is small — the bounds broadcast), then
+  clips map-side in a second scan. Exact ``percentile`` is sort-based
+  per group; at extreme scale swap the bounds pass to
+  ``approx_percentile`` without touching the clip pass.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Same multiplicative-hash constants as functions.core.train_test_split_col.
@@ -59,3 +79,116 @@ def hash_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
     k = F.col(key)
     bucket = ((k % _HASH_P) * _KNUTH) % _HASH_P % 100
     return df.where(bucket < pct)
+
+
+def merge_changes(
+    base: DataFrame, changes: DataFrame, key: str, cols: Sequence[str]
+) -> DataFrame:
+    """Apply a CDC change set to ``base`` — MERGE INTO semantics without a
+    table format: ``changes`` carries ``(key, op, cols...)`` with
+    ``op ∈ {'I','U','D'}`` (tagged by the upstream CDC source; ``'I'``
+    keys are new by contract).
+
+    * matched ``'U'`` → row rewritten with the change's column values;
+    * matched ``'D'`` → row dropped;
+    * ``'I'`` → appended.
+
+    Plan shape (module notes): broadcast LEFT join of base→changes, so
+    update/delete resolve map-side with zero shuffle of the base; inserts
+    are a unioned scan of the change set. Output column set = (key, cols).
+    """
+    ch = changes.select(
+        key, "op", *[F.col(c).alias(f"_new_{c}") for c in cols]
+    )
+    joined = base.join(F.broadcast(ch), key, "left")
+    survivors = joined.where(
+        F.col("op").isNull() | (F.col("op") == "U")
+    ).select(
+        key,
+        *[
+            F.when(F.col("op") == "U", F.col(f"_new_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in cols
+        ],
+    )
+    inserts = changes.where(F.col("op") == "I").select(key, *cols)
+    return survivors.unionByName(inserts)
+
+
+def scd2_intervals(
+    events: DataFrame,
+    key: str = "user_id",
+    attr: str = "event_type",
+    ts_s: str = "ts_s",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 build: collapse an event history
+    into validity intervals of ``attr`` per ``key``.
+
+    A new version opens whenever ``attr`` differs from the previous event
+    (ordered by ``(ts_s, tiebreak)`` — a total order, so versioning is
+    deterministic); ``valid_to_s`` is the next version's ``valid_from_s``
+    (NULL for the current version — the open interval).
+
+    One exchange total: change-detection window, (key, version) aggregate
+    and the validity window all cluster on ``key`` (module notes).
+    Output: (key, version, attr, valid_from_s, valid_to_s, n_events).
+    """
+    w = Window.partitionBy(key).orderBy(ts_s, tiebreak)
+    prev = F.lag(attr).over(w)
+    is_new = F.when(
+        prev.isNull() | (prev != F.col(attr)), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versioned = events.withColumn("_new", is_new).withColumn(
+        "version", F.sum("_new").over(wsum)
+    )
+    intervals = versioned.groupBy(key, "version").agg(
+        F.min(attr).alias(attr),  # constant within a version
+        F.min(ts_s).alias("valid_from_s"),
+        F.count("*").alias("n_events"),
+    )
+    wv = Window.partitionBy(key).orderBy("version")
+    return intervals.select(
+        key,
+        "version",
+        attr,
+        "valid_from_s",
+        F.lead("valid_from_s").over(wv).alias("valid_to_s"),
+        "n_events",
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group: str,
+    value: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group percentile clipping (winsorization) — the standard
+    outlier treatment before scaling/training.
+
+    Bounds are **exact** interpolated percentiles (``F.percentile`` ==
+    SQL ``quantile_cont``) computed in one aggregate pass; the group
+    cardinality is small, so the bounds **broadcast** and the clip is
+    map-side (``least(greatest(v, lo), hi)`` — comparisons only, no
+    arithmetic, so clipped values are bit-exact copies of the bound or
+    the original). Output keeps every input column and adds the clip
+    bounds, the clipped value, and a ``was_clipped`` audit flag.
+    """
+    v = F.col(value)
+    bounds = df.groupBy(group).agg(
+        F.percentile(v, lo).alias("_lo"),
+        F.percentile(v, hi).alias("_hi"),
+    )
+    return df.join(F.broadcast(bounds), group).select(
+        *df.columns,
+        F.col("_lo").alias("lo_bound"),
+        F.col("_hi").alias("hi_bound"),
+        F.least(F.greatest(v, F.col("_lo")), F.col("_hi")).alias(
+            f"{value}_clipped"
+        ),
+        ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("was_clipped"),
+    )

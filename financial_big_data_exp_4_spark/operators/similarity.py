@@ -37,6 +37,19 @@ from pyspark.sql import functions as F
 TOPK = 10
 IVF_CENTROID_STRIDE = 50  # every 50th vector is a "centroid" (det. sample)
 
+#: Signed-random-projection (hyperplane) LSH: number of planes = signature
+#: bits. 16 bits → 65k buckets; collision probability for two vectors is
+#: (1 − θ/π)^16 (Charikar 2002), the cosine sibling of the MinHash band
+#: trade-off.
+LSH_PLANES = 16
+#: Fixture embedding dimensionality (embeddings.embedding: array<float>[64]).
+LSH_DIM = 64
+#: Same multiplicative-hash constants as relational.hash_sample — the
+#: hyperplane weights are derived, not sampled, so signatures are
+#: deterministic across engines/runs with no stored model.
+_LSH_HASH_P = 1_000_000_007
+_LSH_KNUTH = 2_654_435_761
+
 # single-slot scoped cache shared engine-wide (moved to session.py so the
 # LSH band joins in operators/dedup.py use the same eviction slot)
 from financial_big_data_exp_4_spark.session import (  # noqa: E402
@@ -247,6 +260,46 @@ def embedding_neardup_pairs(
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
+    )
+
+
+#: Per-plane dot sign folded into a 16-bit signature, all inside ONE
+#: native expression tree (nested ``aggregate`` — the SimHash pattern):
+#: weight(p, d) = ((p·D + d)·knuth mod P) mod 2001 − 1000, an integer in
+#: [−1000, 1000] derived from the plane/dim index (max intermediate
+#: 1024·knuth ≈ 2.7e12 ≪ 2^63). Dot products fold left-to-right, matching
+#: the oracle's ``list_reduce`` bit-for-bit; integer weights are exact in
+#: double, so the sign test is portable.
+_LSH_SIG_EXPR = f"""aggregate(
+  sequence(0, {LSH_PLANES - 1}),
+  CAST(0 AS BIGINT),
+  (acc, p) -> acc + CASE WHEN
+    aggregate(
+      sequence(1, {LSH_DIM}),
+      CAST(0.0 AS DOUBLE),
+      (a, di) -> a + CAST(element_at(embedding, di) AS DOUBLE)
+                     * CAST((p * {LSH_DIM} + di - 1) * {_LSH_KNUTH}
+                            % {_LSH_HASH_P} % 2001 - 1000 AS DOUBLE)
+    ) > 0.0
+  THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END
+)"""
+
+
+def hyperplane_signatures(embeddings: DataFrame) -> DataFrame:
+    """Signed-random-projection LSH signature per vector — the
+    cosine-space sibling of SimHash: vectors on the same side of all 16
+    derived hyperplanes share a bucket, so near-duplicate mining becomes
+    a bucket equi-join (Σ bucket², never N²), exactly like the MinHash
+    band join and the IVF cell join.
+
+    Map-only, zero shuffle: one nested-``aggregate`` expression per row
+    (module constant). The planes are *derived* from index arithmetic
+    rather than sampled — no stored model, bit-reproducible anywhere.
+    Output: (vec_id, sig); bucket on ``sig`` (or on bit-bands of it for
+    higher recall) downstream.
+    """
+    return embeddings.select(
+        "vec_id", F.expr(_LSH_SIG_EXPR).alias("sig")
     )
 
 

@@ -14,9 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 from financial_big_data_exp_4_spark.operators import (
     apply_exact_dedup,
+    bm25_scores,
+    chunk_documents,
     cosine_topk_bruteforce,
+    hyperplane_signatures,
+    merge_changes,
     moving_value_avg,
+    scd2_intervals,
     scrub_pii,
+    winsorize,
     inverted_index,
     pack_sequences,
     quality_filter,
@@ -825,6 +831,88 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic CDC change set derived from orders: keys ≡1 (mod 97)
+    get a price bump update, ≡2 a delete, ≡3 an insert under a fresh
+    (negated) key — closed-form so the oracle rebuilds it verbatim."""
+    orders = load_table(spark, sf_dir, "orders")
+    upd = orders.where(F.col("o_orderkey") % 97 == 1).select(
+        "o_orderkey",
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + F.lit(1000.0)).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    dele = orders.where(F.col("o_orderkey") % 97 == 2).select(
+        "o_orderkey",
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+    )
+    ins = orders.where(F.col("o_orderkey") % 97 == 3).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("I").alias("op"),
+        "o_totalprice",
+        F.lit("N").alias("o_orderstatus"),
+    )
+    return upd.unionByName(dele).unionByName(ins)
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO without a table format: broadcast change application
+    (update/delete map-side, inserts unioned) — see
+    :func:`~financial_big_data_exp_4_spark.operators.relational.merge_changes`.
+    The base table is never shuffled."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    return merge_changes(
+        base,
+        _orders_changes(spark, sf_dir),
+        key="o_orderkey",
+        cols=("o_totalprice", "o_orderstatus"),
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from the event history: validity
+    intervals of event_type per user, one exchange total (windows and
+    aggregate all cluster on user_id)."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_id",
+        F.expr("ts DIV 1000000000").alias("ts_s"),
+        "event_type",
+    )
+    return scd2_intervals(base)
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority 5%/95% winsorization of order totals — exact
+    percentile bounds broadcast, map-side clip, audit flag."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    return winsorize(orders, group="o_orderpriority", value="o_totalprice")
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunking of documents (map-only row
+    expansion) — the RAG/embedding context-window prep stage."""
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents per query term by BM25 (ln-free idf variant)."""
+    return bm25_scores(load_table(spark, sf_dir, "documents"))
+
+
+def q_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit signed-random-projection LSH signature per embedding —
+    map-only, derived hyperplanes, zero shuffle."""
+    return hyperplane_signatures(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salted replicate-join declared under the oracle: lineitem ⋈
     part on partkey, brand-level quantity totals. Salting spreads any hot
@@ -916,4 +1004,10 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_apply": q_dedup_apply,
     "q_pii_scrub": q_pii_scrub,
     "q_approx_percentile": q_approx_percentile,
+    "q_merge_upsert": q_merge_upsert,
+    "q_scd2": q_scd2,
+    "q_winsorize": q_winsorize,
+    "q_doc_chunks": q_doc_chunks,
+    "q_bm25": q_bm25,
+    "q_embed_lsh": q_embed_lsh,
 }

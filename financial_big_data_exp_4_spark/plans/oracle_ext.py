@@ -34,6 +34,12 @@ from financial_big_data_exp_4_spark.operators.similarity import (
     TOPK,
 )
 from financial_big_data_exp_4_spark.operators.corpus import (
+    BM25_B,
+    BM25_K1,
+    BM25_QUERY_TERMS,
+    BM25_TOP_K,
+    CHUNK_OVERLAP,
+    CHUNK_WIDTH,
     EVENT_SAMPLE_RATES,
     INDEX_MAX_POSTINGS,
     PACK_BUDGET,
@@ -44,6 +50,12 @@ from financial_big_data_exp_4_spark.operators.corpus import (
     QF_MIN_MEAN_LEN,
     QF_MIN_WORDS,
     TFIDF_TOP_K,
+)
+from financial_big_data_exp_4_spark.operators.similarity import (  # noqa: E402
+    LSH_DIM,
+    LSH_PLANES,
+    _LSH_HASH_P,
+    _LSH_KNUTH,
 )
 from financial_big_data_exp_4_spark.operators.text import (
     FINGERPRINT_K,
@@ -1141,4 +1153,161 @@ EXTENSION_ORACLE_SQL["q_neardup_verified"] = f"""
     )
     SELECT doc_a, doc_b, jaccard FROM j
     WHERE jaccard >= {NEARDUP_VERIFY_THRESHOLD}
+"""
+
+# -- round-3 additions: MERGE apply, SCD2, winsorize, chunking, BM25, ----
+# -- hyperplane LSH ------------------------------------------------------
+
+#: The CDC change set is derived (keys mod 97) so the oracle rebuilds it
+#: verbatim; the MERGE itself is LEFT JOIN + NOT IN + UNION ALL.
+EXTENSION_ORACLE_SQL["q_merge_upsert"] = """
+    WITH upd AS (
+        SELECT o_orderkey AS k, o_totalprice + 1000.0 AS new_price,
+               o_orderstatus AS new_status
+        FROM orders WHERE o_orderkey % 97 = 1
+    ), del AS (
+        SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 97 = 2
+    )
+    SELECT b.o_orderkey,
+           CASE WHEN u.k IS NOT NULL THEN u.new_price
+                ELSE b.o_totalprice END AS o_totalprice,
+           CASE WHEN u.k IS NOT NULL THEN u.new_status
+                ELSE b.o_orderstatus END AS o_orderstatus
+    FROM orders b
+    LEFT JOIN upd u ON b.o_orderkey = u.k
+    WHERE b.o_orderkey NOT IN (SELECT k FROM del)
+    UNION ALL
+    SELECT -o_orderkey AS o_orderkey, o_totalprice,
+           'N' AS o_orderstatus
+    FROM orders WHERE o_orderkey % 97 = 3
+"""
+
+EXTENSION_ORACLE_SQL["q_scd2"] = """
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+               event_type
+        FROM events
+    ), flagged AS (
+        SELECT user_id, event_id, ts_s, event_type,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ), versioned AS (
+        SELECT user_id, ts_s, event_type,
+               CAST(sum(is_new) OVER (
+                   PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        FROM flagged
+    ), intervals AS (
+        SELECT user_id, version,
+               min(event_type) AS event_type,
+               min(ts_s) AS valid_from_s,
+               count(*) AS n_events
+        FROM versioned GROUP BY user_id, version
+    )
+    SELECT user_id, version, event_type, valid_from_s,
+           lead(valid_from_s) OVER (
+               PARTITION BY user_id ORDER BY version) AS valid_to_s,
+           n_events
+    FROM intervals
+"""
+
+#: quantile_cont == Spark's exact interpolated percentile; the clip is
+#: least/greatest (comparisons only) on both sides.
+EXTENSION_ORACLE_SQL["q_winsorize"] = """
+    WITH b AS (
+        SELECT o_orderpriority AS g,
+               quantile_cont(o_totalprice, 0.05) AS lo,
+               quantile_cont(o_totalprice, 0.95) AS hi
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+           b.lo AS lo_bound, b.hi AS hi_bound,
+           least(greatest(o.o_totalprice, b.lo), b.hi)
+               AS o_totalprice_clipped,
+           (o.o_totalprice < b.lo OR o.o_totalprice > b.hi)
+               AS was_clipped
+    FROM orders o JOIN b ON o.o_orderpriority = b.g
+"""
+
+_CHUNK_STEP = CHUNK_WIDTH - CHUNK_OVERLAP
+EXTENSION_ORACLE_SQL["q_doc_chunks"] = f"""
+    WITH s AS (
+        SELECT doc_id, text,
+               unnest(generate_series(
+                   1, greatest(length(text) - {CHUNK_OVERLAP}, 1),
+                   {_CHUNK_STEP})) AS start
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST((start - 1) // {_CHUNK_STEP} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start,
+           CAST(length(substr(text, CAST(start AS INTEGER),
+                              {CHUNK_WIDTH})) AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(start AS INTEGER), {CHUNK_WIDTH}))
+               AS chunk_md5
+    FROM s
+"""
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+#: Expression association mirrors the Spark side exactly:
+#: idf = (N − df + 0.5)/(df + 0.5); denominator (tf + k1·(1−b + b·dl/avgdl)).
+EXTENSION_ORACLE_SQL["q_bm25"] = f"""
+    WITH base AS (
+        SELECT doc_id, {TOKENIZE} AS toks FROM documents
+    ), corpus AS (
+        SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM base
+    ), hits AS (
+        SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+               unnest(toks) AS term
+        FROM base
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+        FROM hits WHERE term IN ({_BM25_TERMS_SQL})
+        GROUP BY doc_id, term
+    ), dfp AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+        SELECT t.term, t.doc_id, CAST(t.tf AS BIGINT) AS tf, t.dl,
+               ((CAST(c.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                / (CAST(d.df AS DOUBLE) + 0.5))
+               * ((CAST(t.tf AS DOUBLE) * {BM25_K1 + 1.0!r})
+                  / (CAST(t.tf AS DOUBLE)
+                     + {BM25_K1!r} * ({1.0 - BM25_B!r}
+                        + {BM25_B!r} * CAST(t.dl AS DOUBLE)
+                          / (CAST(c.sum_dl AS DOUBLE)
+                             / CAST(c.n_docs AS DOUBLE)))))
+               AS bm25
+        FROM tf t JOIN dfp d USING (term) CROSS JOIN corpus c
+    ), ranked AS (
+        SELECT term, doc_id, tf, dl, bm25,
+               CAST(row_number() OVER (
+                   PARTITION BY term
+                   ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rank
+        FROM scored
+    )
+    SELECT term, doc_id, tf, dl, bm25, rank
+    FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+#: Inner fold has no DuckDB initial value — its x1 + x2 + … equals
+#: Spark's (0.0 + x1) + x2 + … bit-for-bit. Weights are derived
+#: integers, exact in double; the > 0.0 sign test is therefore portable.
+EXTENSION_ORACLE_SQL["q_embed_lsh"] = f"""
+    SELECT vec_id,
+           list_reduce(
+             list_transform(generate_series(0, {LSH_PLANES - 1}), p ->
+               CASE WHEN list_reduce(
+                 list_transform(generate_series(1, {LSH_DIM}), di ->
+                   CAST(embedding[di] AS DOUBLE)
+                   * CAST((p * {LSH_DIM} + di - 1) * {_LSH_KNUTH}
+                          % {_LSH_HASH_P} % 2001 - 1000 AS DOUBLE)),
+                 (a, v) -> a + v) > 0.0
+               THEN (CAST(1 AS BIGINT) << p)
+               ELSE CAST(0 AS BIGINT) END),
+             (acc, v) -> acc + v) AS sig
+    FROM embeddings
 """

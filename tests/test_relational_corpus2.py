@@ -1,0 +1,160 @@
+"""Tests for the round-3 pipeline operators: MERGE apply, SCD Type-2,
+winsorization, document chunking, BM25, hyperplane LSH."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from financial_big_data_exp_4_spark.operators.corpus import (
+    CHUNK_OVERLAP,
+    CHUNK_WIDTH,
+    bm25_scores,
+    chunk_documents,
+)
+from financial_big_data_exp_4_spark.operators.relational import (
+    merge_changes,
+    scd2_intervals,
+    winsorize,
+)
+from financial_big_data_exp_4_spark.operators.similarity import (
+    LSH_PLANES,
+    hyperplane_signatures,
+)
+from financial_big_data_exp_4_spark.sources import load_table
+
+
+def test_merge_changes_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C")],
+        "k long, price double, status string",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "U", 99.0, "B2"),   # update existing
+            (3, "D", None, None),    # delete existing
+            (7, "I", 70.0, "N"),     # insert new key
+        ],
+        "k long, op string, price double, status string",
+    )
+    out = {
+        r["k"]: (r["price"], r["status"])
+        for r in merge_changes(
+            base, changes, key="k", cols=("price", "status")
+        ).collect()
+    }
+    assert out == {1: (10.0, "A"), 2: (99.0, "B2"), 7: (70.0, "N")}
+
+
+def test_scd2_intervals_versions_and_validity(spark):
+    # user 1: A A B A  → versions A[0,2) B[2,3) A[3,∞); user 2: one event
+    rows = [
+        (1, 10, 0, "A"),
+        (1, 11, 1, "A"),
+        (1, 12, 2, "B"),
+        (1, 13, 3, "A"),
+        (2, 20, 5, "X"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s long, event_type string"
+    )
+    got = {
+        (r["user_id"], r["version"]): (
+            r["event_type"],
+            r["valid_from_s"],
+            r["valid_to_s"],
+            r["n_events"],
+        )
+        for r in scd2_intervals(events).collect()
+    }
+    assert got == {
+        (1, 1): ("A", 0, 2, 2),
+        (1, 2): ("B", 2, 3, 1),
+        (1, 3): ("A", 3, None, 1),
+        (2, 1): ("X", 5, None, 1),
+    }
+
+
+def test_winsorize_clips_and_flags(spark):
+    rows = [("g", float(v)) for v in range(1, 101)]  # 1..100
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = winsorize(df, group="g", value="v", lo=0.05, hi=0.95).collect()
+    lo = out[0]["lo_bound"]
+    hi = out[0]["hi_bound"]
+    # exact interpolated percentiles of 1..100
+    assert lo == pytest.approx(5.95) and hi == pytest.approx(95.05)
+    for r in out:
+        assert r["v_clipped"] == min(max(r["v"], lo), hi)
+        assert r["was_clipped"] == (r["v"] < lo or r["v"] > hi)
+    assert sum(r["was_clipped"] for r in out) == 10
+
+
+def test_chunk_documents_covers_text_with_overlap(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    lens = {r["doc_id"]: r["n_chars"] for r in docs.collect()}
+    chunks = chunk_documents(docs).collect()
+    step = CHUNK_WIDTH - CHUNK_OVERLAP
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(lens)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["start"])
+        starts = [r["start"] for r in rs]
+        assert starts == list(range(1, max(lens[doc_id] - CHUNK_OVERLAP, 1) + 1, step))
+        # consecutive chunks overlap; the final chunk reaches the text end
+        assert rs[-1]["start"] + rs[-1]["chunk_len"] - 1 == lens[doc_id]
+        for a, b in zip(rs, rs[1:]):
+            assert b["start"] <= a["start"] + CHUNK_WIDTH - 1
+        assert [r["chunk_idx"] for r in rs] == list(range(len(rs)))
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame([(1, "ab")], "doc_id long, text string")
+    [r] = chunk_documents(docs).collect()
+    assert (r["chunk_idx"], r["start"], r["chunk_len"]) == (0, 1, 2)
+
+
+def test_bm25_rank_and_saturation(spark):
+    # tf saturation: doc with tf=4 beats tf=1 at equal dl; rank per term
+    docs = spark.createDataFrame(
+        [
+            (1, "join join join join pad pad pad pad"),
+            (2, "join pad pad pad pad pad pad pad"),
+            (3, "nothing relevant here at all pad pad pad"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_scores(docs, terms=("join",), k=5).collect()
+    assert [r["doc_id"] for r in sorted(out, key=lambda r: r["rank"])] == [1, 2]
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    assert scores[1] > scores[2] > 0
+    # saturation: quadrupling tf must NOT quadruple the score
+    assert scores[1] < 4 * scores[2]
+
+
+def test_hyperplane_signatures_deterministic_16bit(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    a = {r["vec_id"]: r["sig"] for r in hyperplane_signatures(emb).collect()}
+    b = {r["vec_id"]: r["sig"] for r in hyperplane_signatures(emb).collect()}
+    assert a == b  # derived planes: bit-reproducible
+    assert all(0 <= s < (1 << LSH_PLANES) for s in a.values())
+    # signatures must actually discriminate (not constant)
+    assert len(set(a.values())) > 1
+
+
+def test_hyperplane_similar_vectors_collide(spark):
+    # a vector and a tiny perturbation of it share all 16 sign bits;
+    # its negation flips every bit
+    base = [float((i * 37) % 19 - 9) for i in range(64)]
+    near = [v + 0.001 for v in base]
+    neg = [-v for v in base]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, neg)],
+        "vec_id long, embedding array<float>",
+    )
+    sigs = {
+        r["vec_id"]: r["sig"] for r in hyperplane_signatures(df).collect()
+    }
+    assert sigs[1] == sigs[2]
+    assert sigs[1] ^ sigs[3] == (1 << LSH_PLANES) - 1

@@ -30,6 +30,8 @@ MAP_ONLY = {
     "q_quality_filter",
     "q_stratified_sample",
     "q_pii_scrub",
+    "q_doc_chunks",
+    "q_embed_lsh",
 }
 
 #: map-only except for the scale-up-only CPU rebalance
@@ -121,6 +123,25 @@ def main() -> int:
             "PushedFilters: [IsNotNull(l_shipdate)" not in plan
         ):
             problems.append("shipdate filter not pushed to the scan")
+        if name == "q_merge_upsert":
+            # MERGE apply must resolve matched rows map-side: the change
+            # set broadcasts, the base is never shuffled
+            if "BroadcastHashJoin" not in plan:
+                problems.append("change set not broadcast")
+            if "Exchange hashpartitioning" in plan:
+                problems.append("merge shuffles the base table")
+        if name == "q_scd2":
+            # the change-detection window, (key, version) aggregate and
+            # validity window must all reuse the user_id clustering —
+            # exactly one data exchange (plus broadcasts, if any)
+            if plan.count("Exchange hashpartitioning") > 1:
+                problems.append("SCD2 re-shuffles between window stages")
+        if name == "q_winsorize":
+            # bounds join must broadcast; the clip is then map-side
+            if "BroadcastHashJoin" not in plan:
+                problems.append("percentile bounds not broadcast")
+        if name == "q_bm25" and "BroadcastHashJoin" not in plan:
+            problems.append("df/corpus stats not broadcast")
         if name == "q_embed_cosine_topk":
             # two-level top-k: the per-probe window must read the
             # (probe, scan-partition)-local pre-reduction, not raw scores
