@@ -421,10 +421,18 @@ def bm25_scores(
     aggregates. Scores are per (doc, term) — summing across terms would
     add doubles in engine-defined order; ranking is per term, so no
     cross-term float sum exists. Ties rank by doc_id asc (total order).
+
+    The tokenized base is persisted (scoped): the corpus-stats branch,
+    the df branch, and the scoring branch otherwise each re-run the
+    tokenizer over the full corpus (Spark shares no scans between plan
+    branches) — measured 1.11s → ~0.6s at sf0.1. At 100 TB the same
+    slot is a checkpoint of the tokenized projection.
     """
+    from financial_big_data_exp_4_spark.session import persist_scoped
+
     t = F.col(text_col)
-    base = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize(t).alias("_toks")
+    base = persist_scoped(
+        docs.select(F.col(id_col).alias("doc_id"), tokenize(t).alias("_toks"))
     )
     hits = base.select(
         "doc_id",

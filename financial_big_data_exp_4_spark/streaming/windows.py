@@ -107,7 +107,7 @@ def run_stream_to_memory(
     query_name: str,
     checkpoint_dir: str,
     output_mode: str = "complete",
-    drain_partitions: int | None = 8,
+    drain_partitions: int | None = 4,
 ) -> None:
     """Drain a bounded stream into the in-memory sink (availableNow) and
     block until done — the test/verification harness for streaming plans.
@@ -124,7 +124,9 @@ def run_stream_to_memory(
     keep per-partition state inside executor memory. The value is pinned
     into the checkpoint at first batch, which is why it is set before
     ``start()`` and why production re-partitioning requires a new
-    checkpoint."""
+    checkpoint. (Measured on the sf0.1 drain: 8 partitions 1.07s,
+    4 → 0.81s, 2 → 0.80s — per-partition store-commit overhead, so the
+    default sits at the knee.)"""
     spark = df.sparkSession
     saved = spark.conf.get("spark.sql.shuffle.partitions")
     if drain_partitions is not None:
