@@ -33,6 +33,8 @@ from financial_big_data_exp_4_spark.operators.dedup import (
     with_minhash_signature,
 )
 from financial_big_data_exp_4_spark.operators.events import (
+    cohort_retention,
+    funnel_counts,
     json_extract_stats,
     moving_value_avg,
     sessionize,
@@ -47,7 +49,9 @@ from financial_big_data_exp_4_spark.operators.relational import (
     hash_sample,
     keep_latest,
     merge_changes,
+    profile_columns,
     scd2_intervals,
+    snapshot_diff,
     winsorize,
 )
 from financial_big_data_exp_4_spark.operators.multimodal import (
@@ -76,6 +80,7 @@ __all__ = [
     "cosine_topk_bruteforce",
     "moving_value_avg",
     "scrub_pii",
+    "cohort_retention",
     "cosine_topk_ivf",
     "connected_components",
     "connected_components_twostar",
@@ -85,6 +90,7 @@ __all__ = [
     "doc_fingerprint",
     "embedding_neardup_pairs",
     "exact_dedup",
+    "funnel_counts",
     "hash_sample",
     "hyperplane_signatures",
     "inverted_index",
@@ -92,7 +98,9 @@ __all__ = [
     "keep_latest",
     "language_id",
     "merge_changes",
+    "profile_columns",
     "scd2_intervals",
+    "snapshot_diff",
     "winsorize",
     "pack_sequences",
     "quality_filter",

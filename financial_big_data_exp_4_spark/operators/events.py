@@ -146,6 +146,91 @@ def json_extract_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def funnel_counts(
+    events: DataFrame, stages: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users reached stage k — i.e.
+    performed stage-1 … stage-k events with strictly increasing first
+    times (first view < first click < first purchase).
+
+    One shuffle on user_id with map-side partial aggregation (the
+    conditional ``min`` per stage — k columns of state per user, never a
+    per-event row after the aggregate); the stage comparison and the
+    final k-row summary are driver-free aggregates over |users| rows.
+    First-touch timestamps are compared in exact integer µs. Output:
+    (stage_idx, stage, n_users), stage_idx 1..k.
+    """
+    ts_us = F.expr("ts DIV 1000").alias("ts_us")
+    per_user = (
+        events.select("user_id", "event_type", ts_us)
+        .groupBy("user_id")
+        .agg(
+            *[
+                F.min(
+                    F.when(F.col("event_type") == s, F.col("ts_us"))
+                ).alias(f"_t{i}")
+                for i, s in enumerate(stages)
+            ]
+        )
+    )
+    # reached stage k ⇔ all first-touch times exist and strictly ascend
+    reached = []
+    for i in range(len(stages)):
+        cond = F.col("_t0").isNotNull()
+        for j in range(1, i + 1):
+            cond = cond & F.col(f"_t{j}").isNotNull() & (
+                F.col(f"_t{j-1}") < F.col(f"_t{j}")
+            )
+        reached.append(
+            F.sum(cond.cast("long")).alias(f"_n{i}")
+        )
+    totals = per_user.agg(*reached)
+    stage_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).cast("long").alias("stage_idx"),
+                F.lit(s).alias("stage"),
+                F.col(f"_n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(stages)
+        ]
+    )
+    return totals.select(F.explode(stage_rows).alias("_s")).select(
+        "_s.stage_idx", "_s.stage", "_s.n_users"
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Cohort-retention matrix: users grouped by their first active day
+    (the cohort), counted per day-offset since that day.
+
+    Two exchanges total and no count-distinct expand: one shuffle on
+    user_id collects each user's distinct active-day set
+    (``collect_set`` — state bounded by calendar days, with map-side
+    partial aggregation); the cohort day is ``array_min`` of that set and
+    the offsets explode map-side, so each (user, offset) appears exactly
+    once and a plain ``count(*)`` per (cohort_day, day_offset) IS the
+    distinct-user count. The second shuffle's key space is bounded
+    (days²/2) — dimension-sized. Day arithmetic is exact integer ns→day
+    division. Output: (cohort_day, day_offset, n_users).
+    """
+    day = F.expr("ts DIV 86400000000000").cast("long")  # ns → day
+    per_user = events.select("user_id", day.alias("day")).groupBy(
+        "user_id"
+    ).agg(F.collect_set("day").alias("_days"))
+    exploded = per_user.select(
+        F.array_min("_days").alias("cohort_day"),
+        F.explode("_days").alias("day"),
+    )
+    return (
+        exploded.groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def moving_value_avg(events: DataFrame, n: int = 3) -> DataFrame:
     """Per-user moving sum/average of ``value`` over the last ``n`` events
     (bounded ROWS frame, ordered by (µs timestamp, event_id) — a total

@@ -160,6 +160,87 @@ def scd2_intervals(
     )
 
 
+def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Data-quality profile: per column, null count and exact distinct
+    count — the ingest-validation pass every pipeline runs before
+    trusting a new drop.
+
+    One aggregate computes every metric (Spark plans the multi-column
+    distinct counts as a single Expand + two-phase aggregate — one scan,
+    not one per column); the per-column rows then unpivot from the 1-row
+    result via a map-side ``explode``. Counts only (BIGINT) — min/max
+    are deliberately excluded from the declared output because their
+    string rendering is engine-specific; production adds them per-type.
+    Output: (column, n_rows, n_nulls, n_distinct) — ``n_distinct``
+    excludes NULL (SQL ``count(DISTINCT col)`` semantics).
+    """
+    metrics = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        metrics.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}")
+        )
+        metrics.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    one = df.agg(*metrics)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col("_rows").alias("n_rows"),
+                F.col(f"_nn_{c}").alias("n_nulls"),
+                F.col(f"_nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("_r")).select(
+        "_r.column", "_r.n_rows", "_r.n_nulls", "_r.n_distinct"
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key: str, cols: Sequence[str]
+) -> DataFrame:
+    """Reconcile two table snapshots: per-key classification into
+    added / removed / changed / unchanged, summarized as one count per
+    class — the drift check run after every MERGE/backfill.
+
+    A diff genuinely needs both sides co-located, so this is the one
+    place a full outer shuffle join is the *correct* scale plan (both
+    snapshots hash-partition on the key once; AQE handles skew).
+    Comparison is null-safe (``eqNullSafe`` per column). Output:
+    (diff_class, n_keys), classes that occur only.
+    """
+    # explicit presence markers: payload columns may be legitimately NULL,
+    # and the USING-join coalesces the key, so neither can test presence
+    o = old.select(
+        key,
+        F.lit(1).alias("_o_present"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
+    )
+    n = new.select(
+        key,
+        F.lit(1).alias("_n_present"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
+    )
+    joined = o.join(n, key, "full_outer")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    has_old = F.col("_o_present").isNotNull()
+    has_new = F.col("_n_present").isNotNull()
+    cls = (
+        F.when(~has_old, F.lit("added"))
+        .when(~has_new, F.lit("removed"))
+        .when(same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(cls.alias("diff_class"))
+        .groupBy("diff_class")
+        .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
 def winsorize(
     df: DataFrame,
     group: str,

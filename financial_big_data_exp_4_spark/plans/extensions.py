@@ -16,12 +16,16 @@ from financial_big_data_exp_4_spark.operators import (
     apply_exact_dedup,
     bm25_scores,
     chunk_documents,
+    cohort_retention,
     cosine_topk_bruteforce,
+    funnel_counts,
     hyperplane_signatures,
     merge_changes,
     moving_value_avg,
+    profile_columns,
     scd2_intervals,
     scrub_pii,
+    snapshot_diff,
     winsorize,
     inverted_index,
     pack_sequences,
@@ -913,6 +917,47 @@ def q_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_signatures(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel: users whose first-touch times
+    strictly ascend through the stages."""
+    return funnel_counts(load_table(spark, sf_dir, "events"))
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-active-day cohorts × day offset — two bounded-key shuffles,
+    no count-distinct expand (collect_set form)."""
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-validation profile of orders: per-column null / exact
+    distinct counts in ONE scan (single Expand aggregate)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return profile_columns(
+        orders,
+        cols=("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+    )
+
+
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: the MERGE output of q_merge_upsert diffed
+    against the original orders — added/removed/changed/unchanged counts.
+    The diff composes directly with the merge (same derived change set),
+    so the expected counts are closed-form for the oracle."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    merged = merge_changes(
+        base,
+        _orders_changes(spark, sf_dir),
+        key="o_orderkey",
+        cols=("o_totalprice", "o_orderstatus"),
+    )
+    return snapshot_diff(
+        base, merged, key="o_orderkey", cols=("o_totalprice", "o_orderstatus")
+    )
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salted replicate-join declared under the oracle: lineitem ⋈
     part on partkey, brand-level quantity totals. Salting spreads any hot
@@ -1010,4 +1055,8 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_doc_chunks": q_doc_chunks,
     "q_bm25": q_bm25,
     "q_embed_lsh": q_embed_lsh,
+    "q_funnel": q_funnel,
+    "q_cohort_retention": q_cohort_retention,
+    "q_profile": q_profile,
+    "q_table_diff": q_table_diff,
 }

@@ -1311,3 +1311,76 @@ EXTENSION_ORACLE_SQL["q_embed_lsh"] = f"""
              (acc, v) -> acc + v) AS sig
     FROM embeddings
 """
+
+EXTENSION_ORACLE_SQL["q_funnel"] = """
+    WITH pu AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view'
+                        THEN epoch_us(ts) END) AS t0,
+               min(CASE WHEN event_type = 'click'
+                        THEN epoch_us(ts) END) AS t1,
+               min(CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END) AS t2
+        FROM events GROUP BY user_id
+    ), tot AS (
+        SELECT
+            CAST(sum(CASE WHEN t0 IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+            CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                           AND t0 < t1
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+            CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                           AND t0 < t1 AND t2 IS NOT NULL AND t1 < t2
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        FROM pu
+    )
+    SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+           n0 AS n_users FROM tot
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'click', n1 FROM tot
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), 'purchase', n2 FROM tot
+"""
+
+EXTENSION_ORACLE_SQL["q_cohort_retention"] = """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ), fd AS (
+        SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
+    )
+    SELECT f.cohort_day, u.day - f.cohort_day AS day_offset,
+           count(*) AS n_users
+    FROM ud u JOIN fd f USING (user_id)
+    GROUP BY f.cohort_day, u.day - f.cohort_day
+"""
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+EXTENSION_ORACLE_SQL["q_profile"] = "\n    UNION ALL\n".join(
+    f"""
+    SELECT '{c}' AS "column", count(*) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct
+    FROM orders"""
+    for c in _PROFILE_COLS
+)
+
+#: The diff target is the MERGE output — its oracle SQL is reused
+#: verbatim as a CTE, so the two queries cannot drift.
+EXTENSION_ORACLE_SQL["q_table_diff"] = f"""
+    WITH merged AS ({EXTENSION_ORACLE_SQL["q_merge_upsert"]})
+    SELECT diff_class, count(*) AS n_keys FROM (
+        SELECT CASE
+            WHEN o.o_orderkey IS NULL THEN 'added'
+            WHEN m.o_orderkey IS NULL THEN 'removed'
+            WHEN o.o_totalprice IS NOT DISTINCT FROM m.o_totalprice
+             AND o.o_orderstatus IS NOT DISTINCT FROM m.o_orderstatus
+                THEN 'unchanged'
+            ELSE 'changed' END AS diff_class
+        FROM orders o
+        FULL OUTER JOIN merged m ON o.o_orderkey = m.o_orderkey
+    )
+    GROUP BY diff_class
+"""

@@ -158,3 +158,79 @@ def test_hyperplane_similar_vectors_collide(spark):
     }
     assert sigs[1] == sigs[2]
     assert sigs[1] ^ sigs[3] == (1 << LSH_PLANES) - 1
+
+
+def test_funnel_strict_order(spark):
+    # u1 completes the funnel; u2 clicks before viewing (breaks stage 2);
+    # u3 views only
+    rows = [
+        (1, "view", 1_000_000_000),
+        (1, "click", 2_000_000_000),
+        (1, "purchase", 3_000_000_000),
+        (2, "click", 1_000_000_000),
+        (2, "view", 2_000_000_000),
+        (2, "purchase", 3_000_000_000),
+        (3, "view", 1_000_000_000),
+    ]
+    from financial_big_data_exp_4_spark.operators.events import funnel_counts
+
+    events = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long"
+    )
+    got = {
+        r["stage"]: r["n_users"] for r in funnel_counts(events).collect()
+    }
+    assert got == {"view": 3, "click": 1, "purchase": 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from financial_big_data_exp_4_spark.operators.events import (
+        cohort_retention,
+    )
+
+    day_ns = 86_400_000_000_000
+    rows = [
+        (1, 0 * day_ns), (1, 0 * day_ns), (1, 2 * day_ns),  # cohort 0
+        (2, 0 * day_ns),                                     # cohort 0
+        (3, 1 * day_ns), (3, 2 * day_ns),                    # cohort 1
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts long")
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in cohort_retention(events).collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_profile_columns_counts(spark):
+    from financial_big_data_exp_4_spark.operators.relational import (
+        profile_columns,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "k long, s string"
+    )
+    got = {
+        r["column"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in profile_columns(df, cols=("k", "s")).collect()
+    }
+    assert got == {"k": (4, 0, 4), "s": (4, 1, 2)}
+
+
+def test_snapshot_diff_classes(spark):
+    from financial_big_data_exp_4_spark.operators.relational import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, None)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (4, 40.0)], "k long, v double"
+    )
+    got = {
+        r["diff_class"]: r["n_keys"]
+        for r in snapshot_diff(old, new, key="k", cols=("v",)).collect()
+    }
+    # key 3 removed (NULL payload still counts as present), 4 added
+    assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}

@@ -123,6 +123,18 @@ def main() -> int:
             "PushedFilters: [IsNotNull(l_shipdate)" not in plan
         ):
             problems.append("shipdate filter not pushed to the scan")
+        if name == "q_profile":
+            # all per-column metrics in ONE scan: the multi-distinct
+            # aggregate plans as a single Expand over a single FileScan
+            if "Expand" not in plan:
+                problems.append("profile lost the single-pass Expand form")
+            if plan.count("FileScan") != 1:
+                problems.append("profile scans the table more than once")
+        if name == "q_cohort_retention" and "Expand" in plan:
+            # the collect_set form must avoid the count-distinct expand
+            problems.append("cohort retention fell back to count-distinct")
+        if name == "q_funnel" and "Window" in plan:
+            problems.append("funnel planned as window, not aggregate")
         if name == "q_merge_upsert":
             # MERGE apply must resolve matched rows map-side: the change
             # set broadcasts, the base is never shuffled
