@@ -134,3 +134,37 @@ def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
     one = back.where(back.o_orderkey == 42)
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+
+
+def test_events_ts_normalizes_both_parquet_encodings(spark, tmp_path):
+    """The fixture events table has shipped ts as both INT64
+    TIMESTAMP(NANOS) and TIMESTAMP(MICROS); load_table must yield the
+    canonical bigint epoch-ns under either physical encoding."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from financial_big_data_exp_4_spark.sources import load_table
+
+    ns_vals = [1_700_000_000_123_456_789, 1_700_000_100_000_000_000]
+    for unit, dirname in (("ns", "enc_ns"), ("us", "enc_us")):
+        vals = ns_vals if unit == "ns" else [v // 1000 for v in ns_vals]
+        table = pa.table(
+            {
+                "event_id": pa.array([1, 2], pa.int64()),
+                "ts": pa.array(vals, pa.timestamp(unit)),
+            }
+        )
+        d = tmp_path / dirname
+        d.mkdir()
+        pq.write_table(table, d / "events.parquet")
+        got = {
+            r["event_id"]: r["ts"]
+            for r in load_table(spark, str(d), "events").collect()
+        }
+        expect = (
+            dict(zip([1, 2], ns_vals))
+            if unit == "ns"
+            else {1: ns_vals[0] // 1000 * 1000, 2: ns_vals[1]}
+        )
+        assert got == expect, unit
+        assert dict(load_table(spark, str(d), "events").dtypes)["ts"] == "bigint"
