@@ -62,6 +62,7 @@ from financial_big_data_exp_4_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
     embedding_neardup_pairs,
+    hyperplane_neardup_pairs,
     hyperplane_signatures,
 )
 from financial_big_data_exp_4_spark.operators.text import (
@@ -92,6 +93,7 @@ __all__ = [
     "exact_dedup",
     "funnel_counts",
     "hash_sample",
+    "hyperplane_neardup_pairs",
     "hyperplane_signatures",
     "inverted_index",
     "json_extract_stats",

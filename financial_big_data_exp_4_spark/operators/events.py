@@ -181,8 +181,10 @@ def funnel_counts(
             cond = cond & F.col(f"_t{j}").isNotNull() & (
                 F.col(f"_t{j-1}") < F.col(f"_t{j}")
             )
+        # coalesce: SUM over zero users is NULL; an empty stream should
+        # report 0 reached, not NULL (totality on empty input)
         reached.append(
-            F.sum(cond.cast("long")).alias(f"_n{i}")
+            F.coalesce(F.sum(cond.cast("long")), F.lit(0)).alias(f"_n{i}")
         )
     totals = per_user.agg(*reached)
     stage_rows = F.array(

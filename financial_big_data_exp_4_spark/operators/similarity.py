@@ -303,6 +303,89 @@ def hyperplane_signatures(embeddings: DataFrame) -> DataFrame:
     )
 
 
+#: Hyperplane-LSH banding: 2 bands × 8 bits. Pigeonhole: two signatures
+#: within Hamming 1 agree on at least one whole band, so candidate
+#: generation is complete for radius ≤ (bands − 1).
+LSH_BANDS = 2
+
+
+def hyperplane_neardup_pairs(embeddings: DataFrame) -> DataFrame:
+    """Near-duplicate candidate pairs from banded hyperplane-LSH buckets,
+    scored with signature Hamming distance and exact cosine — the
+    embedding-space twin of the SimHash Hamming pairing: recall from the
+    band join (pigeonhole-complete for Hamming ≤ bands−1), precision
+    from the exact verify, never an all-pairs comparison (Σ bucket² per
+    band, buckets concentrate near 1 for non-duplicate corpora).
+
+    The signature+norm projection is persisted (scoped): both self-join
+    branches read it, and the 16-plane fold is the expensive map stage.
+    Duplicate candidates across bands collapse via DISTINCT (hamming and
+    cosine are pair-functions, so the duplicate rows are value-identical).
+    Output: (vec_a, vec_b, hamming, cos_sim).
+    """
+    band_w = LSH_PLANES // LSH_BANDS
+    sigs = _persist_scoped(
+        embeddings.select(
+            "vec_id",
+            "embedding",
+            norm(F.col("embedding")).alias("_norm"),
+            F.expr(_LSH_SIG_EXPR).alias("sig"),
+        )
+    )
+    bands = sigs.select(
+        "vec_id",
+        "embedding",
+        "_norm",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.expr(
+                            f"(sig >> {b * band_w}) & {(1 << band_w) - 1}"
+                        ).alias("band_key"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("_b"),
+    ).select("vec_id", "embedding", "_norm", "sig", "_b.band_id", "_b.band_key")
+    a = bands.select(
+        "band_id",
+        "band_key",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("_norm").alias("na"),
+        F.col("sig").alias("sa"),
+    )
+    b = bands.select(
+        F.col("band_id").alias("band_id_b"),
+        F.col("band_key").alias("band_key_b"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("_norm").alias("nb"),
+        F.col("sig").alias("sb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("band_id") == F.col("band_id_b"))
+            & (F.col("band_key") == F.col("band_key_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            F.expr("CAST(bit_count(sa ^ sb) AS BIGINT)").alias("hamming"),
+            cosine_prenormed(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
+        )
+        .distinct()
+    )
+
+
 def cosine_topk_ivf(
     embeddings: DataFrame,
     n_probes: int = 5,

@@ -19,6 +19,7 @@ from financial_big_data_exp_4_spark.operators import (
     cohort_retention,
     cosine_topk_bruteforce,
     funnel_counts,
+    hyperplane_neardup_pairs,
     hyperplane_signatures,
     merge_changes,
     moving_value_avg,
@@ -917,6 +918,31 @@ def q_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_signatures(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_embed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded hyperplane-LSH candidate pairs with Hamming + exact-cosine
+    verify — the embedding-space recall-then-precision pipeline."""
+    return hyperplane_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions per priority partition:
+    lag, percent_rank, cume_dist over (o_totalprice, o_orderkey) — a
+    total order, so rank-derived doubles are deterministic. One shuffle
+    on the partition key; all four functions share the same window sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume_dist"),
+    )
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel: users whose first-touch times
     strictly ascend through the stages."""
@@ -1059,4 +1085,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_cohort_retention": q_cohort_retention,
     "q_profile": q_profile,
     "q_table_diff": q_table_diff,
+    "q_embed_lsh_pairs": q_embed_lsh_pairs,
+    "q_window_stats": q_window_stats,
 }

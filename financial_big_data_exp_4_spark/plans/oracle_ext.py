@@ -1324,14 +1324,14 @@ EXTENSION_ORACLE_SQL["q_funnel"] = """
         FROM events GROUP BY user_id
     ), tot AS (
         SELECT
-            CAST(sum(CASE WHEN t0 IS NOT NULL
-                          THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-            CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+            CAST(coalesce(sum(CASE WHEN t0 IS NOT NULL
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n0,
+            CAST(coalesce(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
                            AND t0 < t1
-                          THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-            CAST(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+            CAST(coalesce(sum(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
                            AND t0 < t1 AND t2 IS NOT NULL AND t1 < t2
-                          THEN 1 ELSE 0 END) AS BIGINT) AS n2
+                          THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2
         FROM pu
     )
     SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
@@ -1383,4 +1383,39 @@ EXTENSION_ORACLE_SQL["q_table_diff"] = f"""
         FULL OUTER JOIN merged m ON o.o_orderkey = m.o_orderkey
     )
     GROUP BY diff_class
+"""
+
+_LSH_BAND_W = LSH_PLANES // 2
+_LSH_BANDS_SQL = "\n        UNION ALL ".join(
+    f"SELECT vec_id, sig, {b} AS band_id, "
+    f"(sig >> {b * _LSH_BAND_W}) & {(1 << _LSH_BAND_W) - 1} AS band_key "
+    "FROM sigs"
+    for b in range(2)
+)
+#: Banded hyperplane-LSH pairing over the generated signature SQL; exact
+#: cosine via the same sequential fold as the other similarity oracles.
+EXTENSION_ORACLE_SQL["q_embed_lsh_pairs"] = f"""
+    WITH sigs AS ({EXTENSION_ORACLE_SQL["q_embed_lsh"]}
+    ), bands AS (
+        {_LSH_BANDS_SQL}
+    )
+    SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b,
+           CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming,
+           {_cos('ea.embedding', 'eb.embedding')} AS cos_sim
+    FROM bands x
+    JOIN bands y
+      ON x.band_id = y.band_id AND x.band_key = y.band_key
+     AND x.vec_id < y.vec_id
+    JOIN embeddings ea ON x.vec_id = ea.vec_id
+    JOIN embeddings eb ON y.vec_id = eb.vec_id
+"""
+
+EXTENSION_ORACLE_SQL["q_window_stats"] = """
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           lag(o_totalprice) OVER w AS prev_price,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
 """

@@ -234,3 +234,55 @@ def test_snapshot_diff_classes(spark):
     }
     # key 3 removed (NULL payload still counts as present), 4 added
     assert got == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_funnel_empty_input_total(spark):
+    from financial_big_data_exp_4_spark.operators.events import funnel_counts
+
+    events = spark.createDataFrame(
+        [], "user_id long, event_type string, ts long"
+    )
+    got = {r["stage"]: r["n_users"] for r in funnel_counts(events).collect()}
+    assert got == {"view": 0, "click": 0, "purchase": 0}
+
+
+def test_hyperplane_pairs_pigeonhole_and_verify(spark, sf_dir):
+    """Every pair within Hamming ≤ 1 (bands−1) must appear among the
+    banded candidates, and candidate cosine must equal the exact value."""
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        cosine,
+        hyperplane_neardup_pairs,
+        hyperplane_signatures,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    sigs = {r["vec_id"]: r["sig"] for r in hyperplane_signatures(emb).collect()}
+    cands = {
+        (r["vec_a"], r["vec_b"]): (r["hamming"], r["cos_sim"])
+        for r in hyperplane_neardup_pairs(emb).collect()
+    }
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin(sigs[a] ^ sigs[b]).count("1")
+            if ham <= 1:
+                assert (a, b) in cands
+                assert cands[(a, b)][0] == ham
+    # exact-cosine verify on a few candidates
+    some = list(cands)[:5]
+    if some:
+        pairs_df = spark.createDataFrame(
+            [(a, b) for a, b in some], "vec_a long, vec_b long"
+        )
+        e = emb.select(
+            F.col("vec_id"), F.col("embedding")
+        )
+        joined = (
+            pairs_df.join(e.withColumnRenamed("vec_id", "vec_a")
+                          .withColumnRenamed("embedding", "ea"), "vec_a")
+            .join(e.withColumnRenamed("vec_id", "vec_b")
+                   .withColumnRenamed("embedding", "eb"), "vec_b")
+            .select("vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("c"))
+        )
+        for r in joined.collect():
+            assert cands[(r["vec_a"], r["vec_b"])][1] == r["c"]
