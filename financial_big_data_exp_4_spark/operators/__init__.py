@@ -34,6 +34,7 @@ from financial_big_data_exp_4_spark.operators.dedup import (
 )
 from financial_big_data_exp_4_spark.operators.events import (
     cohort_retention,
+    event_transitions,
     funnel_counts,
     json_extract_stats,
     moving_value_avg,
@@ -52,6 +53,7 @@ from financial_big_data_exp_4_spark.operators.relational import (
     profile_columns,
     scd2_intervals,
     snapshot_diff,
+    standard_scale,
     winsorize,
 )
 from financial_big_data_exp_4_spark.operators.multimodal import (
@@ -90,6 +92,7 @@ __all__ = [
     "dedup_clusters",
     "doc_fingerprint",
     "embedding_neardup_pairs",
+    "event_transitions",
     "exact_dedup",
     "funnel_counts",
     "hash_sample",
@@ -103,6 +106,7 @@ __all__ = [
     "profile_columns",
     "scd2_intervals",
     "snapshot_diff",
+    "standard_scale",
     "winsorize",
     "pack_sequences",
     "quality_filter",

@@ -233,6 +233,33 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     )
 
 
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order event-sequence mining: counts of (previous event type →
+    event type) transitions within each user's ordered history — the
+    Markov-transition matrix behind path analysis and next-event models.
+
+    One shuffle on user_id feeds the lag window; the transition pairs
+    then partial-aggregate into a bounded key space (|types|²), so the
+    second exchange is dimension-sized. The per-user order is
+    (ts, event_id) — total, so transitions are deterministic. First
+    events (no predecessor) are excluded. Output:
+    (prev_type, event_type, n_transitions).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        tagged.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+
+
 def moving_value_avg(events: DataFrame, n: int = 3) -> DataFrame:
     """Per-user moving sum/average of ``value`` over the last ``n`` events
     (bounded ROWS frame, ordered by (µs timestamp, event_id) — a total

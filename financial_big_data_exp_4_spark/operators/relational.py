@@ -137,8 +137,14 @@ def scd2_intervals(
     """
     w = Window.partitionBy(key).orderBy(ts_s, tiebreak)
     prev = F.lag(attr).over(w)
+    # null-safe change test (IS DISTINCT FROM): a NULL attr value is a
+    # real state that opens/closes versions like any other; the first
+    # event has prev = NULL-from-lag, which eqNullSafe counts as a
+    # change only when attr is non-NULL — so a leading NULL attr still
+    # opens version 1 via the explicit first-row test
+    first_row = F.row_number().over(w) == 1
     is_new = F.when(
-        prev.isNull() | (prev != F.col(attr)), F.lit(1)
+        first_row | ~prev.eqNullSafe(F.col(attr)), F.lit(1)
     ).otherwise(F.lit(0))
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     versioned = events.withColumn("_new", is_new).withColumn(
@@ -238,6 +244,40 @@ def snapshot_diff(
         joined.select(cls.alias("diff_class"))
         .groupBy("diff_class")
         .agg(F.count(F.lit(1)).alias("n_keys"))
+    )
+
+
+def standard_scale(
+    df: DataFrame, group: str, value: str
+) -> DataFrame:
+    """Per-group z-score standardization ((v − mean)/std) with
+    engine-exact moments — the relational twin of MLlib's StandardScaler
+    (which operates on assembled vectors; same math).
+
+    The group moments route through DECIMAL sums (associative — a double
+    sum's value depends on reduction order in its low bits, a decimal
+    sum's does not), then the closed-form population std
+    ``sqrt((n·Σx² − (Σx)²)/n²)`` combines in IEEE double (−, ×, /, sqrt
+    are correctly rounded → bit-identical on any engine evaluating the
+    same tree). Moments broadcast; the scale pass is map-side. The
+    ``value`` column must carry ≤ 2 decimal digits (exact decimal cast —
+    same contract as the correlation operator). Output adds
+    (group_mean, group_std, {value}_scaled).
+    """
+    v = F.col(value)
+    x = v.cast("decimal(12,2)")
+    n = F.count(F.lit(1)).cast("double")
+    sx = F.sum(x).cast("double")
+    sxx = F.sum(x * x).cast("double")
+    moments = df.groupBy(group).agg(
+        (sx / n).alias("_mean"),
+        F.sqrt((n * sxx - sx * sx) / (n * n)).alias("_std"),
+    )
+    return df.join(F.broadcast(moments), group).select(
+        *df.columns,
+        F.col("_mean").alias("group_mean"),
+        F.col("_std").alias("group_std"),
+        ((v - F.col("_mean")) / F.col("_std")).alias(f"{value}_scaled"),
     )
 
 

@@ -18,6 +18,8 @@ from financial_big_data_exp_4_spark.operators import (
     chunk_documents,
     cohort_retention,
     cosine_topk_bruteforce,
+    event_transitions,
+    standard_scale,
     funnel_counts,
     hyperplane_neardup_pairs,
     hyperplane_signatures,
@@ -943,6 +945,22 @@ def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts between event types per
+    user history — one user-keyed window shuffle, then a |types|²-keyed
+    aggregate."""
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+def q_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation z-score standardization of customer balances with
+    decimal-routed moments — the relational StandardScaler."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    return standard_scale(cust, group="c_nationkey", value="c_acctbal")
+
+
 def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered view→click→purchase funnel: users whose first-touch times
     strictly ascend through the stages."""
@@ -1087,4 +1105,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_table_diff": q_table_diff,
     "q_embed_lsh_pairs": q_embed_lsh_pairs,
     "q_window_stats": q_window_stats,
+    "q_transitions": q_transitions,
+    "q_standard_scale": q_standard_scale,
 }

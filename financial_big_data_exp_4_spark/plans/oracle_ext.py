@@ -1190,8 +1190,8 @@ EXTENSION_ORACLE_SQL["q_scd2"] = """
         FROM events
     ), flagged AS (
         SELECT user_id, event_id, ts_s, event_type,
-               CASE WHEN lag(event_type) OVER w IS NULL
-                      OR lag(event_type) OVER w <> event_type
+               CASE WHEN row_number() OVER w = 1
+                      OR lag(event_type) OVER w IS DISTINCT FROM event_type
                     THEN 1 ELSE 0 END AS is_new
         FROM e
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
@@ -1418,4 +1418,41 @@ EXTENSION_ORACLE_SQL["q_window_stats"] = """
     FROM orders
     WINDOW w AS (PARTITION BY o_orderpriority
                  ORDER BY o_totalprice, o_orderkey)
+"""
+
+EXTENSION_ORACLE_SQL["q_transitions"] = """
+    WITH tagged AS (
+        SELECT event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type, count(*) AS n_transitions
+    FROM tagged WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+"""
+
+#: Moments mirror standard_scale's association exactly:
+#: mean = Σx/n, std = sqrt((n·Σx² − Σx·Σx)/(n·n)), all factors DOUBLE
+#: from DECIMAL(12,2) sums.
+EXTENSION_ORACLE_SQL["q_standard_scale"] = """
+    WITH m AS (
+        SELECT c_nationkey AS g,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS mean,
+               sqrt((CAST(count(*) AS DOUBLE)
+                     * CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))
+                                * CAST(c_acctbal AS DECIMAL(12,2)))
+                            AS DOUBLE)
+                     - CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+                       * CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE))
+                    / (CAST(count(*) AS DOUBLE)
+                       * CAST(count(*) AS DOUBLE))) AS std
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+           m.mean AS group_mean, m.std AS group_std,
+           (c.c_acctbal - m.mean) / m.std AS c_acctbal_scaled
+    FROM customer c JOIN m ON c.c_nationkey = m.g
 """

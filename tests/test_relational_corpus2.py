@@ -286,3 +286,112 @@ def test_hyperplane_pairs_pigeonhole_and_verify(spark, sf_dir):
         )
         for r in joined.collect():
             assert cands[(r["vec_a"], r["vec_b"])][1] == r["c"]
+
+
+# -- property tests (hypothesis): operator ≡ Python reference model --------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_ops = st.sampled_from(["U", "D", "I"])
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    base_keys=st.sets(st.integers(0, 20), max_size=8),
+    change_list=st.lists(
+        st.tuples(st.integers(0, 30), _ops, st.integers(-5, 5)),
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+)
+def test_merge_changes_matches_model(spark, base_keys, change_list):
+    """merge_changes ≡ a dict-model MERGE for any disjoint-op change set
+    (CDC contract: 'I' keys are new, 'U'/'D' keys exist in the base)."""
+    changes = [
+        (k, op, v)
+        for k, op, v in change_list
+        if (op == "I") != (k in base_keys)
+    ]
+    model = {k: float(k * 10) for k in base_keys}
+    for k, op, v in changes:
+        if op == "U":
+            model[k] = float(v)
+        elif op == "D":
+            model.pop(k)
+        else:
+            model[k] = float(v)
+    base_df = spark.createDataFrame(
+        [(k, float(k * 10)) for k in sorted(base_keys)] or [],
+        "k long, v double",
+    )
+    ch_df = spark.createDataFrame(
+        [(k, op, float(v)) for k, op, v in changes] or [],
+        "k long, op string, v double",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_changes(base_df, ch_df, key="k", cols=("v",)).collect()
+    }
+    assert got == model
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    history=st.lists(
+        st.sampled_from(["A", "B", "C", None]), min_size=1, max_size=10
+    )
+)
+def test_scd2_matches_fold_model(spark, history):
+    """scd2_intervals ≡ a sequential fold over one user's history,
+    including NULL attribute states (IS DISTINCT FROM change test)."""
+    rows = [(1, i, i * 10, a) for i, a in enumerate(history)]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_s long, event_type string"
+    )
+    # reference fold
+    expected = []
+    for i, a in enumerate(history):
+        if i == 0 or history[i - 1] != a:
+            expected.append([a, i * 10, None, 1])  # attr, from, to, n
+        else:
+            expected[-1][3] += 1
+    for prev, nxt in zip(expected, expected[1:]):
+        prev[2] = nxt[1]
+    got = sorted(
+        (
+            r["version"],
+            r["event_type"],
+            r["valid_from_s"],
+            r["valid_to_s"],
+            r["n_events"],
+        )
+        for r in scd2_intervals(events).collect()
+    )
+    assert got == [
+        (i + 1, a, f, t, n) for i, (a, f, t, n) in enumerate(expected)
+    ]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    text=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_chunk_documents_properties_random_text(spark, text):
+    """Chunk cover/overlap invariants on arbitrary printable text."""
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rs = sorted(chunk_documents(docs).collect(), key=lambda r: r["start"])
+    step = CHUNK_WIDTH - CHUNK_OVERLAP
+    L = len(text)
+    assert [r["start"] for r in rs] == list(
+        range(1, max(L - CHUNK_OVERLAP, 1) + 1, step)
+    )
+    # full coverage: last chunk ends at the text end
+    assert rs[-1]["start"] + rs[-1]["chunk_len"] - 1 == L
+    # chunk lengths: all but the last are full width (when text is long)
+    for r in rs[:-1]:
+        assert r["chunk_len"] == CHUNK_WIDTH
