@@ -1002,6 +1002,94 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue per nation from
+    lineitems where the supplier and the ordering customer share the
+    nation, restricted to one region and one order-date year.
+
+    100 TB plan: the date filter pushes to the orders scan and the
+    region filter prunes the broadcast nation/region chain *before* it
+    reaches the facts; supplier (|S| ≪ facts) broadcasts with the
+    c_nationkey = s_nationkey condition folded into the same map-side
+    join; the only big shuffles are lineitem ⋈ orders (orderkey) and
+    ⋈ customer (custkey) — both uniform keys. Revenue routes through
+    DECIMAL (the double sum would be partition-order-dependent).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1.0) - F.col("l_discount")
+    ).cast("decimal(4,2)")
+    asian_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    local_supp = supp.join(
+        F.broadcast(asian_nations),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(local_supp),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (cust.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-quantity orders: orders whose total lineitem
+    quantity exceeds 300, with customer and total quantity, top 100 by
+    (o_totalprice desc, o_orderdate asc, o_orderkey asc).
+
+    100 TB plan: the HAVING aggregate reduces lineitem to |orders| rows
+    *before* any join (partial-aggregated shuffle on orderkey — the
+    selective step); the surviving handful of keys join orders on the
+    same orderkey clustering, then customer. Quantity sums route through
+    DECIMAL; the top-100 plans as TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,2)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .where(F.col("sum_qty") > 300.0)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(
+            F.desc("o_totalprice"), F.asc("o_orderdate"), F.asc("o_orderkey")
+        )
+        .limit(100)
+    )
+
+
 def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The salted replicate-join declared under the oracle: lineitem ⋈
     part on partkey, brand-level quantity totals. Salting spreads any hot
@@ -1107,4 +1195,6 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_window_stats": q_window_stats,
     "q_transitions": q_transitions,
     "q_standard_scale": q_standard_scale,
+    "q_local_supplier_volume": q_local_supplier_volume,
+    "q_large_orders": q_large_orders,
 }

@@ -1456,3 +1456,38 @@ EXTENSION_ORACLE_SQL["q_standard_scale"] = """
            (c.c_acctbal - m.mean) / m.std AS c_acctbal_scaled
     FROM customer c JOIN m ON c.c_nationkey = m.g
 """
+
+EXTENSION_ORACLE_SQL["q_local_supplier_volume"] = """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(4,2)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+"""
+
+EXTENSION_ORACLE_SQL["q_large_orders"] = """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                   AS sum_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+               > 300.0
+    )
+    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM big
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
+    LIMIT 100
+"""

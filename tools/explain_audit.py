@@ -123,6 +123,16 @@ def main() -> int:
             "PushedFilters: [IsNotNull(l_shipdate)" not in plan
         ):
             problems.append("shipdate filter not pushed to the scan")
+        if name == "q_local_supplier_volume":
+            if "BroadcastHashJoin" not in plan:
+                problems.append("supplier/nation/region chain not broadcast")
+            if (
+                "PushedFilters: [IsNotNull(o_orderdate)" not in plan
+                and "GreaterThanOrEqual(o_orderdate" not in plan
+            ):
+                problems.append("order-date filter not pushed to scan")
+        if name == "q_large_orders" and "TakeOrderedAndProject" not in plan:
+            problems.append("large-orders top-100 is a global sort")
         if name == "q_profile":
             # all per-column metrics in ONE scan: the multi-distinct
             # aggregate plans as a single Expand over a single FileScan
