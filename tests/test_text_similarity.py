@@ -166,3 +166,23 @@ def test_cosine_pandas_matches_fold_within_fp_noise(spark, sf_dir):
     ).collect()
     assert both
     assert max(abs(r["exact"] - r["fast"]) for r in both) < 1e-9
+
+
+def test_cosine_topk_layout_invariant(spark, sf_dir):
+    """The two-level top-k pre-reduction keys on spark_partition_id, so
+    the declared output must be identical on any physical layout."""
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from financial_big_data_exp_4_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    outs = []
+    for layout in (emb.repartition(3), emb.repartition(11), emb.coalesce(1)):
+        outs.append(
+            sorted(
+                (r["probe_id"], r["rank"], r["vec_id"], r["cos_sim"])
+                for r in cosine_topk_bruteforce(layout).collect()
+            )
+        )
+    assert outs[0] == outs[1] == outs[2]
