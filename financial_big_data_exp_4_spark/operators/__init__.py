@@ -20,6 +20,7 @@ from financial_big_data_exp_4_spark.operators.graph import (
     connected_components,
     connected_components_twostar,
     dedup_clusters,
+    triangle_count,
 )
 from financial_big_data_exp_4_spark.operators.dedup import (
     apply_exact_dedup,
@@ -126,6 +127,7 @@ __all__ = [
     "simhash_neardup_pairs",
     "text_quality",
     "token_counts",
+    "triangle_count",
     "tumbling_counts",
     "with_minhash_signature",
 ]

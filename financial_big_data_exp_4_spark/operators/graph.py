@@ -204,6 +204,42 @@ def connected_components_twostar(
     )
 
 
+def triangle_count(
+    edges: DataFrame, src: str = "vec_a", dst: str = "vec_b"
+) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list — the
+    local-clustering signal used to separate dense near-dup cliques from
+    chance bucket collisions in a candidate graph.
+
+    The canonical distributed formulation: edges are oriented low→high
+    (each triangle counted once as a < b < c), wedges come from the
+    edge⋈edge join on the middle vertex, and each wedge (a-b, b-c) closes
+    iff edge (a, c) exists — a second equi-join, no NxN anywhere. Cost is
+    Σ deg(v)² for wedge generation (the standard bound; degree caps
+    upstream keep it sane at scale) and every shuffle key is a vertex or
+    vertex pair. The per-node count sums each closed triangle to all
+    three corners via an ``explode`` — one aggregate, no window. Output:
+    (node, n_triangles), nodes with ≥ 1 triangle.
+    """
+    e = edges.select(
+        F.least(F.col(src), F.col(dst)).alias("lo"),
+        F.greatest(F.col(src), F.col(dst)).alias("hi"),
+    ).distinct()
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    wedges = ab.join(bc, F.col("b") == F.col("b2")).select("a", "b", "c")
+    ac = e.select(F.col("lo").alias("a2"), F.col("hi").alias("c2"))
+    tris = wedges.join(
+        ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2"))
+    ).select("a", "b", "c")
+    corners = tris.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
 def dedup_clusters(docs: DataFrame) -> DataFrame:
     """Near-duplicate *groups*: MinHash-LSH candidate pairs → connected
     components. One row per clustered doc with its cluster id (the

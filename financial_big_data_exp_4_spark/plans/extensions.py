@@ -29,6 +29,7 @@ from financial_big_data_exp_4_spark.operators import (
     scd2_intervals,
     scrub_pii,
     snapshot_diff,
+    triangle_count,
     winsorize,
     inverted_index,
     pack_sequences,
@@ -967,6 +968,14 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(load_table(spark, sf_dir, "events"))
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the hyperplane-LSH candidate graph —
+    wedge join + closure join, each triangle counted at all three
+    corners; the local-clustering signal over a dedup candidate graph."""
+    edges = hyperplane_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    return triangle_count(edges)
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-active-day cohorts × day offset — two bounded-key shuffles,
     no count-distinct expand (collect_set form)."""
@@ -1197,4 +1206,5 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_standard_scale": q_standard_scale,
     "q_local_supplier_volume": q_local_supplier_volume,
     "q_large_orders": q_large_orders,
+    "q_triangle_count": q_triangle_count,
 }

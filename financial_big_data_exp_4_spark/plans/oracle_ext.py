@@ -1491,3 +1491,22 @@ EXTENSION_ORACLE_SQL["q_large_orders"] = """
     ORDER BY o_totalprice DESC, o_orderdate ASC, o_orderkey ASC
     LIMIT 100
 """
+
+#: Triangle counting over the hyperplane-LSH candidate graph; the pairs
+#: CTE is the generated q_embed_lsh_pairs SQL, so edge sets cannot drift.
+EXTENSION_ORACLE_SQL["q_triangle_count"] = f"""
+    WITH pairs AS ({EXTENSION_ORACLE_SQL["q_embed_lsh_pairs"]}
+    ), e AS (
+        SELECT DISTINCT least(vec_a, vec_b) AS lo,
+               greatest(vec_a, vec_b) AS hi
+        FROM pairs
+    ), tri AS (
+        SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
+        FROM e ab
+        JOIN e bc ON ab.hi = bc.lo
+        JOIN e ac ON ac.lo = ab.lo AND ac.hi = bc.hi
+    )
+    SELECT node, count(*) AS n_triangles
+    FROM (SELECT unnest([a, b, c]) AS node FROM tri)
+    GROUP BY node
+"""

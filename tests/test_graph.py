@@ -110,3 +110,34 @@ def test_dedup_clusters_cover_candidate_pairs(spark, sf_dir):
         by_cluster.setdefault(c, []).append(node)
     for c, members in by_cluster.items():
         assert c == min(members)
+
+
+def test_triangle_count_known_graph(spark):
+    """K4 minus one edge: two triangles; shared-edge corners count 2."""
+    from financial_big_data_exp_4_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} without edge (3,4): triangles (1,2,3) and (1,2,4)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)],
+        "vec_a long, vec_b long",
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(edges).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+def test_triangle_count_orientation_and_dups(spark):
+    """Reversed/duplicate edges collapse; a triangle counts once/corner."""
+    from financial_big_data_exp_4_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (3, 1), (1, 3)],
+        "vec_a long, vec_b long",
+    )
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1}
