@@ -593,6 +593,28 @@ def q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "err_id", "purch_id", "value")
 
 
+def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-stateful streaming (``applyInPandasWithState``): per-user
+    running totals maintained in GroupState, drained availableNow — the
+    fifth streaming class (custom state), under the batch
+    count/max-time oracle. The single-file drain is one microbatch, so
+    the final update per user equals the batch aggregate exactly."""
+    import tempfile
+    import uuid
+
+    from financial_big_data_exp_4_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_user_running_totals,
+    )
+
+    name = f"stream_stateful_{uuid.uuid4().hex[:8]}"
+    stream = streaming_user_running_totals(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(stream, name, ckpt, output_mode="update")
+    return spark.table(name).select("user_id", "n_events", "last_ts_us")
+
+
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ``spark.sql`` front-end over registered views — the same engine
     (identical Catalyst plan as the DataFrame flagship), declared once so
@@ -1207,4 +1229,5 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_local_supplier_volume": q_local_supplier_volume,
     "q_large_orders": q_large_orders,
     "q_triangle_count": q_triangle_count,
+    "q_stream_stateful": q_stream_stateful,
 }

@@ -1510,3 +1510,11 @@ EXTENSION_ORACLE_SQL["q_triangle_count"] = f"""
     FROM (SELECT unnest([a, b, c]) AS node FROM tri)
     GROUP BY node
 """
+
+#: Custom-stateful streaming ≡ batch: a single-batch availableNow drain's
+#: final update per user equals the plain batch aggregate.
+EXTENSION_ORACLE_SQL["q_stream_stateful"] = """
+    SELECT user_id, count(*) AS n_events,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us
+    FROM events GROUP BY user_id
+"""

@@ -1,3 +1,6 @@
+from financial_big_data_exp_4_spark.streaming.stateful import (
+    streaming_user_running_totals,
+)
 from financial_big_data_exp_4_spark.streaming.windows import (
     read_events_stream,
     run_stream_to_memory,
@@ -14,4 +17,5 @@ __all__ = [
     "streaming_error_purchase_join",
     "streaming_session_counts",
     "streaming_tumbling_counts",
+    "streaming_user_running_totals",
 ]

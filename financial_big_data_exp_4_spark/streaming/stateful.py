@@ -1,0 +1,82 @@
+"""Arbitrary-stateful streaming via ``applyInPandasWithState`` — the
+escape hatch for operators Structured Streaming's built-ins can't express
+(custom per-key accumulators, cross-event machines, model-state updates).
+
+The built-in stateful operators (windowed aggregates, ``session_window``,
+``dropDuplicates``, stream-stream joins) cover the declared streaming
+surface in :mod:`.windows`; this module demonstrates the general form: a
+user function receives each key's new rows per microbatch as Arrow-backed
+pandas frames plus a ``GroupState`` handle, and owns the state schema,
+update rule, and emission policy.
+
+100 TB design notes
+-------------------
+* State is per-key and lives in the state store (one store per shuffle
+  partition): the function sees ONE key at a time, so memory is bounded
+  by the largest single key's batch rows, not by key count. The state
+  struct here is two longs — the smallest useful accumulator.
+* The pandas boundary is Arrow-batched per (partition, key-group) — the
+  same transfer economics as batch ``applyInPandas``; a custom stateful
+  op should still push every expressible predicate/projection *before*
+  it so the Python worker sees minimal columns.
+* ``GroupStateTimeout.NoTimeout`` keeps state forever — correct for a
+  bounded availableNow drain; a 24/7 deployment sets processing- or
+  event-time timeout and emits/clears on ``state.hasTimedOut`` (the
+  standard TTL pattern), exactly like ``dropDuplicatesWithinWatermark``
+  scopes its guarantee.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+#: Output/state schemas for :func:`streaming_user_running_totals` —
+#: declared as DDL strings, the applyInPandasWithState contract.
+USER_TOTALS_OUTPUT_SCHEMA = (
+    "user_id long, n_events long, last_ts_us long"
+)
+USER_TOTALS_STATE_SCHEMA = "n long, last_ts_us long"
+
+
+def _update_user_totals(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per-user running (event count, max event time): fold this batch's
+    rows into the state, emit the updated totals once per batch."""
+    n, last = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        if len(pdf):
+            last = max(last, int(pdf["ts_us"].max()))
+    state.update((n, last))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "last_ts_us": [last]}
+    )
+
+
+def streaming_user_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming aggregate: per-user running event count
+    and last event time, maintained in ``GroupState`` and re-emitted
+    each microbatch (update semantics).
+
+    ``events`` must carry ``user_id`` and a ``ts_utc`` event-time column
+    (the :func:`..streaming.read_events_stream` contract); the µs value
+    is derived before the pandas boundary so the Python worker sees two
+    narrow columns only.
+    """
+    from pyspark.sql import functions as F
+
+    slim = events.select(
+        "user_id", F.unix_micros(F.col("ts_utc")).alias("ts_us")
+    )
+    return slim.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=USER_TOTALS_OUTPUT_SCHEMA,
+        stateStructType=USER_TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -242,3 +242,39 @@ def test_stream_stream_join_equals_batch_range_join(spark, sf_dir, tmp_path):
         )
     )
     assert got == want and len(got) > 0
+
+
+def test_stateful_running_totals_equals_batch(spark, sf_dir):
+    """applyInPandasWithState drain ≡ batch aggregate on a bounded
+    single-batch stream (the custom-stateful streaming class)."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.sources import load_table
+    from financial_big_data_exp_4_spark.streaming import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_user_running_totals,
+    )
+
+    name = f"stateful_{uuid.uuid4().hex[:8]}"
+    stream = streaming_user_running_totals(read_events_stream(spark, sf_dir))
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(stream, name, ckpt, output_mode="update")
+    got = {
+        r["user_id"]: (r["n_events"], r["last_ts_us"])
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["last"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max(F.expr("ts DIV 1000")).alias("last"),
+        )
+        .collect()
+    }
+    assert got == batch

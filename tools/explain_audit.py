@@ -48,7 +48,14 @@ MAP_REBALANCED = {
 #: queries whose plan legitimately contains an Arrow/pandas boundary
 #: (multimodal decode stages); anywhere else a Python node is a hot-path
 #: regression
-PANDAS_OK = {"q_multimodal_meta", "q_multimodal_frames", "q_group_center"}
+PANDAS_OK = {
+    "q_multimodal_meta",
+    "q_multimodal_frames",
+    "q_group_center",
+    # applyInPandasWithState: the custom-stateful streaming class IS a
+    # declared pandas boundary (plan shows FlatMapGroupsInPandasWithState)
+    "q_stream_stateful",
+}
 
 
 def main() -> int:
