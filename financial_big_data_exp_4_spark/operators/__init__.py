@@ -25,6 +25,7 @@ from financial_big_data_exp_4_spark.operators.graph import (
 from financial_big_data_exp_4_spark.operators.dedup import (
     apply_exact_dedup,
     exact_dedup,
+    incremental_neardup,
     minhash_candidate_pairs,
     neardup_edit_distance,
     neardup_verified_pairs,
@@ -99,6 +100,7 @@ __all__ = [
     "hash_sample",
     "hyperplane_neardup_pairs",
     "hyperplane_signatures",
+    "incremental_neardup",
     "inverted_index",
     "json_extract_stats",
     "keep_latest",

@@ -238,6 +238,107 @@ def minhash_candidate_pairs(
     )
 
 
+def incremental_neardup(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental dedup of a NEW document batch against an EXISTING
+    corpus — the form every ingestion pipeline actually runs (the
+    self-join variants re-check the whole corpus against itself; this
+    checks only new×corpus).
+
+    Per new document: an exact-duplicate flag (md5 membership in the
+    corpus) and the best LSH near-dup candidate (highest estimated
+    Jaccard, ties to the smallest corpus doc id) with the candidate
+    count. Plan shape: the NEW side is small by construction, so its
+    exploded band rows **broadcast** into the corpus band rows — the
+    corpus is scanned once, never shuffled for pairing (in production
+    the corpus signatures/bands are a precomputed table, so even the
+    signature map stage amortizes to zero). The exact-dup check is a
+    left join on md5 — uniform 128-bit key, new side tiny.
+    Output: (doc_id, is_exact_dup, best_match, best_est, n_candidates);
+    best_match/best_est NULL and n_candidates 0 for clean docs.
+    """
+    k = len(MINHASH_COEFFS)
+
+    def _bands(docs_df, prefix):
+        sig = with_minhash_signature(docs_df, text_col).select(
+            F.col(id_col).alias(f"{prefix}doc"),
+            *[F.col(f"mh_{i}").alias(f"{prefix}mh_{i}") for i in range(k)],
+        )
+        return sig.select(
+            f"{prefix}doc",
+            *[f"{prefix}mh_{i}" for i in range(k)],
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col(f"{prefix}mh_{j}").cast("string")
+                                for j in range(
+                                    b * MINHASH_ROWS_PER_BAND,
+                                    (b + 1) * MINHASH_ROWS_PER_BAND,
+                                )
+                            ],
+                        )
+                        for b in range(MINHASH_BANDS)
+                    ]
+                )
+            ).alias(f"{prefix}band_id", f"{prefix}band_key"),
+        )
+
+    bands_old = _bands(corpus_docs, "o_")
+    bands_new = _bands(new_docs, "n_")
+    agree = sum(
+        F.when(F.col(f"o_mh_{i}") == F.col(f"n_mh_{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    cand = (
+        bands_old.join(
+            F.broadcast(bands_new),
+            (F.col("o_band_id") == F.col("n_band_id"))
+            & (F.col("o_band_key") == F.col("n_band_key")),
+        )
+        .select(
+            F.col("n_doc").alias("doc_id"),
+            F.col("o_doc").alias("cand_doc"),
+            (agree.cast("double") / F.lit(float(k))).alias("est"),
+        )
+        .distinct()
+    )
+    best = cand.groupBy("doc_id").agg(
+        F.max(F.struct(F.col("est"), (-F.col("cand_doc")).alias("_nc"))).alias(
+            "_best"
+        ),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    corpus_md5 = corpus_docs.select(
+        F.md5(F.col(text_col)).alias("_md5")
+    ).distinct()
+    flagged = new_docs.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_nmd5")
+    ).join(
+        corpus_md5.withColumn("_hit", F.lit(1)),
+        F.col("_nmd5") == F.col("_md5"),
+        "left",
+    )
+    return (
+        flagged.join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("_hit").isNotNull().alias("is_exact_dup"),
+            (-F.col("_best._nc")).alias("best_match"),
+            F.col("_best.est").alias("best_est"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias(
+                "n_candidates"
+            ),
+        )
+    )
+
+
 #: SimHash as ONE fold over the token hashes carrying a 52-wide bit-sum
 #: accumulator (``zip_with`` pairs the accumulator with the bit indices),
 #: then one fold over the signed sums to assemble the signature. Integer

@@ -23,6 +23,7 @@ from financial_big_data_exp_4_spark.operators import (
     funnel_counts,
     hyperplane_neardup_pairs,
     hyperplane_signatures,
+    incremental_neardup,
     merge_changes,
     moving_value_avg,
     profile_columns,
@@ -990,6 +991,17 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel_counts(load_table(spark, sf_dir, "events"))
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: odd-id documents (the 'new batch') checked
+    against even-id documents (the 'existing corpus') — exact md5 flag +
+    best LSH near-dup candidate per new doc; the new side's band rows
+    broadcast, the corpus is never shuffled for pairing."""
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    return incremental_neardup(new, corpus)
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the hyperplane-LSH candidate graph —
     wedge join + closure join, each triangle counted at all three
@@ -1230,4 +1242,5 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_large_orders": q_large_orders,
     "q_triangle_count": q_triangle_count,
     "q_stream_stateful": q_stream_stateful,
+    "q_dedup_incremental": q_dedup_incremental,
 }

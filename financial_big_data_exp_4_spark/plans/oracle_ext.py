@@ -1518,3 +1518,76 @@ EXTENSION_ORACLE_SQL["q_stream_stateful"] = """
            CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us
     FROM events GROUP BY user_id
 """
+
+
+def _inc_band_selects(sig_table: str) -> str:
+    """Band rows for the incremental oracle over an arbitrary signature
+    CTE (same banding as _BAND_SELECTS, parameterized table)."""
+    return "\n        UNION ALL ".join(
+        "SELECT doc, {b} AS band_id, {key} AS band_key FROM {t}".format(
+            b=b,
+            t=sig_table,
+            key=" || ',' || ".join(
+                f"CAST(mh_{j} AS VARCHAR)"
+                for j in range(
+                    b * MINHASH_ROWS_PER_BAND,
+                    (b + 1) * MINHASH_ROWS_PER_BAND,
+                )
+            ),
+        )
+        for b in range(MINHASH_BANDS)
+    )
+
+
+#: Incremental dedup: the signature/banding SQL is generated from the same
+#: constants as the batch minhash oracle, applied to the corpus/new split.
+EXTENSION_ORACLE_SQL["q_dedup_incremental"] = f"""
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+    ), newdocs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+    ), th_c AS (
+        SELECT doc_id AS doc, {_TH_MOD_P} AS th FROM corpus
+    ), th_n AS (
+        SELECT doc_id AS doc, {_TH_MOD_P} AS th FROM newdocs
+    ), sig_c AS (
+        SELECT doc, {_MH_EXPRS} FROM th_c
+    ), sig_n AS (
+        SELECT doc, {_MH_EXPRS} FROM th_n
+    ), bands_c AS (
+        {_inc_band_selects("sig_c")}
+    ), bands_n AS (
+        {_inc_band_selects("sig_n")}
+    ), pairs AS (
+        SELECT DISTINCT y.doc AS new_doc, x.doc AS old_doc
+        FROM bands_c x JOIN bands_n y
+          ON x.band_id = y.band_id AND x.band_key = y.band_key
+    ), scored AS (
+        SELECT p.new_doc, p.old_doc,
+               CAST({_AGREE} AS DOUBLE) / {float(len(MINHASH_COEFFS))}
+                   AS est
+        FROM pairs p
+        JOIN sig_c sa ON p.old_doc = sa.doc
+        JOIN sig_n sb ON p.new_doc = sb.doc
+    ), ranked AS (
+        SELECT new_doc, old_doc, est,
+               row_number() OVER (
+                   PARTITION BY new_doc
+                   ORDER BY est DESC, old_doc ASC) AS rn,
+               count(*) OVER (PARTITION BY new_doc) AS n_candidates
+        FROM scored
+    ), best AS (
+        SELECT new_doc, old_doc AS best_match, est AS best_est,
+               n_candidates
+        FROM ranked WHERE rn = 1
+    ), cmd5 AS (
+        SELECT DISTINCT md5(text) AS m FROM corpus
+    )
+    SELECT n.doc_id,
+           (c.m IS NOT NULL) AS is_exact_dup,
+           b.best_match, b.best_est,
+           CAST(coalesce(b.n_candidates, 0) AS BIGINT) AS n_candidates
+    FROM newdocs n
+    LEFT JOIN cmd5 c ON md5(n.text) = c.m
+    LEFT JOIN best b ON n.doc_id = b.new_doc
+"""

@@ -137,3 +137,38 @@ def test_normalize_text_idempotent_and_flags(spark):
         once.select("doc_id", once.norm_text.alias("text"))
     )
     assert all(not r["changed"] for r in again.collect())
+
+
+def test_incremental_neardup_flags_and_best(spark):
+    """Exact dup flagged by md5; near-dup finds its corpus twin; a clean
+    doc gets (False, NULL, 0)."""
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        incremental_neardup,
+    )
+
+    # non-repetitive body: repeated phrases collapse to a tiny shingle
+    # SET (set semantics), which would let a short tail dominate Jaccard
+    base = " ".join(f"word{i * 37 % 997}x{i}" for i in range(150))
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "completely different corpus text here " * 6)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),               # exact dup of 0
+            (3, base + "tail edit"),  # near dup of 0 (Jaccard ≈ 0.99)
+            (5, "zzz qqq xxx unrelated prose " * 8),  # clean
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["is_exact_dup"],
+            r["best_match"],
+            r["n_candidates"],
+        )
+        for r in incremental_neardup(new, corpus).collect()
+    }
+    assert got[1][0] is True and got[1][1] == 0
+    assert got[3][0] is False and got[3][1] == 0 and got[3][2] >= 1
+    assert got[5] == (False, None, 0)
