@@ -159,6 +159,13 @@ _SPLIT_MODULUS = 1_000_000_007
 #: Knuth's multiplicative constant (2^32 * golden ratio conjugate).
 _SPLIT_MULTIPLIER = 2_654_435_761
 
+#: Public aliases — the ONE definition of the engine's multiplicative-hash
+#: constants. Every operator module (sampling, stratification, LSH plane
+#: derivation) and every generated oracle imports these; a local literal
+#: copy would let the engine and oracle drift independently.
+HASH_MODULUS = _SPLIT_MODULUS
+HASH_MULTIPLIER = _SPLIT_MULTIPLIER
+
 
 def det_hash_mod(key: Column | str, buckets: int) -> Column:
     """Deterministic bucket id in ``[0, buckets)`` from an integer key.

@@ -37,13 +37,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from financial_big_data_exp_4_spark.functions.core import (
+    HASH_MODULUS,
+    HASH_MULTIPLIER,
+)
 from financial_big_data_exp_4_spark.operators.dedup import tokenize
 from financial_big_data_exp_4_spark.operators.text import QUALITY_STOPWORDS
 
-#: Same multiplicative-hash constants as relational.hash_sample /
-#: functions.core.train_test_split_col.
-_HASH_P = 1_000_000_007
-_KNUTH = 2_654_435_761
+#: The engine's single multiplicative-hash constant pair (see
+#: functions.core) — imported, not copied, so oracle agreement can't drift.
+_HASH_P = HASH_MODULUS
+_KNUTH = HASH_MULTIPLIER
 
 #: Gopher-style quality-rule bounds (Rae et al. 2021, table A1 shape —
 #: the *rule set* is the operator; the thresholds are tunable knobs).

@@ -116,7 +116,7 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def with_minhash_signature(
-    docs: DataFrame, text_col: str = "text"
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Append ``mh_0..mh_{K-1}`` minhash columns (map-only, codegen'd).
 
@@ -126,10 +126,16 @@ def with_minhash_signature(
     column — Spark's CollapseProject does not inline non-cheap aliased
     expressions (SPARK-36718), so the md5 work is not duplicated across
     the K minhash expressions.
+
+    The CPU rebalance keys on the UNIQUE ``id_col``, never the text: on a
+    duplicate-heavy corpus — this operator's own target workload — a
+    text-keyed repartition would hash every copy of a duplicated document
+    onto one partition and re-serialize exactly the md5-shingle stage the
+    rebalance exists to parallelize.
     """
     from financial_big_data_exp_4_spark.session import rebalance_for_cpu
 
-    docs = rebalance_for_cpu(docs, text_col)
+    docs = rebalance_for_cpu(docs, id_col)
     df = docs.withColumn(
         "_th",
         F.transform(shingle_hash_set(text_col), lambda h: h % MINHASH_P),
@@ -144,6 +150,25 @@ def with_minhash_signature(
         mh = F.array_min(F.transform(F.col("_th"), perm(a, b)))
         df = df.withColumn(f"mh_{i}", F.coalesce(mh, F.lit(MINHASH_P)))
     return df.drop("_th")
+
+
+def _cap_band_buckets(bands: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Drop over-full ``(band_id, band_key)`` buckets before pairing.
+
+    Shared by the MinHash and SimHash band joins: the window count
+    partitions on the SAME key the join shuffles on, so the cap reuses
+    that exchange instead of adding one. ``None`` = no cap (the declared
+    closed-form oracle semantics)."""
+    if max_bucket_size is None:
+        return bands
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_id", "band_key")
+    return (
+        bands.withColumn("_bucket_n", F.count("*").over(w))
+        .where(F.col("_bucket_n") <= max_bucket_size)
+        .drop("_bucket_n")
+    )
 
 
 def _band_key(band: int) -> Column:
@@ -180,7 +205,7 @@ def minhash_candidate_pairs(
     semantics).
     """
     k = len(MINHASH_COEFFS)
-    sig = with_minhash_signature(docs, text_col).select(
+    sig = with_minhash_signature(docs, text_col, id_col).select(
         F.col(id_col).alias("doc"), *[F.col(f"mh_{i}") for i in range(k)]
     )
     # The signature columns RIDE the band explode (8 longs ≈ 64 bytes per
@@ -204,15 +229,7 @@ def minhash_candidate_pairs(
             ).alias("band_id", "band_key"),
         )
     )
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_id", "band_key")
-        bands = (
-            bands.withColumn("_bucket_n", F.count("*").over(w))
-            .filter(F.col("_bucket_n") <= max_bucket_size)
-            .drop("_bucket_n")
-        )
+    bands = _cap_band_buckets(bands, max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     agree = sum(
         F.when(F.col(f"a.mh_{i}") == F.col(f"b.mh_{i}"), 1).otherwise(0)
@@ -264,7 +281,7 @@ def incremental_neardup(
     k = len(MINHASH_COEFFS)
 
     def _bands(docs_df, prefix):
-        sig = with_minhash_signature(docs_df, text_col).select(
+        sig = with_minhash_signature(docs_df, text_col, id_col).select(
             F.col(id_col).alias(f"{prefix}doc"),
             *[F.col(f"mh_{i}").alias(f"{prefix}mh_{i}") for i in range(k)],
         )
@@ -488,15 +505,7 @@ def simhash_neardup_pairs(
             ).alias("band_id", "band_key"),
         )
     )
-    if max_bucket_size is not None:
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band_id", "band_key")
-        bands = (
-            bands.withColumn("_bucket_n", F.count("*").over(w))
-            .where(F.col("_bucket_n") <= max_bucket_size)
-            .drop("_bucket_n")
-        )
+    bands = _cap_band_buckets(bands, max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

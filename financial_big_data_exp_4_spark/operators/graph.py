@@ -221,10 +221,16 @@ def triangle_count(
     three corners via an ``explode`` — one aggregate, no window. Output:
     (node, n_triangles), nodes with ≥ 1 triangle.
     """
-    e = edges.select(
-        F.least(F.col(src), F.col(dst)).alias("lo"),
-        F.greatest(F.col(src), F.col(dst)).alias("hi"),
-    ).distinct()
+    # drop self-loops first: (x, x) would survive canonicalization and
+    # close wedges against itself, reporting phantom triangles
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .distinct()
+    )
     ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     bc = e.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
     wedges = ab.join(bc, F.col("b") == F.col("b2")).select("a", "b", "c")

@@ -43,9 +43,15 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-#: Same multiplicative-hash constants as functions.core.train_test_split_col.
-_HASH_P = 1_000_000_007
-_KNUTH = 2_654_435_761
+from financial_big_data_exp_4_spark.functions.core import (
+    HASH_MODULUS,
+    HASH_MULTIPLIER,
+)
+
+#: The engine's single multiplicative-hash constant pair (see
+#: functions.core) — imported, not copied, so oracle agreement can't drift.
+_HASH_P = HASH_MODULUS
+_KNUTH = HASH_MULTIPLIER
 
 
 def keep_latest(

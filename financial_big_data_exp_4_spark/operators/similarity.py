@@ -44,11 +44,13 @@ IVF_CENTROID_STRIDE = 50  # every 50th vector is a "centroid" (det. sample)
 LSH_PLANES = 16
 #: Fixture embedding dimensionality (embeddings.embedding: array<float>[64]).
 LSH_DIM = 64
-#: Same multiplicative-hash constants as relational.hash_sample — the
-#: hyperplane weights are derived, not sampled, so signatures are
-#: deterministic across engines/runs with no stored model.
-_LSH_HASH_P = 1_000_000_007
-_LSH_KNUTH = 2_654_435_761
+#: The engine's single multiplicative-hash constant pair (see
+#: functions.core) — the hyperplane weights are derived, not sampled, so
+#: signatures are deterministic across engines/runs with no stored model.
+from financial_big_data_exp_4_spark.functions.core import (
+    HASH_MODULUS as _LSH_HASH_P,
+    HASH_MULTIPLIER as _LSH_KNUTH,
+)
 
 # single-slot scoped cache shared engine-wide (moved to session.py so the
 # LSH band joins in operators/dedup.py use the same eviction slot)

@@ -660,16 +660,20 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
                    CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
             FROM events
         ), tagged AS (
-            SELECT user_id, ts_s,
+            SELECT user_id, event_id, ts_s,
                    CASE WHEN lag(ts_s) OVER w IS NULL
                           OR ts_s - lag(ts_s) OVER w > 1800
                         THEN 1 ELSE 0 END AS is_new
             FROM base
             WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
         ), sess AS (
+            -- the running sum MUST order by the same total key as the
+            -- lag window: same-second ties are routine after the
+            -- whole-second truncation, and an ordering on ts_s alone
+            -- would make session assignment depend on sort stability
             SELECT user_id, ts_s,
                    CAST(sum(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts_s
+                       PARTITION BY user_id ORDER BY ts_s, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS BIGINT) AS session_idx
             FROM tagged

@@ -105,7 +105,7 @@ def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     write_partitioned_parquet(events, path, ["event_type"])
     back = spark.read.parquet(path)
     one = back.where(back.event_type == "purchase")
-    plan = one.queryExecution if False else one._jdf.queryExecution().executedPlan().toString()
+    plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(event_type" in plan
     want = events.where(events.event_type == "purchase").count()
     assert one.count() == want
