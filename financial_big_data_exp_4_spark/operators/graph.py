@@ -221,9 +221,15 @@ def triangle_count(
     three corners via an ``explode`` — one aggregate, no window. Output:
     (node, n_triangles), nodes with ≥ 1 triangle.
     """
+    from financial_big_data_exp_4_spark.session import persist_scoped
+
     # drop self-loops first: (x, x) would survive canonicalization and
-    # close wedges against itself, reporting phantom triangles
-    e = (
+    # close wedges against itself, reporting phantom triangles.
+    # Persisted (scoped): the wedge join and the closure join read the
+    # edge list from THREE branches, and Spark shares no scans between
+    # branches — unpersisted, the upstream edge *generator* (e.g. the
+    # whole LSH candidate pipeline) would run three times.
+    e = persist_scoped(
         edges.where(F.col(src) != F.col(dst))
         .select(
             F.least(F.col(src), F.col(dst)).alias("lo"),

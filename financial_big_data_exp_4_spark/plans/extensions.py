@@ -996,10 +996,16 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts over the hyperplane-LSH candidate graph —
-    wedge join + closure join, each triangle counted at all three
-    corners; the local-clustering signal over a dedup candidate graph."""
-    edges = hyperplane_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    """Per-node triangle counts over the near-dup graph (hyperplane-LSH
+    candidates at Hamming ≤ 2) — wedge join + closure join, each triangle
+    counted at all three corners; the local-clustering signal that
+    separates dense near-dup cliques from chance collisions. The Hamming
+    filter prunes the edge list BEFORE the Σdeg² wedge join — on the raw
+    candidate graph (any band collision = edge) the wedge set is ~20×
+    larger for no analytical gain."""
+    edges = hyperplane_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings")
+    ).where(F.col("hamming") <= 2)
     return triangle_count(edges)
 
 

@@ -1503,7 +1503,7 @@ EXTENSION_ORACLE_SQL["q_triangle_count"] = f"""
     ), e AS (
         SELECT DISTINCT least(vec_a, vec_b) AS lo,
                greatest(vec_a, vec_b) AS hi
-        FROM pairs
+        FROM pairs WHERE hamming <= 2
     ), tri AS (
         SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
         FROM e ab
