@@ -962,6 +962,36 @@ def q_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs q_moving_avg's ROWS frame): per event,
+    the count and decimal-exact sum of the same user's values in the
+    trailing hour — ``rangeBetween(-3600, 0)`` over the epoch-seconds
+    order key. A RANGE frame includes ALL peers of a tied order value,
+    so the frame contents are deterministic even at same-second ties
+    (which is why no tiebreak column is needed, unlike every ROWS
+    frame). One shuffle on user_id; frame state is bounded by events
+    per hour per user."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    base = events.select(
+        "event_id",
+        "user_id",
+        F.expr("ts DIV 1000000000").alias("ts_s"),
+        F.col("value").cast("decimal(18,6)").alias("_v"),
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts_s",
+        F.count("_v").over(w).alias("hour_cnt"),
+        F.sum("_v").over(w).cast("double").alias("hour_sum"),
+    )
+
+
 def q_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition counts between event types per
     user history — one user-keyed window shuffle, then a |types|²-keyed
@@ -1242,4 +1272,5 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_triangle_count": q_triangle_count,
     "q_stream_stateful": q_stream_stateful,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_range_frame": q_range_frame,
 }

@@ -1595,3 +1595,16 @@ EXTENSION_ORACLE_SQL["q_dedup_incremental"] = f"""
     LEFT JOIN cmd5 c ON md5(n.text) = c.m
     LEFT JOIN best b ON n.doc_id = b.new_doc
 """
+
+EXTENSION_ORACLE_SQL["q_range_frame"] = """
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+           count(*) OVER w AS hour_cnt,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+               AS hour_sum
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT)
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
