@@ -42,7 +42,10 @@ IVF_CENTROID_STRIDE = 50  # every 50th vector is a "centroid" (det. sample)
 #: (1 − θ/π)^16 (Charikar 2002), the cosine sibling of the MinHash band
 #: trade-off.
 LSH_PLANES = 16
-#: Fixture embedding dimensionality (embeddings.embedding: array<float>[64]).
+#: Fixture embedding dimensionality — used only by tests/docs; the
+#: signature expression reads ``size(embedding)`` at runtime, so a
+#: regenerated fixture with a different dim keeps working (the weight
+#: stream just extends/truncates with it, deterministically).
 LSH_DIM = 64
 #: The engine's single multiplicative-hash constant pair (see
 #: functions.core) — the hyperplane weights are derived, not sampled, so
@@ -277,10 +280,10 @@ _LSH_SIG_EXPR = f"""aggregate(
   CAST(0 AS BIGINT),
   (acc, p) -> acc + CASE WHEN
     aggregate(
-      sequence(1, {LSH_DIM}),
+      sequence(1, size(embedding)),
       CAST(0.0 AS DOUBLE),
       (a, di) -> a + CAST(element_at(embedding, di) AS DOUBLE)
-                     * CAST((p * {LSH_DIM} + di - 1) * {_LSH_KNUTH}
+                     * CAST((p * size(embedding) + di - 1) * {_LSH_KNUTH}
                             % {_LSH_HASH_P} % 2001 - 1000 AS DOUBLE)
     ) > 0.0
   THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END

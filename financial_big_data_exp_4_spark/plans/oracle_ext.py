@@ -1305,9 +1305,9 @@ EXTENSION_ORACLE_SQL["q_embed_lsh"] = f"""
            list_reduce(
              list_transform(generate_series(0, {LSH_PLANES - 1}), p ->
                CASE WHEN list_reduce(
-                 list_transform(generate_series(1, {LSH_DIM}), di ->
+                 list_transform(generate_series(1, len(embedding)), di ->
                    CAST(embedding[di] AS DOUBLE)
-                   * CAST((p * {LSH_DIM} + di - 1) * {_LSH_KNUTH}
+                   * CAST((p * len(embedding) + di - 1) * {_LSH_KNUTH}
                           % {_LSH_HASH_P} % 2001 - 1000 AS DOUBLE)),
                  (a, v) -> a + v) > 0.0
                THEN (CAST(1 AS BIGINT) << p)
