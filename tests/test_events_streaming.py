@@ -278,3 +278,57 @@ def test_stateful_running_totals_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == batch
+
+
+def test_multibatch_stream_equals_batch(spark, sf_dir, tmp_path):
+    """TRUE incremental processing: the events table split into three
+    part files, streamed one file per microbatch (3 batches, state
+    carried across batches) must still equal the batch aggregate —
+    single-batch drains alone can't distinguish stateful merging from a
+    plain aggregate."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.sources import load_table
+    from financial_big_data_exp_4_spark.streaming import (
+        run_stream_to_memory,
+        streaming_tumbling_counts,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    src = tmp_path / "events_parts"
+    # deterministic 3-way split by event_id so the batches interleave in
+    # event time (late-ish data within the watermark, the interesting case)
+    events.withColumn("_part", F.col("event_id") % 3).repartition(
+        "_part"
+    ).write.partitionBy("_part").parquet(str(src))
+
+    static = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    ts_utc = (
+        F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        if dict(static.dtypes)["ts"] == "bigint"
+        else F.col("ts").cast("timestamp")
+    )
+    agg = streaming_tumbling_counts(stream.withColumn("ts_utc", ts_utc))
+    name = f"multibatch_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(agg, name, ckpt)
+    got = {
+        (int(r["window_start"].timestamp()), r["event_type"]): r["cnt"]
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        (r["window_start_s"], r["event_type"]): r["cnt"]
+        for r in __import__(
+            "financial_big_data_exp_4_spark.operators.events",
+            fromlist=["tumbling_counts"],
+        ).tumbling_counts(events).collect()
+    }
+    assert got == batch
