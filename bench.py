@@ -20,10 +20,11 @@ time map-only queries as parquet row-counts (round-2 ADVICE).
 For the cross-engine reference the same script runs every DuckDB oracle
 (best of two passes) over the same parquet files and reports
 ``oracle_queries`` / ``oracle_total_sec`` and the Spark/oracle
-``oracle_ratio``. Round-3 measured numbers on this host (95+ queries):
-ratio ≈ 1.5 at sf0.1 (absolute totals swing ±20% with host CPU-steal —
-Spark ≈ 55-66s vs oracle ≈ 36-44s; the ratio is the stable statistic
-since both engines share the noise window). The gap decomposes
+``oracle_ratio``. Round-3 measured numbers on this host (96 queries):
+ratio 1.5-1.8 at sf0.1 across repeated runs (absolute totals swing ±20%
+with host CPU-steal — Spark ≈ 55-66s vs oracle ≈ 32-44s — and the two
+sides don't always catch the same noise window, hence the ratio band).
+The gap decomposes
 as (a) Spark's ~0.1-0.25s per-action floor (~15-18s across the suite —
 scheduler/stage setup that DuckDB's ~10ms floor doesn't pay, and that
 amortizes away at real scale), (b) ~3.5s of Structured-Streaming engine
