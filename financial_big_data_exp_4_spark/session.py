@@ -154,16 +154,27 @@ def collect_pandas(df, max_rows: int = 1_000_000):
     return df.toPandas()
 
 
+#: Sessions already conf'd by :func:`ensure_session_confs` (id-keyed —
+#: a restarted session is a new object and gets re-conf'd).
+_CONFD_SESSIONS: set[int] = set()
+
+
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
     """Set the engine's runtime-settable SQL confs on an existing session.
 
     Every public query entry point calls this defensively so the engine
     behaves identically under an externally created session (e.g. the
-    verification driver's).
+    verification driver's). Memoized per session object: each ``conf.set``
+    is a py4j round-trip, and the per-table loader calls this on every
+    load — unmemoized that is thousands of driver round-trips across a
+    full bench/correctness run.
     """
+    if id(spark) in _CONFD_SESSIONS:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static confs on odd builds
             pass
+    _CONFD_SESSIONS.add(id(spark))
     return spark
