@@ -24,6 +24,7 @@ categorical; kept verbatim.
 from __future__ import annotations
 
 from pyspark.ml.classification import (
+    GBTClassifier,
     LinearSVC,
     LogisticRegression,
     MultilayerPerceptronClassifier,
@@ -68,7 +69,26 @@ def make_classifier(name: str, n_features: int | None = None):
             labelCol="label",
             featuresCol="features",
         )
-    raise ValueError(f"unknown classifier {name!r}; pick from {REFERENCE_CLASSIFIERS}")
+    if name == "gbt":
+        # engine extension beyond the reference's four: gradient-boosted
+        # trees — sequential boosting rounds (maxIter per-tree jobs, each
+        # shuffle-light like RF's) usually beat RF's bagging on tabular
+        # default-risk data; kept shallow so rounds stay cheap
+        return GBTClassifier(
+            maxDepth=5,
+            maxIter=20,
+            # the assembled features carry wide categorical indices (same
+            # reason the reference's RF sets maxBins=700); trees reject
+            # any categorical wider than maxBins
+            maxBins=700,
+            seed=SEED,
+            labelCol="label",
+            featuresCol="features",
+        )
+    raise ValueError(
+        f"unknown classifier {name!r}; pick from "
+        f"{REFERENCE_CLASSIFIERS + ('gbt',)}"
+    )
 
 
 def strip_training_summary(model):

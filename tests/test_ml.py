@@ -122,3 +122,13 @@ def test_models_survive_session_with_observations(spark, split_features):
     small = train.sample(0.1, seed=2).coalesce(1)
     aucs = train_and_evaluate(small, test, ("lr",))
     assert 0.0 <= aucs["lr"] <= 1.0
+
+
+def test_gbt_reaches_auc_floor(split_features):
+    """Engine extension beyond the reference's four classifiers:
+    gradient-boosted trees must clear the same 0.80 AUC floor."""
+    from financial_big_data_exp_4_spark.ml import train_and_evaluate
+
+    train, test = split_features
+    aucs = train_and_evaluate(train, test, ("gbt",))
+    assert aucs["gbt"] >= 0.80, aucs
