@@ -275,15 +275,25 @@ def standard_scale(
     n = F.count(F.lit(1)).cast("double")
     sx = F.sum(x).cast("double")
     sxx = F.sum(x * x).cast("double")
+    # greatest(·, 0): for a constant group the double combination
+    # n·Σx² − (Σx)² can round to a tiny NEGATIVE, and sqrt would be NaN
+    var = F.greatest((n * sxx - sx * sx) / (n * n), F.lit(0.0))
     moments = df.groupBy(group).agg(
         (sx / n).alias("_mean"),
-        F.sqrt((n * sxx - sx * sx) / (n * n)).alias("_std"),
+        F.sqrt(var).alias("_std"),
+    )
+    # std = 0 (constant or singleton group): the z-score is undefined —
+    # emit NULL rather than divide (Spark 4 ANSI mode raises
+    # DIVIDE_BY_ZERO even for doubles; pre-ANSI engines would emit
+    # NaN/Inf, which is no more useful)
+    scaled = F.when(
+        F.col("_std") > 0.0, (v - F.col("_mean")) / F.col("_std")
     )
     return df.join(F.broadcast(moments), group).select(
         *df.columns,
         F.col("_mean").alias("group_mean"),
         F.col("_std").alias("group_std"),
-        ((v - F.col("_mean")) / F.col("_std")).alias(f"{value}_scaled"),
+        scaled.alias(f"{value}_scaled"),
     )
 
 

@@ -1445,19 +1445,20 @@ EXTENSION_ORACLE_SQL["q_standard_scale"] = """
         SELECT c_nationkey AS g,
                CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS mean,
-               sqrt((CAST(count(*) AS DOUBLE)
+               sqrt(greatest((CAST(count(*) AS DOUBLE)
                      * CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))
                                 * CAST(c_acctbal AS DECIMAL(12,2)))
                             AS DOUBLE)
                      - CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
                        * CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE))
                     / (CAST(count(*) AS DOUBLE)
-                       * CAST(count(*) AS DOUBLE))) AS std
+                       * CAST(count(*) AS DOUBLE)), 0.0)) AS std
         FROM customer GROUP BY c_nationkey
     )
     SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
            m.mean AS group_mean, m.std AS group_std,
-           (c.c_acctbal - m.mean) / m.std AS c_acctbal_scaled
+           CASE WHEN m.std > 0.0
+                THEN (c.c_acctbal - m.mean) / m.std END AS c_acctbal_scaled
     FROM customer c JOIN m ON c.c_nationkey = m.g
 """
 

@@ -395,3 +395,86 @@ def test_chunk_documents_properties_random_text(spark, text):
     # chunk lengths: all but the last are full width (when text is long)
     for r in rs[:-1]:
         assert r["chunk_len"] == CHUNK_WIDTH
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(1, 4),            # user
+            st.sampled_from(["view", "click", "purchase", "error"]),
+            st.integers(0, 20),           # time (µs scale irrelevant)
+        ),
+        max_size=24,
+    )
+)
+def test_funnel_matches_model(spark, events):
+    """funnel_counts ≡ a brute-force first-touch model on random events
+    (ties at equal first-touch times break the strict ascent)."""
+    from financial_big_data_exp_4_spark.operators.events import funnel_counts
+
+    rows = [(u, t, ts * 1000) for u, t, ts in events]  # ns with µs grain
+    df = spark.createDataFrame(
+        rows or [], "user_id long, event_type string, ts long"
+    )
+    stages = ("view", "click", "purchase")
+    per_user: dict[int, dict[str, int]] = {}
+    for u, t, ts in events:
+        if t in stages:
+            d = per_user.setdefault(u, {})
+            d[t] = min(d.get(t, ts), ts)
+    expect = {s: 0 for s in stages}
+    for d in per_user.values():
+        for i, s in enumerate(stages):
+            needed = stages[: i + 1]
+            if all(x in d for x in needed) and all(
+                d[a] < d[b] for a, b in zip(needed, needed[1:])
+            ):
+                expect[s] += 1
+    got = {r["stage"]: r["n_users"] for r in funnel_counts(df).collect()}
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-10000, 10000)),
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_standard_scale_matches_exact_model(spark, vals):
+    """standard_scale ≡ a Python model that mirrors the engine's own
+    arithmetic: decimal sums are exact rationals, the decimal→double
+    casts are correctly rounded (float(Fraction) rounds identically to
+    the JVM cast), and the closed-form combination then proceeds in
+    IEEE double with the same association — so every output is
+    bit-equal, including the catastrophic-cancellation regime where a
+    constant group's variance term rounds to a tiny nonzero."""
+    from fractions import Fraction as Fr
+    import math
+
+    from financial_big_data_exp_4_spark.operators.relational import (
+        standard_scale,
+    )
+
+    rows = [(g, v / 100.0) for g, v in vals]
+    df = spark.createDataFrame(rows, "g int, v double")
+    by_g: dict[int, list] = {}
+    for g, v in vals:
+        by_g.setdefault(g, []).append(Fr(v, 100))
+    out = standard_scale(df, group="g", value="v").collect()
+    assert len(out) == len(vals)
+    for r in out:
+        xs = by_g[r["g"]]
+        n = float(len(xs))
+        sx = float(sum(xs))            # correctly-rounded decimal→double
+        sxx = float(sum(x * x for x in xs))
+        mean = sx / n
+        std = math.sqrt(max((n * sxx - sx * sx) / (n * n), 0.0))
+        assert r["group_mean"] == mean
+        assert r["group_std"] == std
+        if std > 0.0:
+            assert r["v_scaled"] == (r["v"] - mean) / std
+        else:
+            assert r["v_scaled"] is None
