@@ -78,6 +78,12 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """Precondition (whole cosine family): vectors are nonzero — a
+    zero-norm vector makes cosine undefined, and under Spark 4's ANSI
+    mode the division raises DIVIDE_BY_ZERO rather than yielding NaN.
+    Embedding pipelines guarantee this upstream (a zero embedding is a
+    bug); a tolerant variant would wrap the divide in
+    ``F.when(norm > 0, ...)`` on both engine and oracle sides."""
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
