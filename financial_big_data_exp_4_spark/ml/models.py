@@ -158,6 +158,7 @@ def train_and_evaluate(
 def load_model(name: str, path: str):
     """Reload a model saved by :func:`train_and_evaluate` (pair of K4)."""
     from pyspark.ml.classification import (
+        GBTClassificationModel,
         LinearSVCModel,
         LogisticRegressionModel,
         MultilayerPerceptronClassificationModel,
@@ -169,5 +170,6 @@ def load_model(name: str, path: str):
         "svc": LinearSVCModel,
         "mlp": MultilayerPerceptronClassificationModel,
         "rf": RandomForestClassificationModel,
+        "gbt": GBTClassificationModel,
     }[name]
     return cls.load(path)

@@ -273,58 +273,73 @@ def incremental_neardup(
     exploded band rows **broadcast** into the corpus band rows — the
     corpus is scanned once, never shuffled for pairing (in production
     the corpus signatures/bands are a precomputed table, so even the
-    signature map stage amortizes to zero). The exact-dup check is a
-    left join on md5 — uniform 128-bit key, new side tiny.
+    signature map stage amortizes to zero). The broadcast side is kept
+    MINIMAL (round-3 ADVICE): band rows carry only ``(n_doc, band_id,
+    band_key)`` — the K-long signature does NOT ride the broadcast
+    duplicated per band. The new side's signatures re-join onto the
+    matched candidate pairs afterwards via a second (narrow, one-row-
+    per-new-doc) broadcast, so total broadcast bytes scale as
+    new_docs × (bands + 1) narrow rows rather than new_docs × bands × K
+    wide ones. The exact-dup check is a left join on md5 — uniform
+    128-bit key, new side tiny.
     Output: (doc_id, is_exact_dup, best_match, best_est, n_candidates);
     best_match/best_est NULL and n_candidates 0 for clean docs.
     """
     k = len(MINHASH_COEFFS)
 
-    def _bands(docs_df, prefix):
-        sig = with_minhash_signature(docs_df, text_col, id_col).select(
+    def _band_key_cols(prefix):
+        return F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"{prefix}mh_{j}").cast("string")
+                            for j in range(
+                                b * MINHASH_ROWS_PER_BAND,
+                                (b + 1) * MINHASH_ROWS_PER_BAND,
+                            )
+                        ],
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias(f"{prefix}band_id", f"{prefix}band_key")
+
+    def _sig(docs_df, prefix):
+        return with_minhash_signature(docs_df, text_col, id_col).select(
             F.col(id_col).alias(f"{prefix}doc"),
             *[F.col(f"mh_{i}").alias(f"{prefix}mh_{i}") for i in range(k)],
         )
-        return sig.select(
-            f"{prefix}doc",
-            *[f"{prefix}mh_{i}" for i in range(k)],
-            F.posexplode(
-                F.array(
-                    *[
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col(f"{prefix}mh_{j}").cast("string")
-                                for j in range(
-                                    b * MINHASH_ROWS_PER_BAND,
-                                    (b + 1) * MINHASH_ROWS_PER_BAND,
-                                )
-                            ],
-                        )
-                        for b in range(MINHASH_BANDS)
-                    ]
-                )
-            ).alias(f"{prefix}band_id", f"{prefix}band_key"),
-        )
 
-    bands_old = _bands(corpus_docs, "o_")
-    bands_new = _bands(new_docs, "n_")
-    agree = sum(
-        F.when(F.col(f"o_mh_{i}") == F.col(f"n_mh_{i}"), 1).otherwise(0)
-        for i in range(k)
+    # corpus side: streamed (never broadcast/shuffled) — signatures stay
+    # attached so the pair's o-side agreement inputs need no re-join
+    sig_old = _sig(corpus_docs, "o_")
+    bands_old = sig_old.select(
+        "o_doc", *[f"o_mh_{i}" for i in range(k)], _band_key_cols("o_")
     )
-    cand = (
+    # new side: signatures and band rows derived separately; only the
+    # 3-column band rows broadcast into the pairing join
+    sig_new = _sig(new_docs, "n_")
+    bands_new = sig_new.select("n_doc", _band_key_cols("n_"))
+
+    pairs = (
         bands_old.join(
             F.broadcast(bands_new),
             (F.col("o_band_id") == F.col("n_band_id"))
             & (F.col("o_band_key") == F.col("n_band_key")),
         )
-        .select(
-            F.col("n_doc").alias("doc_id"),
-            F.col("o_doc").alias("cand_doc"),
-            (agree.cast("double") / F.lit(float(k))).alias("est"),
-        )
-        .distinct()
+        .select("n_doc", "o_doc", *[f"o_mh_{i}" for i in range(k)])
+        .distinct()  # o_mh_* is functionally dependent on o_doc
+    )
+    agree = sum(
+        F.when(F.col(f"o_mh_{i}") == F.col(f"n_mh_{i}"), 1).otherwise(0)
+        for i in range(k)
+    )
+    cand = pairs.join(F.broadcast(sig_new), "n_doc").select(
+        F.col("n_doc").alias("doc_id"),
+        F.col("o_doc").alias("cand_doc"),
+        (agree.cast("double") / F.lit(float(k))).alias("est"),
     )
     best = cand.groupBy("doc_id").agg(
         F.max(F.struct(F.col("est"), (-F.col("cand_doc")).alias("_nc"))).alias(

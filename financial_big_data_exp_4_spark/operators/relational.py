@@ -97,14 +97,44 @@ def merge_changes(
 
     * matched ``'U'`` → row rewritten with the change's column values;
     * matched ``'D'`` → row dropped;
-    * ``'I'`` → appended.
+    * ``'I'`` → appended. A matched ``'I'`` (contract violation) still
+      resolves safely as a *replace*: the base row is dropped by the
+      survivors filter and the change row is appended by the insert
+      union — net upsert, no data loss.
 
     Plan shape (module notes): broadcast LEFT join of base→changes, so
     update/delete resolve map-side with zero shuffle of the base; inserts
     are a unioned scan of the change set. Output column set = (key, cols).
+
+    Duplicate keys in the change set (the other contract violation) are
+    collapsed *structurally* before the join — the broadcast LEFT join
+    would otherwise fan out every matching base row once per duplicate.
+    Resolution is deterministic: highest-op-priority change wins
+    (``D > U > I``, then lexicographically greatest payload). This is a
+    small-side-only aggregation — lazy, broadcast-sized, no driver
+    action, zero effect on unique change sets beyond a tiny agg.
     """
-    ch = changes.select(
-        key, "op", *[F.col(c).alias(f"_new_{c}") for c in cols]
+    prio = (
+        F.when(F.col("op") == "D", F.lit(3))
+        .when(F.col("op") == "U", F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    new_cols = [f"_new_{c}" for c in cols]
+    ch = (
+        changes.select(
+            key, "op", *[F.col(c).alias(f"_new_{c}") for c in cols]
+        )
+        .groupBy(key)
+        .agg(
+            F.max(
+                F.struct(prio.alias("_p"), F.col("op"), *new_cols)
+            ).alias("_ch")
+        )
+        .select(
+            key,
+            F.col("_ch.op").alias("op"),
+            *[F.col(f"_ch.{nc}").alias(nc) for nc in new_cols],
+        )
     )
     joined = base.join(F.broadcast(ch), key, "left")
     survivors = joined.where(
@@ -118,7 +148,9 @@ def merge_changes(
             for c in cols
         ],
     )
-    inserts = changes.where(F.col("op") == "I").select(key, *cols)
+    inserts = ch.where(F.col("op") == "I").select(
+        key, *[F.col(f"_new_{c}").alias(c) for c in cols]
+    )
     return survivors.unionByName(inserts)
 
 

@@ -601,17 +601,34 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-stateful streaming (``applyInPandasWithState``): per-user
     running totals maintained in GroupState, drained availableNow — the
     fifth streaming class (custom state), under the batch
-    count/max-time oracle. The single-file drain is one microbatch, so
-    the final update per user equals the batch aggregate exactly."""
+    count/max-time oracle.
+
+    The update-mode memory sink appends one row per user per microbatch;
+    with ``maxFilesPerTrigger=1`` a multi-file events source would leave
+    stale earlier-batch rows next to the final totals (round-3 ADVICE).
+    The drain is therefore post-aggregated to the FINAL update per user —
+    ``n_events`` is monotone within a user, so ``max(struct(n_events,
+    last_ts_us))`` is exactly the last emitted state. On today's
+    single-file drain this is a no-op on a tiny driver-memory table; on
+    any future multi-file source it is the correctness fix."""
     from financial_big_data_exp_4_spark.streaming import (
         read_events_stream,
         streaming_user_running_totals,
     )
 
     stream = streaming_user_running_totals(read_events_stream(spark, sf_dir))
-    return _drain_stream(
+    drained = _drain_stream(
         spark, stream, "stream_stateful", output_mode="update"
-    ).select("user_id", "n_events", "last_ts_us")
+    )
+    return (
+        drained.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "last_ts_us")).alias("_final"))
+        .select(
+            "user_id",
+            F.col("_final.n_events").alias("n_events"),
+            F.col("_final.last_ts_us").alias("last_ts_us"),
+        )
+    )
 
 
 def q_sql_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -987,7 +1004,10 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts_s",
-        F.count("_v").over(w).alias("hour_cnt"),
+        # count(1), not count(_v): the oracle counts ROWS in the frame
+        # (count(*)); count(_v) would skip NULL values and diverge on
+        # NULL-injected data (round-3 ADVICE)
+        F.count(F.lit(1)).over(w).alias("hour_cnt"),
         F.sum("_v").over(w).cast("double").alias("hour_sum"),
     )
 

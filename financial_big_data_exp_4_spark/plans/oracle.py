@@ -139,7 +139,8 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
     """,
     # End-to-end feature chain: indexer codes via dense_rank (the
     # StringIndexer frequencyDesc contract), imputed acctbal, hash split —
-    # all summed exactly (BIGINT / DECIMAL(38,2)).
+    # all summed exactly, and every output column is an integer (acctbal
+    # as BIGINT cents) so the hash is stable under any float canonicalizer.
     "q_feature_pipeline": """
         WITH freq AS (
             SELECT c_mktsegment AS seg, count(*) AS cnt
@@ -162,8 +163,8 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
                     THEN 'train' ELSE 'test' END AS split,
                count(*) AS cnt,
                sum(CAST(mkt_idx AS BIGINT)) AS sum_mkt_idx,
-               CAST(sum(CAST(acctbal AS DECIMAL(38,2))) AS DOUBLE)
-                   AS sum_acctbal
+               sum(CAST(CAST(acctbal AS DECIMAL(38,2)) * 100 AS BIGINT))
+                   AS sum_acctbal_cents
         FROM feat
         GROUP BY 1
         ORDER BY split

@@ -335,10 +335,12 @@ def q_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The output proves each stage ran: ``cnt`` per split checks the hash
     split; ``sum_mkt_idx`` sums the *indexer's* codes (dense_rank
-    semantics) read back out of the *assembled vector*; ``sum_acctbal``
-    sums the imputed column, also via the vector, routed through
-    DECIMAL(38,2) so the sum is exact/partitioning-invariant (raw double
-    sums are not — SURVEY §7).
+    semantics) read back out of the *assembled vector*;
+    ``sum_acctbal_cents`` sums the imputed column, also via the vector,
+    routed through DECIMAL(38,2) and emitted as exact BIGINT cents so
+    the row is all-integer — exact, partitioning-invariant, and immune
+    to engine float-canonicalization differences (raw double sums are
+    neither — SURVEY §7; round-3 VERDICT "What's wrong" #1).
     """
     from pyspark.ml import Pipeline
     from pyspark.ml.feature import StringIndexer, VectorAssembler
@@ -378,9 +380,10 @@ def q_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("cnt"),
             F.sum(F.col("mkt_val").cast("long")).alias("sum_mkt_idx"),
-            F.sum(F.col("acct_val").cast("decimal(38,2)"))
-            .cast("double")
-            .alias("sum_acctbal"),
+            F.sum(
+                (F.col("acct_val").cast("decimal(38,2)") * 100)
+                .cast("long")
+            ).alias("sum_acctbal_cents"),
         )
         .orderBy("split")
     )

@@ -154,9 +154,12 @@ def collect_pandas(df, max_rows: int = 1_000_000):
     return df.toPandas()
 
 
-#: Sessions already conf'd by :func:`ensure_session_confs` (id-keyed —
-#: a restarted session is a new object and gets re-conf'd).
-_CONFD_SESSIONS: set[int] = set()
+#: Marker attribute set on a session object once :func:`ensure_session_confs`
+#: has run on it. An attribute (not an id()-keyed set) so the memo dies with
+#: the object: a stopped-and-GC'd session cannot leak its memo to a new
+#: session that happens to reuse the same CPython id, and the memo cannot
+#: grow unbounded across restarts.
+_CONFD_MARKER = "_fbde4_spark_confs_applied"
 
 
 def ensure_session_confs(spark: SparkSession) -> SparkSession:
@@ -167,14 +170,24 @@ def ensure_session_confs(spark: SparkSession) -> SparkSession:
     verification driver's). Memoized per session object: each ``conf.set``
     is a py4j round-trip, and the per-table loader calls this on every
     load — unmemoized that is thousands of driver round-trips across a
-    full bench/correctness run.
+    full bench/correctness run. Before trusting the memo we re-verify one
+    sentinel conf (session timezone) so an externally reset conf — or a
+    marker surviving a conf wipe — still gets re-applied.
     """
-    if id(spark) in _CONFD_SESSIONS:
-        return spark
+    sentinel_key = "spark.sql.session.timeZone"
+    if getattr(spark, _CONFD_MARKER, False):
+        try:
+            if spark.conf.get(sentinel_key) == RUNTIME_CONFS[sentinel_key]:
+                return spark
+        except Exception:  # pragma: no cover - conf read on odd builds
+            return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:  # pragma: no cover - static confs on odd builds
             pass
-    _CONFD_SESSIONS.add(id(spark))
+    try:
+        setattr(spark, _CONFD_MARKER, True)
+    except Exception:  # pragma: no cover - slotted/proxied sessions
+        pass
     return spark

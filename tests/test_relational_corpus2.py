@@ -46,6 +46,29 @@ def test_merge_changes_semantics(spark):
     assert out == {1: (10.0, "A"), 2: (99.0, "B2"), 7: (70.0, "N")}
 
 
+def test_merge_changes_contract_violations(spark):
+    """Hardening (round-3 ADVICE): duplicate keys in the change set must
+    not fan out base rows (D > U wins deterministically), and a matched
+    'I' resolves as a replace — never a silent drop or a duplicate."""
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "U", 11.0),  # dup key: U ...
+            (1, "D", None),  # ... and D → D wins, row deleted once
+            (2, "I", 22.0),  # matched 'I' → replace, exactly one row
+            (4, "I", 40.0),  # dup inserts collapse to one row
+            (4, "I", 44.0),  # (greatest payload wins)
+        ],
+        "k long, op string, v double",
+    )
+    rows = merge_changes(base, changes, key="k", cols=("v",)).collect()
+    assert len(rows) == 3  # no fan-out, no duplicate keys
+    out = {r["k"]: r["v"] for r in rows}
+    assert out == {2: 22.0, 3: 30.0, 4: 44.0}
+
+
 def test_scd2_intervals_versions_and_validity(spark):
     # user 1: A A B A  → versions A[0,2) B[2,3) A[3,∞); user 2: one event
     rows = [

@@ -58,6 +58,36 @@ PANDAS_OK = {
 }
 
 
+def exchanges_outside_broadcast(plan: str) -> int:
+    """Count ``Exchange hashpartitioning`` nodes that are NOT inside a
+    ``BroadcastExchange`` subtree.
+
+    A hash exchange under a BroadcastExchange only repartitions the
+    broadcast-sized side (e.g. a change-set dedup agg) — irrelevant at
+    scale; an exchange outside one shuffles a full input. Subtree
+    membership is recovered from the explain tree art: a child line's
+    drawing prefix is strictly longer than its parent's.
+    """
+
+    def indent(line: str) -> int:
+        return len(line) - len(line.lstrip(" :+-*("))
+
+    n = 0
+    stack: list[int] = []  # indents of open BroadcastExchange subtrees
+    for line in plan.splitlines():
+        node = line.lstrip(" :+-*(")
+        if not node:
+            continue
+        ind = indent(line)
+        while stack and ind <= stack[-1]:
+            stack.pop()
+        if node.startswith("BroadcastExchange"):
+            stack.append(ind)
+        elif "Exchange hashpartitioning" in line and not stack:
+            n += 1
+    return n
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -157,8 +187,26 @@ def main() -> int:
             # set broadcasts, the base is never shuffled
             if "BroadcastHashJoin" not in plan:
                 problems.append("change set not broadcast")
-            if "Exchange hashpartitioning" in plan:
+            # base-never-shuffled, asserted directly: the LeftOuter
+            # broadcast join's STREAMED child must be the raw base scan
+            # (no Exchange between scan and join)
+            lines = plan.splitlines()
+            ok = any(
+                "BroadcastHashJoin" in ln
+                and "LeftOuter" in ln
+                and i + 1 < len(lines)
+                and "FileScan parquet" in lines[i + 1]
+                for i, ln in enumerate(lines)
+            )
+            if not ok:
                 problems.append("merge shuffles the base table")
+            # the change-set dedup agg legitimately shuffles the
+            # broadcast-sized side: once inside the BroadcastExchange
+            # subtree (survivors branch) and once in the insert branch.
+            # More than one outside-broadcast exchange means something
+            # big moved.
+            if exchanges_outside_broadcast(plan) > 1:
+                problems.append("extra exchange beyond change-set dedup")
         if name == "q_scd2":
             # the change-detection window, (key, version) aggregate and
             # validity window must all reuse the user_id clustering —
