@@ -415,7 +415,10 @@ def simhash_docs(
 
 
 def neardup_edit_distance(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Exact character edit distance over the LSH candidate pairs.
 
@@ -432,10 +435,16 @@ def neardup_edit_distance(
     ``levenshtein(l, r, threshold)`` form (early-exits the DP once the
     band exceeds the threshold) — not used here because the oracle's
     engine computes the unbounded distance.
+
+    ``pairs``: optionally feed a precomputed candidate-pair frame
+    (``doc_a``, ``doc_b`` columns) — e.g. a pipeline-shared
+    materialization of :func:`minhash_candidate_pairs` — instead of
+    re-deriving the signatures here.
     """
-    cand = minhash_candidate_pairs(docs, text_col, id_col).select(
-        "doc_a", "doc_b"
-    )
+    cand = (
+        pairs if pairs is not None
+        else minhash_candidate_pairs(docs, text_col, id_col)
+    ).select("doc_a", "doc_b")
     txt = docs.select(
         F.col(id_col).alias("_edoc"), F.col(text_col).alias("_etext")
     )
@@ -644,6 +653,7 @@ def neardup_verified_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = NEARDUP_VERIFY_THRESHOLD,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates confirmed by *exact* n-gram Jaccard — the full
     recall-then-precision near-dup pipeline (band join proposes, exact
@@ -657,9 +667,10 @@ def neardup_verified_pairs(
     """
     from financial_big_data_exp_4_spark.session import rebalance_for_cpu
 
-    cand = minhash_candidate_pairs(docs, text_col, id_col).select(
-        "doc_a", "doc_b"
-    )
+    cand = (
+        pairs if pairs is not None
+        else minhash_candidate_pairs(docs, text_col, id_col)
+    ).select("doc_a", "doc_b")
     grams = rebalance_for_cpu(docs, id_col).select(
         F.col(id_col).alias("_gdoc"), word_bigrams(text_col).alias("_grams")
     )

@@ -64,34 +64,48 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
-    for _ in range(max_iter):
+    def propagate(lbls: DataFrame) -> DataFrame:
         nbr_min = (
-            sym.join(labels, sym["v"] == labels["node"])
+            sym.join(lbls, sym["v"] == lbls["node"])
             .select(sym["u"].alias("node"), F.col("lbl"))
             .groupBy("node")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
-        # one checkpoint carries (lbl, nbr_lbl): the convergence count and
-        # the next label table are both cheap reads of it — no extra join
-        step = (
-            labels.join(nbr_min, "node", "left")
-            .select(
-                "node",
-                F.col("lbl"),
-                F.coalesce(F.col("nbr_lbl"), F.col("lbl")).alias("nbr_lbl"),
-            )
-            .localCheckpoint(eager=True)
+        return lbls.join(nbr_min, "node", "left").select(
+            "node",
+            F.col("lbl"),
+            F.coalesce(F.col("nbr_lbl"), F.col("lbl")).alias("nbr_lbl"),
         )
+
+    # TWO propagation rounds per materialization+convergence check: each
+    # Spark action costs a fixed scheduler floor on top of the (tiny)
+    # shuffle work, and the fixpoint needs `diameter` propagations plus
+    # one no-change detection — batching halves the action count for the
+    # same total join work (round-3 VERDICT next-round #3b). The inner
+    # (unmaterialized) round folds its min into the label column; the
+    # outer round's (lbl, nbr_lbl) pair carries the batch's change test:
+    # no change across the batch ⟺ the outer round changed nothing AND a
+    # converged outer round implies the inner one was converged too
+    # (min-label propagation is monotone — once a round is a no-op every
+    # later round is).
+    for _ in range(max_iter):
+        inner = propagate(labels).select(
+            "node", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl")
+        )
+        step = propagate(inner).localCheckpoint(eager=True)
         changed = step.where(F.col("nbr_lbl") < F.col("lbl")).count()
         labels = step.select(
             "node", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl")
         )
         if changed == 0:
+            # the outer round was a no-op; by monotonicity the batch is
+            # at the fixpoint — but the INNER round may still have
+            # changed labels, which `labels` already includes
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
             )
     raise RuntimeError(
-        f"connected_components: no fixpoint after {max_iter} rounds "
+        f"connected_components: no fixpoint after {2 * max_iter} rounds "
         "(component diameter too large — use large-star/small-star)"
     )
 
@@ -252,15 +266,22 @@ def triangle_count(
     )
 
 
-def dedup_clusters(docs: DataFrame) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
     """Near-duplicate *groups*: MinHash-LSH candidate pairs → connected
     components. One row per clustered doc with its cluster id (the
     minimum doc_id in the component) — downstream keeps ``doc_id ==
     cluster_id`` rows and drops the rest, completing the dedup pipeline
-    end-to-end (signature → banding → pairing → clustering)."""
+    end-to-end (signature → banding → pairing → clustering).
+
+    ``pairs``: optionally feed a precomputed candidate-pair frame (a
+    pipeline-shared materialization of ``minhash_candidate_pairs``)
+    instead of re-deriving signatures here."""
     from financial_big_data_exp_4_spark.operators.dedup import (
         minhash_candidate_pairs,
     )
 
-    pairs = minhash_candidate_pairs(docs).select("doc_a", "doc_b")
-    return connected_components(pairs)
+    if pairs is None:
+        pairs = minhash_candidate_pairs(docs)
+    return connected_components(pairs.select("doc_a", "doc_b"))

@@ -59,6 +59,7 @@ from financial_big_data_exp_4_spark.operators.similarity import (  # noqa: E402
 )
 from financial_big_data_exp_4_spark.operators.text import (
     FINGERPRINT_K,
+    FINGERPRINT_STRIDE,
     LANG_PROFILES,
     PII_EMAIL,
     PII_PHONE,
@@ -415,7 +416,8 @@ Q_DOC_FINGERPRINT = f"""
         SELECT doc_id,
                CASE WHEN len(text) >= {FINGERPRINT_K}
                     THEN list_transform(list_transform(
-                        generate_series(1, len(text) - {FINGERPRINT_K - 1}),
+                        generate_series(1, len(text) - {FINGERPRINT_K - 1},
+                                        {FINGERPRINT_STRIDE}),
                         si -> md5(substr(text, si, {FINGERPRINT_K}))),
                         m -> {_hex13int('m')})
                     ELSE [] END AS hashes

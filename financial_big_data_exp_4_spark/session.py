@@ -138,6 +138,43 @@ def persist_scoped(df, slots: int = 2):
     return df
 
 
+#: Attribute under which :func:`memo_df` hangs its per-session memo dict.
+#: Stored ON the session object so the memo (and its persisted plans) dies
+#: with the session instead of leaking across restarts.
+_MEMO_ATTR = "_fbde4_df_memo"
+
+
+def memo_df(spark, key: tuple, builder, max_entries: int = 4):
+    """Session-scoped memo of *persisted* DataFrames, keyed on
+    ``key`` (include every input that determines the result, e.g.
+    ``("minhash_pairs", sf_dir)``).
+
+    The production shape this models: a pipeline computes an expensive
+    shared stage (LSH candidate pairs, IVF assignments) ONCE and feeds
+    every consumer from the materialization — here, the near-dup family
+    (pairs / verified / edit / clusters) all consume the same candidate
+    stage instead of re-deriving the minhash signatures per query
+    (round-3 VERDICT next-round #3a). FIFO-bounded so a long session
+    cannot accumulate unbounded cache; an evicted entry simply recomputes
+    on next request. Results are deterministic, so memo vs fresh is
+    observationally identical.
+    """
+    memo = getattr(spark, _MEMO_ATTR, None)
+    if memo is None:
+        memo = {}
+        try:
+            setattr(spark, _MEMO_ATTR, memo)
+        except Exception:  # pragma: no cover - slotted/proxied sessions
+            return builder()
+    if key in memo:
+        return memo[key]
+    df = builder().persist()
+    while len(memo) >= max_entries:
+        memo.pop(next(iter(memo))).unpersist()
+    memo[key] = df
+    return df
+
+
 def collect_pandas(df, max_rows: int = 1_000_000):
     """K3 — guarded ``toPandas`` (reference nb2 cell 11 collects the full
     table for plotting). Collecting is only legitimate on small
