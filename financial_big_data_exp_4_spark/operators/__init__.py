@@ -65,6 +65,7 @@ from financial_big_data_exp_4_spark.operators.multimodal import (
 from financial_big_data_exp_4_spark.operators.similarity import (
     cosine_topk_bruteforce,
     cosine_topk_ivf,
+    cosine_topk_ivf_kmeans,
     embedding_neardup_pairs,
     hyperplane_neardup_pairs,
     hyperplane_signatures,
@@ -87,6 +88,7 @@ __all__ = [
     "scrub_pii",
     "cohort_retention",
     "cosine_topk_ivf",
+    "cosine_topk_ivf_kmeans",
     "connected_components",
     "connected_components_twostar",
     "customers_without_orders",

@@ -446,3 +446,131 @@ def cosine_topk_ivf(
         .where(F.col("rank") <= k)
         .select("probe_id", "vec_id", "cos_sim", "rank")
     )
+
+
+#: Learned-quantizer defaults: cell count and number of probed cells.
+#: nprobe is the standard IVF recall/cost knob — searching the nprobe
+#: nearest cells instead of one recovers neighbors the quantizer split
+#: across a cell boundary at nprobe× the per-probe scan cost.
+KMEANS_IVF_CELLS = 8
+KMEANS_IVF_NPROBE = 2
+
+
+def cosine_topk_ivf_kmeans(
+    embeddings: DataFrame,
+    n_probes: int = 5,
+    k: int = IVF_TOPK,
+    n_cells: int = KMEANS_IVF_CELLS,
+    nprobe: int = KMEANS_IVF_NPROBE,
+    seed: int = 42,
+    max_iter: int = 8,
+) -> DataFrame:
+    """IVF approximate top-k with a LEARNED coarse quantizer: fit
+    ``pyspark.ml.clustering.KMeans`` on the unit-normalized vectors
+    (Euclidean on unit vectors is monotone in cosine, so the learned
+    Voronoi cells are angular neighborhoods), assign map-side via
+    ``model.transform`` (JVM-only, no crossJoin against centroids), then
+    search the probe's ``nprobe`` nearest cells.
+
+    The production sibling of :func:`cosine_topk_ivf` (whose systematic
+    sampled "centroids" need no fit): the fit is a one-off model-build
+    over the corpus — at scale you train on a sample and reuse the model
+    across every query batch, which is exactly how the session-level
+    memoization in the declared query treats it.
+
+    Cell selection ranks centroids by the SAME metric the assignment
+    minimizes (squared Euclidean to the unit probe:
+    ``|c|^2 - 2 p·c`` up to a constant), so the probe's own home cell is
+    always among its ``nprobe`` probed cells by construction. Candidate
+    scoring then uses the exact prenormed cosine on the ORIGINAL
+    embeddings — identical expression to every other similarity path.
+
+    Output: (probe_id, vec_id, cos_sim, rank), rank 1..k, self excluded,
+    ties broken by vec_id asc. Cell contents depend on the fitted
+    centroids (float-reduction order), so the declared query exposes
+    structural/bounds proofs rather than raw ids — see
+    ``q_embed_ann_kmeans``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    base = embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("_norm")
+    )
+    unit = base.withColumn(
+        "_feat",
+        array_to_vector(
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") / F.col("_norm"),
+            )
+        ),
+    )
+    model = KMeans(
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="_feat",
+        predictionCol="cell",
+    ).fit(unit)
+    assigned = _persist_scoped(
+        model.transform(unit).select(
+            "vec_id",
+            "embedding",
+            "_norm",
+            F.col("cell").cast("long").alias("cell"),
+        )
+    )
+    # centroid table: a model artifact of C×dim doubles — driver-side by
+    # nature (like any fitted model), broadcast for cell ranking
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "cell long, cvec array<double>",
+    )
+    probes = assigned.where(F.col("vec_id") < n_probes).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("embedding").alias("probe_vec"),
+        F.col("_norm").alias("_pnorm"),
+    )
+    # assignment metric: |c|^2 - 2 (e/|e|)·c, smaller = closer
+    cdist = dot(F.col("cvec"), F.col("cvec")) - 2.0 * dot(
+        F.col("probe_vec"), F.col("cvec")
+    ) / F.col("_pnorm")
+    w_cells = Window.partitionBy("probe_id").orderBy(
+        F.asc("_cdist"), F.asc("cell")
+    )
+    probe_cells = (
+        probes.crossJoin(F.broadcast(cents))
+        .select(
+            "probe_id", "probe_vec", "_pnorm", "cell", cdist.alias("_cdist")
+        )
+        .withColumn("_cr", F.row_number().over(w_cells))
+        .where(F.col("_cr") <= nprobe)
+        .select("probe_id", "probe_vec", "_pnorm", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probe_cells), "cell")
+        .where(F.col("vec_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "vec_id",
+            cosine_prenormed(
+                F.col("probe_vec"),
+                F.col("embedding"),
+                F.col("_pnorm"),
+                F.col("_norm"),
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", "vec_id", "cos_sim", "rank")
+    )

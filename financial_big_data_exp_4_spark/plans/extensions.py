@@ -129,6 +129,60 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_ivf(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN with a LEARNED quantizer: ``pyspark.ml.clustering.KMeans``
+    coarse cells + nprobe cell search (the production IVF shape next to
+    q_embed_ann_ivf's fit-free systematic sampling).
+
+    Fitted centroids depend on float-reduction order, so raw neighbor
+    ids are not cross-engine hashable; the declared output is the
+    *proof* row per probe instead — result has exactly k entries,
+    ranks are contiguous, similarities are within [-1, 1], and the best
+    approximate similarity never exceeds the exact brute-force best
+    (computed in the same query). The oracle expects all-TRUE rows, so
+    any structural or numeric violation is a driver-visible failure —
+    the q_approx_distinct proof pattern. The fitted search is memoized
+    per (session, sf_dir): the quantizer is a model artifact trained
+    once and reused, exactly like production IVF."""
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        IVF_TOPK,
+        cosine_topk_ivf_kmeans,
+    )
+    from financial_big_data_exp_4_spark.session import memo_df
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = memo_df(
+        spark,
+        ("ivf_kmeans", sf_dir),
+        lambda: cosine_topk_ivf_kmeans(emb),
+    )
+    exact1 = cosine_topk_bruteforce(emb, k=1).select(
+        "probe_id", F.col("cos_sim").alias("_exact_best")
+    )
+    per = (
+        topk.groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max("rank").alias("_max_rank"),
+            F.min("cos_sim").alias("_min_sim"),
+            F.max("cos_sim").alias("_best_sim"),
+        )
+        .join(exact1, "probe_id")
+    )
+    return per.select(
+        "probe_id",
+        (F.col("_n") == IVF_TOPK).alias("has_k"),
+        (F.col("_max_rank") == F.col("_n")).alias("ranks_contiguous"),
+        (
+            (F.col("_min_sim") >= -1.0000001)
+            & (F.col("_best_sim") <= 1.0000001)
+        ).alias("sims_bounded"),
+        (F.col("_best_sim") <= F.col("_exact_best") + 1e-9).alias(
+            "best_le_exact"
+        ),
+    ).orderBy("probe_id")
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
 
@@ -1250,6 +1304,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_embed_cosine_topk": q_embed_cosine_topk,
     "q_embed_ann_ivf": q_embed_ann_ivf,
+    "q_embed_ann_kmeans": q_embed_ann_kmeans,
     "q_embed_neardup": q_embed_neardup,
     "q_token_count": q_token_count,
     "q_text_quality": q_text_quality,

@@ -608,6 +608,18 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_ngram_jaccard": Q_NGRAM_JACCARD,
     "q_embed_cosine_topk": Q_EMBED_COSINE_TOPK,
     "q_embed_ann_ivf": Q_EMBED_ANN_IVF,
+    # learned-quantizer ANN: centroids are fit artifacts (float-reduction
+    # order), so the declared output is per-probe structural/bounds
+    # proofs; the oracle expects every proof TRUE — the q_approx_distinct
+    # pattern. probe_id count matches the query's n_probes=5 default.
+    "q_embed_ann_kmeans": """
+        SELECT CAST(range AS BIGINT) AS probe_id,
+               TRUE AS has_k,
+               TRUE AS ranks_contiguous,
+               TRUE AS sims_bounded,
+               TRUE AS best_le_exact
+        FROM range(5)
+    """,
     "q_embed_neardup": Q_EMBED_NEARDUP,
     "q_token_count": Q_TOKEN_COUNT,
     "q_text_quality": Q_TEXT_QUALITY,

@@ -3,6 +3,7 @@ from financial_big_data_exp_4_spark.streaming.stateful import (
 )
 from financial_big_data_exp_4_spark.streaming.windows import (
     read_events_stream,
+    run_stream_foreach_batch,
     run_stream_to_memory,
     streaming_distinct_keys,
     streaming_error_purchase_join,
@@ -12,6 +13,7 @@ from financial_big_data_exp_4_spark.streaming.windows import (
 
 __all__ = [
     "read_events_stream",
+    "run_stream_foreach_batch",
     "run_stream_to_memory",
     "streaming_distinct_keys",
     "streaming_error_purchase_join",

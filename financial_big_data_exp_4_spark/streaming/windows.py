@@ -145,6 +145,52 @@ def run_stream_to_memory(
         spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
+def run_stream_foreach_batch(
+    df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    drain_partitions: int | None = 4,
+) -> None:
+    """Production-sink drain: ``foreachBatch`` writing each microbatch to
+    a **batch-id-keyed parquet directory with overwrite** — the standard
+    idempotent-sink recipe for exactly-once *output* on plain files.
+
+    Structured Streaming guarantees at-least-once delivery to
+    ``foreachBatch``: after a failure/restart the last uncommitted batch
+    is REPLAYED with the SAME ``batch_id``. An append-mode file sink
+    would duplicate those rows; overwriting ``{out}/batch_id={id}``
+    makes the replay a no-op rewrite of identical content, so
+    end-to-end the sink holds exactly-once. (Transactional table
+    formats get this via (batchId, epoch) commit dedup; this is the
+    format-free equivalent — see the Spark Structured Streaming guide's
+    foreachBatch idempotence note.)
+
+    Same state-store partition sizing contract as
+    :func:`run_stream_to_memory`.
+    """
+    spark = df.sparkSession
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if drain_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    try:
+        q = (
+            df.writeStream.foreachBatch(_write_batch)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
 def streaming_error_purchase_join(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -332,3 +332,60 @@ def test_multibatch_stream_equals_batch(spark, sf_dir, tmp_path):
         ).tumbling_counts(events).collect()
     }
     assert got == batch
+
+
+def test_foreach_batch_sink_is_idempotent_on_replay(spark, tmp_path):
+    """Exactly-once via the foreachBatch idempotent sink: a 2-file source
+    drains as 2 microbatches into batch-id-keyed parquet dirs; replaying
+    the WHOLE stream (fresh checkpoint, same output dir — the superset
+    of any failure-replay) overwrites the same dirs and leaves the
+    output byte-identical, where an append sink would have doubled it."""
+    import glob as g
+    import shutil
+
+    from financial_big_data_exp_4_spark.streaming import (
+        run_stream_foreach_batch,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, lo in enumerate((0, 100)):
+        stage = str(tmp_path / f"stage{i}")
+        spark.range(lo, lo + 50).withColumn(
+            "v", F.col("id") * 2
+        ).coalesce(1).write.parquet(stage)
+        shutil.copy(
+            g.glob(stage + "/part-*.parquet")[0],
+            str(src / f"file{i}.parquet"),
+        )
+
+    schema = spark.read.parquet(str(src)).schema
+    expected = {(i, i * 2) for i in range(50)} | {
+        (i, i * 2) for i in range(100, 150)
+    }
+    out = str(tmp_path / "out")
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_stream_foreach_batch(stream, out, ckpt)
+
+    drain(str(tmp_path / "ckpt1"))
+    batch_dirs = sorted(g.glob(out + "/batch_id=*"))
+    assert len(batch_dirs) == 2  # one dir per microbatch
+    first = {
+        (r["id"], r["v"]) for r in spark.read.parquet(out).collect()
+    }
+    assert first == expected
+
+    # full replay: fresh checkpoint reprocesses every batch with the
+    # same batch ids — overwrite makes it a no-op, not a duplication
+    drain(str(tmp_path / "ckpt2"))
+    replayed = {
+        (r["id"], r["v"]) for r in spark.read.parquet(out).collect()
+    }
+    assert replayed == expected
+    assert spark.read.parquet(out).count() == 100  # no row-level dupes

@@ -186,3 +186,44 @@ def test_cosine_topk_layout_invariant(spark, sf_dir):
             )
         )
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_kmeans_ivf_recovers_blob_neighbors(spark):
+    """Learned-quantizer ANN on data with real cluster structure: 4
+    well-separated angular blobs. Any reasonable k-means run separates
+    them, so nprobe=1 must already recover the exact top-k (recall 1.0)
+    — the neighbors live in the probe's own learned cell. This pins the
+    full path: unit-normalize, fit, JVM assign, home-cell-first probe
+    selection, exact cosine scoring."""
+    import random
+
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_kmeans,
+    )
+
+    rng = random.Random(7)
+    dim, per_blob = 16, 25
+    rows = []
+    for blob in range(4):
+        center = [0.0] * dim
+        # orthogonal blob axes → inter-blob cosine ≈ 0, intra ≈ 1
+        center[blob * 4] = 10.0
+        for j in range(per_blob):
+            vec = [
+                c + rng.uniform(-0.5, 0.5) for c in center
+            ]
+            rows.append((blob * per_blob + j, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    truth = {
+        (r["probe_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, n_probes=3, k=5).collect()
+    }
+    approx = {
+        (r["probe_id"], r["vec_id"])
+        for r in cosine_topk_ivf_kmeans(
+            emb, n_probes=3, k=5, n_cells=4, nprobe=1
+        ).collect()
+    }
+    assert approx == truth  # recall 1.0 on separable structure
