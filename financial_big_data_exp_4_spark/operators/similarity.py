@@ -59,6 +59,7 @@ from financial_big_data_exp_4_spark.functions.core import (
 # LSH band joins in operators/dedup.py use the same eviction slot)
 from financial_big_data_exp_4_spark.session import (  # noqa: E402
     persist_scoped as _persist_scoped,
+    rebalance_for_cpu as _rebalance,
 )
 IVF_TOPK = 3
 #: Production near-dup mining would use ~0.95; the fixture embeddings are
@@ -144,7 +145,9 @@ def cosine_topk_bruteforce(
         F.col("embedding").alias("probe_vec"),
         norm(F.col("embedding")).alias("_pnorm"),
     )
-    big = embeddings.select(
+    # fan the N×probes scoring fold across cores — the single-file fixture
+    # scan is one row group = one task (no-op at real split counts)
+    big = _rebalance(embeddings, "vec_id").select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("_enorm")
     )
     scored = (
@@ -197,7 +200,10 @@ def _assign_cells(embeddings: DataFrame, stride: int) -> DataFrame:
         F.col("embedding").alias("cent_vec"),
         norm(F.col("embedding")).alias("_cnorm"),
     )
-    base = embeddings.select(
+    # fan the N×C centroid scoring across cores (the groupBy(vec_id)
+    # downstream reuses this exact clustering — no second exchange);
+    # no-op whenever the scan already has ≥ cores partitions
+    base = _rebalance(embeddings, "vec_id").select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("_norm")
     )
     sim_to_cent = cosine_prenormed(
@@ -303,13 +309,16 @@ def hyperplane_signatures(embeddings: DataFrame) -> DataFrame:
     a bucket equi-join (Σ bucket², never N²), exactly like the MinHash
     band join and the IVF cell join.
 
-    Map-only, zero shuffle: one nested-``aggregate`` expression per row
-    (module constant). The planes are *derived* from index arithmetic
-    rather than sampled — no stored model, bit-reproducible anywhere.
-    Output: (vec_id, sig); bucket on ``sig`` (or on bit-bands of it for
-    higher recall) downstream.
+    Map-only modulo the scale-up-only CPU rebalance: one
+    nested-``aggregate`` expression per row (module constant), fanned
+    across cores when the input scan is under-partitioned (the
+    single-row-group fixture = one task; no-op at real split counts).
+    The planes are *derived* from index arithmetic rather than sampled —
+    no stored model, bit-reproducible anywhere. Output: (vec_id, sig);
+    bucket on ``sig`` (or on bit-bands of it for higher recall)
+    downstream.
     """
-    return embeddings.select(
+    return _rebalance(embeddings, "vec_id").select(
         "vec_id", F.expr(_LSH_SIG_EXPR).alias("sig")
     )
 
@@ -494,7 +503,7 @@ def cosine_topk_ivf_kmeans(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    base = embeddings.select(
+    base = _rebalance(embeddings, "vec_id").select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("_norm")
     )
     unit = base.withColumn(

@@ -272,9 +272,13 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import Bucketizer
 
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
     orders = load_table(spark, sf_dir, "orders")
     ps = ", ".join(repr(p) for p in QUANTILE_PS)
-    qs = orders.agg(
+    # fan the percentile's partial buffers across cores — the single-file
+    # fixture scan is one row group, i.e. one task (no-op at real splits)
+    qs = rebalance_for_cpu(orders, "o_orderkey").agg(
         F.expr(f"percentile(o_totalprice, array({ps}))").alias("qs")
     ).head()["qs"]
     splits = [float("-inf"), *qs, float("inf")]

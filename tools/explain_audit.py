@@ -31,7 +31,6 @@ MAP_ONLY = {
     "q_stratified_sample",
     "q_pii_scrub",
     "q_doc_chunks",
-    "q_embed_lsh",
 }
 
 #: map-only except for the scale-up-only CPU rebalance
@@ -43,6 +42,7 @@ MAP_REBALANCED = {
     "q_text_quality",
     "q_doc_fingerprint",
     "q_dedup_simhash",
+    "q_embed_lsh",
 }
 
 #: queries whose plan legitimately contains an Arrow/pandas boundary
