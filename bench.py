@@ -20,20 +20,22 @@ time map-only queries as parquet row-counts (round-2 ADVICE).
 For the cross-engine reference the same script runs every DuckDB oracle
 (best of two passes) over the same parquet files and reports
 ``oracle_queries`` / ``oracle_total_sec`` and the Spark/oracle
-``oracle_ratio``. Round-3 measured numbers on this host (96 queries):
-ratio 1.5-1.8 at sf0.1 across repeated runs (absolute totals swing ±20%
-with host CPU-steal — Spark ≈ 55-66s vs oracle ≈ 32-44s — and the two
-sides don't always catch the same noise window, hence the ratio band).
-The gap decomposes
-as (a) Spark's ~0.1-0.25s per-action floor (~15-18s across the suite —
-scheduler/stage setup that DuckDB's ~10ms floor doesn't pay, and that
-amortizes away at real scale), (b) ~3.5s of Structured-Streaming engine
-startup for the five availableNow streaming drains (state partitions
-already sized to the measured commit-overhead knee), and (c) md5-parity
-hashing where DuckDB's vectorized md5 is ~1.3× the JVM's. Per-query
-ratios on the non-floor-dominated heavy queries (minhash, fingerprint,
-ngram, clusters vs its recursive-CTE oracle — all ≈ 1-1.5×) are the
-scale-relevant signal.
+``oracle_ratio``. Round-4 measured numbers on this host (97 queries):
+Spark ≈ 45s vs oracle ≈ 32-46s → ratio ≈ 1.0-1.4 at sf0.1 across
+repeated runs (absolute totals swing ±25% with host CPU-steal and the
+two sides don't always catch the same noise window, hence the band;
+round 3 was 1.4-1.8 before the floor/fan-out work). The remaining gap
+is almost entirely structural, not per-operator: (a) Spark's per-job
+floor — ~0.12s/query even for ``spark.range(1).count()`` with
+``spark.locality.wait=0``, ≈ 11s across 97 queries, scheduler/stage
+setup that DuckDB's ~5ms floor doesn't pay and that amortizes away at
+real scale; (b) ~6s of Structured-Streaming engine startup + state-store
+commits for the five availableNow drains (state partitions sized to the
+measured commit-overhead knee; a production stream pays this once, not
+per query). The heavy data-bound queries (minhash/simhash/ngram
+families, clusters vs its recursive-CTE oracle, the decimal OLAP aggs
+after the single-row-group CPU fan-out) measure ≈ 0.1-1.5× their
+oracles — that is the scale-relevant signal.
 """
 
 from __future__ import annotations

@@ -205,26 +205,27 @@ def repetition_stats(
     counts = exploded.groupBy("doc_id", "bigram").agg(
         F.count("*").alias("cnt")
     )
-    w_rank = Window.partitionBy("doc_id").orderBy(
-        F.desc("cnt"), F.asc("bigram")
-    )
-    w_tot = Window.partitionBy("doc_id")
+    # modal bigram as a partial-aggregating argmax — min(struct(-cnt,
+    # bigram)) = highest count, ties to the lexicographically smallest
+    # bigram — instead of a row_number window: the aggregate combines
+    # map-side and reuses the (doc_id, bigram) clustering, where a
+    # window would add a full per-doc SORT of every bigram count.
     top = (
-        counts.select(
-            "doc_id",
-            "bigram",
-            "cnt",
-            F.row_number().over(w_rank).alias("_rn"),
-            F.sum("cnt").over(w_tot).alias("_total"),
+        counts.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct((-F.col("cnt")).alias("_negcnt"), F.col("bigram"))
+            ).alias("_top"),
+            F.sum("cnt").alias("_total"),
         )
-        .where(F.col("_rn") == 1)
         .select(
             "doc_id",
-            F.col("bigram").alias("top_bigram"),
-            F.col("cnt").alias("top_bigram_n"),
-            (F.col("cnt").cast("double") / F.col("_total").cast("double")).alias(
-                "top_bigram_frac"
-            ),
+            F.col("_top.bigram").alias("top_bigram"),
+            (-F.col("_top._negcnt")).alias("top_bigram_n"),
+            (
+                (-F.col("_top._negcnt")).cast("double")
+                / F.col("_total").cast("double")
+            ).alias("top_bigram_frac"),
         )
     )
     return words.join(top, "doc_id", "left").select(

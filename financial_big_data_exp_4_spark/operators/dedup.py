@@ -255,6 +255,24 @@ def minhash_candidate_pairs(
     )
 
 
+def signed_docs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The dedup *signature table*: ``(id, _md5, mh_0..mh_{K-1})`` — one
+    map-only pass computing both the exact-dup key and the minhash
+    signature. This is the artifact a production incremental pipeline
+    maintains as a real table alongside the corpus (the expensive
+    md5-shingle map runs once per ingested document, ever);
+    :func:`incremental_neardup` accepts it pre-computed on either side.
+    """
+    k = len(MINHASH_COEFFS)
+    return with_minhash_signature(docs, text_col, id_col).select(
+        id_col,
+        F.md5(F.col(text_col)).alias("_md5"),
+        *[F.col(f"mh_{i}") for i in range(k)],
+    )
+
+
 def incremental_neardup(
     new_docs: DataFrame,
     corpus_docs: DataFrame,
@@ -284,8 +302,21 @@ def incremental_neardup(
     128-bit key, new side tiny.
     Output: (doc_id, is_exact_dup, best_match, best_est, n_candidates);
     best_match/best_est NULL and n_candidates 0 for clean docs.
+
+    Either side may be passed as a pre-computed :func:`signed_docs`
+    frame (detected by its ``mh_0``/``_md5`` columns) — the production
+    shape, where the corpus signature table is maintained incrementally
+    and this operator never re-hashes a document it has seen before.
     """
     k = len(MINHASH_COEFFS)
+
+    def _signed(docs_df):
+        if "mh_0" in docs_df.columns and "_md5" in docs_df.columns:
+            return docs_df
+        return signed_docs(docs_df, text_col, id_col)
+
+    new_signed = _signed(new_docs)
+    corpus_signed = _signed(corpus_docs)
 
     def _band_key_cols(prefix):
         return F.posexplode(
@@ -306,21 +337,21 @@ def incremental_neardup(
             )
         ).alias(f"{prefix}band_id", f"{prefix}band_key")
 
-    def _sig(docs_df, prefix):
-        return with_minhash_signature(docs_df, text_col, id_col).select(
+    def _sig(signed_df, prefix):
+        return signed_df.select(
             F.col(id_col).alias(f"{prefix}doc"),
             *[F.col(f"mh_{i}").alias(f"{prefix}mh_{i}") for i in range(k)],
         )
 
     # corpus side: streamed (never broadcast/shuffled) — signatures stay
     # attached so the pair's o-side agreement inputs need no re-join
-    sig_old = _sig(corpus_docs, "o_")
+    sig_old = _sig(corpus_signed, "o_")
     bands_old = sig_old.select(
         "o_doc", *[f"o_mh_{i}" for i in range(k)], _band_key_cols("o_")
     )
     # new side: signatures and band rows derived separately; only the
     # 3-column band rows broadcast into the pairing join
-    sig_new = _sig(new_docs, "n_")
+    sig_new = _sig(new_signed, "n_")
     bands_new = sig_new.select("n_doc", _band_key_cols("n_"))
 
     pairs = (
@@ -347,11 +378,9 @@ def incremental_neardup(
         ),
         F.count(F.lit(1)).alias("n_candidates"),
     )
-    corpus_md5 = corpus_docs.select(
-        F.md5(F.col(text_col)).alias("_md5")
-    ).distinct()
-    flagged = new_docs.select(
-        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("_nmd5")
+    corpus_md5 = corpus_signed.select("_md5").distinct()
+    flagged = new_signed.select(
+        F.col(id_col).alias("doc_id"), F.col("_md5").alias("_nmd5")
     ).join(
         corpus_md5.withColumn("_hit", F.lit(1)),
         F.col("_nmd5") == F.col("_md5"),

