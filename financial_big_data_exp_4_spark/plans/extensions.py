@@ -84,7 +84,15 @@ def _fact(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     counts the scan already has ≥ cores partitions and this is a no-op —
     no extra exchange at 100 TB. Filters/pruning still reach the scan
     (Catalyst pushes predicates and column pruning through a
-    Repartition node)."""
+    Repartition node).
+
+    Cost model (every site below was A/B-measured): the fan-out pays for
+    itself only when the serialized scan-fused stage is HEAVY — decimal
+    multiply/sum chains, exact-percentile value buffers, per-row
+    expression folds. When the partial state is compact (count/hash-set
+    inserts, GK sketches, cheap maps), the extra exchange + stage floor
+    costs more than the serialized partial saves — those queries load
+    plain and say so."""
     return rebalance_for_cpu(load_table(spark, sf_dir, name), key)
 
 
@@ -624,6 +632,9 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the correctness gate. At 100 TB the sketch is the one to ship:
     one pass, mergeable, constant memory; the exact count here is the
     audit column."""
+    # NOT _fact-rebalanced: the map side (hash-set inserts) is cheap, so
+    # the fan-out exchange's extra stage costs more than the serialized
+    # partial distinct saves (A/B at sf0.1: 0.62s plain vs 1.0s fanned)
     events = load_table(spark, sf_dir, "events")
     return (
         events.groupBy("event_type")
@@ -819,7 +830,9 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     median plus TRUE, so the Greenwald-Khanna sketch's accuracy is the
     check. At 100 TB the sketch is the production path — one pass,
     mergeable, bounded memory vs the exact sort-based percentile."""
-    orders = _fact(spark, sf_dir, "orders", "o_orderkey")
+    # NOT _fact-rebalanced: the GK sketch's partial state is compact, so
+    # the fan-out exchange costs more than it saves (A/B at sf0.1)
+    orders = load_table(spark, sf_dir, "orders")
     p = F.col("o_totalprice")
     return (
         orders.groupBy("o_orderpriority")
@@ -1033,8 +1046,10 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority 5%/95% winsorization of order totals — exact
-    percentile bounds broadcast, map-side clip, audit flag."""
-    orders = _fact(spark, sf_dir, "orders", "o_orderkey").select(
+    percentile bounds broadcast, map-side clip, audit flag. NOT
+    _fact-rebalanced: the clip is a cheap map and the bounds aggregate
+    alone doesn't repay the fan-out exchange (A/B at sf0.1)."""
+    orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
     return winsorize(orders, group="o_orderpriority", value="o_totalprice")
@@ -1191,6 +1206,41 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count(edges)
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic deduplication (Abbas et al. 2023,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication"): embedding-cosine near-dup pairs (IVF-cell bucketed,
+    never all-pairs) → connected components → ONE representative (the
+    minimum vec_id) per semantic group. Downstream keeps
+    ``is_representative`` rows — the embedding-space completion of the
+    dedup pipeline, exactly parallel to q_dedup_clusters on the lexical
+    side. The candidate-pair stage is memoized per (session, sf_dir)
+    like every other family-shared stage; the clustering is the standard
+    iterative min-label CC (see :mod:`..operators.graph` for the 100 TB
+    story — O(diameter) rounds, scalar-only convergence checks)."""
+    from financial_big_data_exp_4_spark.operators.graph import (
+        connected_components,
+    )
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+    from financial_big_data_exp_4_spark.session import memo_df
+
+    pairs = memo_df(
+        spark,
+        ("embed_neardup_pairs", sf_dir),
+        lambda: embedding_neardup_pairs(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+    )
+    cc = connected_components(pairs, src="vec_a", dst="vec_b")
+    return cc.select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("group_id"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-active-day cohorts × day offset — two bounded-key shuffles,
     no count-distinct expand (collect_set form)."""
@@ -1199,10 +1249,11 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-validation profile of orders: per-column null / exact
-    distinct counts in ONE scan (single Expand aggregate). The Expand
-    multiplies rows ×|cols| before the partial aggregate, so the fan-out
-    rebalance matters even more here than on a plain agg."""
-    orders = _fact(spark, sf_dir, "orders", "o_orderkey")
+    distinct counts in ONE scan (single Expand aggregate). NOT
+    _fact-rebalanced: the Expand's partial distinct state is compact
+    (hash-set inserts), so the fan-out exchange's extra stage costs more
+    than the serialized partial saves (A/B at sf0.1: 0.53s vs 0.65s)."""
+    orders = load_table(spark, sf_dir, "orders")
     return profile_columns(
         orders,
         cols=("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
@@ -1427,6 +1478,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_local_supplier_volume": q_local_supplier_volume,
     "q_large_orders": q_large_orders,
     "q_triangle_count": q_triangle_count,
+    "q_semantic_dedup": q_semantic_dedup,
     "q_stream_stateful": q_stream_stateful,
     "q_dedup_incremental": q_dedup_incremental,
     "q_range_frame": q_range_frame,

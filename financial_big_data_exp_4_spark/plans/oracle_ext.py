@@ -889,6 +889,25 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     # generated candidate-pair SQL the q_neardup_minhash oracle uses, then
     # min reachable id per node — the closed-form mirror of the iterative
     # min-label propagation on the Spark side.
+    # SemDeDup oracle: the same recursive-CTE transitive closure as
+    # q_dedup_clusters, over the embedding near-dup pair SQL instead of
+    # the minhash one; representative = component minimum.
+    "q_semantic_dedup": f"""
+        WITH RECURSIVE cand AS ({Q_EMBED_NEARDUP}),
+        e AS (
+            SELECT vec_a AS u, vec_b AS v FROM cand
+            UNION
+            SELECT vec_b AS u, vec_a AS v FROM cand
+        ),
+        tc AS (
+            SELECT u, v FROM e
+            UNION
+            SELECT tc.u, e.v FROM tc JOIN e ON tc.v = e.u
+        )
+        SELECT u AS vec_id, least(u, min(v)) AS group_id,
+               u = least(u, min(v)) AS is_representative
+        FROM tc GROUP BY u
+    """,
     "q_dedup_clusters": f"""
         WITH RECURSIVE cand AS ({Q_NEARDUP_MINHASH}),
         e AS (

@@ -274,11 +274,14 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from financial_big_data_exp_4_spark.session import rebalance_for_cpu
 
-    orders = load_table(spark, sf_dir, "orders")
+    # fan the percentile's partial buffers (and the bucket-count partial
+    # aggregate below) across cores — the single-file fixture scan is one
+    # row group, i.e. one task (no-op at real split counts)
+    orders = rebalance_for_cpu(
+        load_table(spark, sf_dir, "orders"), "o_orderkey"
+    )
     ps = ", ".join(repr(p) for p in QUANTILE_PS)
-    # fan the percentile's partial buffers across cores — the single-file
-    # fixture scan is one row group, i.e. one task (no-op at real splits)
-    qs = rebalance_for_cpu(orders, "o_orderkey").agg(
+    qs = orders.agg(
         F.expr(f"percentile(o_totalprice, array({ps}))").alias("qs")
     ).head()["qs"]
     splits = [float("-inf"), *qs, float("inf")]

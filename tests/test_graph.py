@@ -141,3 +141,37 @@ def test_triangle_count_orientation_and_dups(spark):
         for r in triangle_count(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_semantic_dedup_groups(spark):
+    """SemDeDup composition: duplicate embeddings cluster into one group
+    with the min vec_id as representative; an unrelated vector is absent
+    (no edges -> not in the output, like every CC surface here)."""
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.operators.graph import (
+        connected_components,
+    )
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    # 10,11,12 near-identical (same direction); 20 orthogonal.
+    # stride=10 -> centroids {10, 20}: 11/12 assign to 10's cell, so the
+    # within-cell join sees exactly the near-identical family.
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.0]),
+            (11, [0.999, 0.01, 0.0]),
+            (12, [0.998, 0.02, 0.0]),
+            (20, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = embedding_neardup_pairs(emb, threshold=0.9, stride=10)
+    cc = connected_components(pairs, src="vec_a", dst="vec_b").select(
+        F.col("doc_id").alias("vec_id"),
+        F.col("cluster_id").alias("group_id"),
+    )
+    got = {r["vec_id"]: r["group_id"] for r in cc.collect()}
+    assert got == {10: 10, 11: 10, 12: 10}
