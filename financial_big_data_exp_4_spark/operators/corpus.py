@@ -433,11 +433,18 @@ def bm25_scores(
     branches) — measured 1.11s → ~0.6s at sf0.1. At 100 TB the same
     slot is a checkpoint of the tokenized projection.
     """
-    from financial_big_data_exp_4_spark.session import persist_scoped
+    from financial_big_data_exp_4_spark.session import (
+        persist_scoped,
+        rebalance_for_cpu,
+    )
 
     t = F.col(text_col)
+    # fan the tokenizer across cores before persisting — the single-file
+    # fixture scan is one row group = one task (no-op at real splits)
     base = persist_scoped(
-        docs.select(F.col(id_col).alias("doc_id"), tokenize(t).alias("_toks"))
+        rebalance_for_cpu(docs, id_col).select(
+            F.col(id_col).alias("doc_id"), tokenize(t).alias("_toks")
+        )
     )
     hits = base.select(
         "doc_id",

@@ -991,7 +991,20 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic CDC change set derived from orders: keys ≡1 (mod 97)
     get a price bump update, ≡2 a delete, ≡3 an insert under a fresh
-    (negated) key — closed-form so the oracle rebuilds it verbatim."""
+    (negated) key — closed-form so the oracle rebuilds it verbatim.
+    Memoized per (session, sf_dir): q_merge_upsert and q_table_diff both
+    consume it, and unmemoized each build re-scans orders three times
+    (one filtered scan per op class)."""
+    from financial_big_data_exp_4_spark.session import memo_df
+
+    return memo_df(
+        spark,
+        ("orders_changes", sf_dir),
+        lambda: _build_orders_changes(spark, sf_dir),
+    )
+
+
+def _build_orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     upd = orders.where(F.col("o_orderkey") % 97 == 1).select(
         "o_orderkey",

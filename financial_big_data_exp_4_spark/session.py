@@ -150,7 +150,7 @@ def persist_scoped(df, slots: int = 2):
 _MEMO_ATTR = "_fbde4_df_memo"
 
 
-def memo_df(spark, key: tuple, builder, max_entries: int = 6):
+def memo_df(spark, key: tuple, builder, max_entries: int = 8):
     """Session-scoped memo of *persisted* DataFrames, keyed on
     ``key`` (include every input that determines the result, e.g.
     ``("minhash_pairs", sf_dir)``).
