@@ -191,6 +191,78 @@ def run_stream_foreach_batch(
         spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
+def seed_snapshot(base: DataFrame, out_dir: str) -> None:
+    """Write the version-0 snapshot :func:`run_stream_merge` builds on.
+    Overwrite-mode so re-seeding (a replayed bootstrap) is a no-op
+    rewrite of identical content, like every version write below."""
+    base.write.mode("overwrite").parquet(f"{out_dir}/v=0")
+
+
+def read_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Read the LATEST snapshot version. Discovery goes through the
+    parquet source's partition listing (``v`` is a partition column);
+    production would keep a manifest / table format instead of listing,
+    but the versioned layout itself is format-free."""
+    allv = spark.read.parquet(out_dir)
+    vmax = allv.agg(F.max("v")).head()[0]
+    return allv.where(F.col("v") == vmax).drop("v")
+
+
+def run_stream_merge(
+    changes: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    cols,
+    drain_partitions: int | None = 4,
+) -> None:
+    """Streaming CDC apply: maintain an upserted snapshot table from a
+    stream of ``(key, op, cols...)`` change rows — MERGE INTO as a
+    streaming sink, without a transactional table format.
+
+    Each microbatch ``i`` reads snapshot version ``i`` and writes the
+    merged result as version ``i+1`` (``{out}/v={i+1}``): the chain
+    version = batch id makes the sink **exactly-once under replay** — a
+    redelivered batch re-reads the SAME input version (prior batches are
+    already committed) and rewrites its output version with identical
+    content, the same idempotence recipe as
+    :func:`run_stream_foreach_batch`, extended to stateful maintenance.
+    Never reads and overwrites the same path in one job (the classic
+    self-overwrite trap). Seed version 0 with :func:`seed_snapshot`;
+    read the current table with :func:`read_snapshot`. At scale each
+    version write is a full snapshot — the format-free trade-off; a
+    table format (or partition-level rewrites) drops in at the
+    ``foreachBatch`` body without touching the plan above it.
+    """
+    from financial_big_data_exp_4_spark.operators.relational import (
+        merge_changes,
+    )
+
+    spark = changes.sparkSession
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if drain_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        current = spark.read.parquet(f"{out_dir}/v={batch_id}")
+        merged = merge_changes(current, batch_df, key=key, cols=tuple(cols))
+        merged.write.mode("overwrite").parquet(
+            f"{out_dir}/v={batch_id + 1}"
+        )
+
+    try:
+        q = (
+            changes.writeStream.foreachBatch(_apply)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
 def streaming_error_purchase_join(
     events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

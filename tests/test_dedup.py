@@ -172,3 +172,32 @@ def test_incremental_neardup_flags_and_best(spark):
     assert got[1][0] is True and got[1][1] == 0
     assert got[3][0] is False and got[3][1] == 0 and got[3][2] >= 1
     assert got[5] == (False, None, 0)
+
+
+def test_incremental_neardup_signed_path_equivalent(spark):
+    """Pre-signing via signed_docs is observationally identical to the
+    raw-text path — the production corpus signature table contract."""
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        incremental_neardup,
+        signed_docs,
+    )
+
+    base = " ".join(f"tok{i * 53 % 997}y{i}" for i in range(120))
+    corpus = spark.createDataFrame(
+        [(0, base), (2, "some other unrelated corpus body " * 7)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, base), (5, "fully novel content never seen " * 9)],
+        "doc_id long, text string",
+    )
+    raw = sorted(
+        tuple(r) for r in incremental_neardup(new, corpus).collect()
+    )
+    signed = sorted(
+        tuple(r)
+        for r in incremental_neardup(
+            signed_docs(new), signed_docs(corpus)
+        ).collect()
+    )
+    assert raw == signed and len(raw) == 2

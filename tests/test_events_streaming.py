@@ -389,3 +389,75 @@ def test_foreach_batch_sink_is_idempotent_on_replay(spark, tmp_path):
     }
     assert replayed == expected
     assert spark.read.parquet(out).count() == 100  # no row-level dupes
+
+
+def test_stream_merge_maintains_snapshot_exactly_once(spark, tmp_path):
+    """Streaming CDC apply: a 2-file change stream merged batch-by-batch
+    into a versioned snapshot equals the batch MERGE composition, and a
+    full replay (fresh checkpoint, same output) leaves every version
+    byte-identical — the exactly-once contract of the version=batch-id
+    chain. Change batches target disjoint keys so the expected result is
+    independent of microbatch file order."""
+    import glob as g
+    import shutil
+
+    from financial_big_data_exp_4_spark.operators.relational import (
+        merge_changes,
+    )
+    from financial_big_data_exp_4_spark.streaming import (
+        read_snapshot,
+        run_stream_merge,
+        seed_snapshot,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i * 10), "A") for i in range(10)],
+        "k long, val double, st string",
+    )
+    b1 = [(1, "U", 111.0, "B"), (2, "D", None, None)]
+    b2 = [(7, "U", 777.0, "C"), (50, "I", 500.0, "N")]
+    src = tmp_path / "chg"
+    src.mkdir()
+    for i, rows in enumerate((b1, b2)):
+        stage = str(tmp_path / f"stage{i}")
+        spark.createDataFrame(
+            rows, "k long, op string, val double, st string"
+        ).coalesce(1).write.parquet(stage)
+        shutil.copy(
+            g.glob(stage + "/part-*.parquet")[0],
+            str(src / f"file{i}.parquet"),
+        )
+
+    out = str(tmp_path / "snap")
+    schema = spark.read.parquet(str(src)).schema
+
+    def drain(ckpt: str) -> None:
+        seed_snapshot(base, out)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        run_stream_merge(
+            stream, out, ckpt, key="k", cols=("val", "st")
+        )
+
+    drain(str(tmp_path / "ckpt1"))
+    # batch oracle: both change sets applied (disjoint keys -> any order)
+    all_changes = spark.createDataFrame(
+        b1 + b2, "k long, op string, val double, st string"
+    )
+    expected = {
+        tuple(r)
+        for r in merge_changes(
+            base, all_changes, key="k", cols=("val", "st")
+        ).collect()
+    }
+    got = {tuple(r) for r in read_snapshot(spark, out).collect()}
+    assert got == expected and len(got) == 10  # 10 -1 del +1 ins
+
+    # full replay: same versions rewritten with identical content
+    drain(str(tmp_path / "ckpt2"))
+    replay = {tuple(r) for r in read_snapshot(spark, out).collect()}
+    assert replay == expected
+    assert len(g.glob(out + "/v=*")) == 3  # v0 seed + one per batch
