@@ -168,8 +168,23 @@ def main() -> int:
                 and "GreaterThanOrEqual(o_orderdate" not in plan
             ):
                 problems.append("order-date filter not pushed to scan")
-        if name == "q_large_orders" and "TakeOrderedAndProject" not in plan:
-            problems.append("large-orders top-100 is a global sort")
+        if name == "q_large_orders":
+            if "TakeOrderedAndProject" not in plan:
+                problems.append("large-orders top-100 is a global sort")
+            # the CPU fan-out keys on the aggregate's own grouping key,
+            # so the rebalance exchange must BE the aggregation shuffle —
+            # two l_orderkey exchanges would mean the fan-out added a
+            # shuffle instead of absorbing one
+            if plan.count("hashpartitioning(l_orderkey") > 1:
+                problems.append(
+                    "fan-out did not absorb the l_orderkey agg shuffle"
+                )
+        if name in ("q_lineitem_pricing", "q_correlation"):
+            # fan-out exchange (l_orderkey) + the grouped agg's own
+            # exchange and nothing else — a third data exchange means a
+            # plan regression
+            if exchanges_outside_broadcast(plan) > 2:
+                problems.append("unexpected extra exchange beyond fan-out")
         if name == "q_profile":
             # all per-column metrics in ONE scan: the multi-distinct
             # aggregate plans as a single Expand over a single FileScan
