@@ -88,31 +88,42 @@ def hash_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
 
 
 def merge_changes(
-    base: DataFrame, changes: DataFrame, key: str, cols: Sequence[str]
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    cols: Sequence[str],
+    seq_col: str | None = None,
 ) -> DataFrame:
     """Apply a CDC change set to ``base`` — MERGE INTO semantics without a
     table format: ``changes`` carries ``(key, op, cols...)`` with
-    ``op ∈ {'I','U','D'}`` (tagged by the upstream CDC source; ``'I'``
-    keys are new by contract).
+    ``op ∈ {'I','U','D'}`` (tagged by the upstream CDC source).
 
-    * matched ``'U'`` → row rewritten with the change's column values;
-    * matched ``'D'`` → row dropped;
-    * ``'I'`` → appended. A matched ``'I'`` (contract violation) still
-      resolves safely as a *replace*: the base row is dropped by the
-      survivors filter and the change row is appended by the insert
-      union — net upsert, no data loss.
+    ``'I'`` and ``'U'`` are both full **upserts** (matched → the row is
+    rewritten with the change's column values; unmatched → the change row
+    is inserted); ``'D'`` drops the matched row. Upsert-U matters for
+    real CDC batches: an ``I`` followed by a ``U`` for the same new key
+    collapses to a ``U`` whose key is absent from base — update-only
+    semantics would silently drop that row (observed failure mode), where
+    the upsert inserts it with the final payload.
 
     Plan shape (module notes): broadcast LEFT join of base→changes, so
     update/delete resolve map-side with zero shuffle of the base; inserts
-    are a unioned scan of the change set. Output column set = (key, cols).
+    union the change set plus the unmatched upserts (found via one extra
+    key-pruned scan of base under a broadcast join — the base is still
+    never shuffled). Output column set = (key, cols).
 
-    Duplicate keys in the change set (the other contract violation) are
-    collapsed *structurally* before the join — the broadcast LEFT join
-    would otherwise fan out every matching base row once per duplicate.
-    Resolution is deterministic: highest-op-priority change wins
-    (``D > U > I``, then lexicographically greatest payload). This is a
-    small-side-only aggregation — lazy, broadcast-sized, no driver
-    action, zero effect on unique change sets beyond a tiny agg.
+    Duplicate keys in the change set are collapsed *structurally* before
+    the join — the broadcast LEFT join would otherwise fan out every
+    matching base row once per duplicate. With ``seq_col`` (a per-change
+    monotone sequence — log offset, LSN), resolution is
+    **last-writer-wins**: the highest sequence is the batch's net effect,
+    exactly MERGE-on-a-compacted-changelog. Without one there is no
+    order to recover, so resolution falls back to a deterministic
+    priority (``D > U > I``, then lexicographically greatest payload) —
+    conservative (the destructive op wins) and documented rather than
+    row-order-dependent. Either way this is a small-side-only
+    aggregation — lazy, broadcast-sized, no driver action, zero effect
+    on unique change sets beyond a tiny agg.
     """
     prio = (
         F.when(F.col("op") == "D", F.lit(3))
@@ -120,14 +131,20 @@ def merge_changes(
         .otherwise(F.lit(1))
     )
     new_cols = [f"_new_{c}" for c in cols]
+    rank_cols = ([F.col(seq_col).alias("_seq")] if seq_col else []) + [
+        prio.alias("_p")
+    ]
     ch = (
         changes.select(
-            key, "op", *[F.col(c).alias(f"_new_{c}") for c in cols]
+            key,
+            "op",
+            *([seq_col] if seq_col else []),
+            *[F.col(c).alias(f"_new_{c}") for c in cols],
         )
         .groupBy(key)
         .agg(
             F.max(
-                F.struct(prio.alias("_p"), F.col("op"), *new_cols)
+                F.struct(*rank_cols, F.col("op"), *new_cols)
             ).alias("_ch")
         )
         .select(
@@ -136,21 +153,29 @@ def merge_changes(
             *[F.col(f"_ch.{nc}").alias(nc) for nc in new_cols],
         )
     )
+    upsert = F.col("op").isin("U", "I")
     joined = base.join(F.broadcast(ch), key, "left")
     survivors = joined.where(
-        F.col("op").isNull() | (F.col("op") == "U")
+        F.col("op").isNull() | upsert
     ).select(
         key,
         *[
-            F.when(F.col("op") == "U", F.col(f"_new_{c}"))
+            F.when(upsert, F.col(f"_new_{c}"))
             .otherwise(F.col(c))
             .alias(c)
             for c in cols
         ],
     )
-    inserts = ch.where(F.col("op") == "I").select(
-        key, *[F.col(f"_new_{c}").alias(c) for c in cols]
+    # unmatched upserts: change keys with no base row. The semi join
+    # streams a key-pruned base scan against the broadcast change set
+    # (tiny output), then the anti join runs broadcast-vs-broadcast —
+    # the base is never shuffled and never broadcast.
+    matched_keys = base.select(key).join(
+        F.broadcast(ch.select(key)), key, "left_semi"
     )
+    inserts = ch.where(upsert).join(
+        F.broadcast(matched_keys), key, "left_anti"
+    ).select(key, *[F.col(f"_new_{c}").alias(c) for c in cols])
     return survivors.unionByName(inserts)
 
 

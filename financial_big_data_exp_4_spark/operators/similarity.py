@@ -344,8 +344,10 @@ def hyperplane_neardup_pairs(embeddings: DataFrame) -> DataFrame:
     Output: (vec_a, vec_b, hamming, cos_sim).
     """
     band_w = LSH_PLANES // LSH_BANDS
+    # fan the 16-plane fold across cores before persisting (same
+    # rationale as hyperplane_signatures; no-op at real split counts)
     sigs = _persist_scoped(
-        embeddings.select(
+        _rebalance(embeddings, "vec_id").select(
             "vec_id",
             "embedding",
             norm(F.col("embedding")).alias("_norm"),

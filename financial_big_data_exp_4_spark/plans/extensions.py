@@ -209,8 +209,26 @@ def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id")
 
 
+def _shared_embed_neardup_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF-cell-bucketed embedding near-dup pairs, memoized per
+    (session, sf_dir) — q_embed_neardup and q_semantic_dedup both
+    consume it (the same one-materialization-many-consumers shape as
+    the minhash/hyperplane families)."""
+    from financial_big_data_exp_4_spark.session import memo_df
+
+    return memo_df(
+        spark,
+        ("embed_neardup_pairs", sf_dir),
+        lambda: embedding_neardup_pairs(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+    )
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
+    return _shared_embed_neardup_pairs(spark, sf_dir)
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1234,18 +1252,8 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_big_data_exp_4_spark.operators.graph import (
         connected_components,
     )
-    from financial_big_data_exp_4_spark.operators.similarity import (
-        embedding_neardup_pairs,
-    )
-    from financial_big_data_exp_4_spark.session import memo_df
 
-    pairs = memo_df(
-        spark,
-        ("embed_neardup_pairs", sf_dir),
-        lambda: embedding_neardup_pairs(
-            load_table(spark, sf_dir, "embeddings")
-        ),
-    )
+    pairs = _shared_embed_neardup_pairs(spark, sf_dir)
     cc = connected_components(pairs, src="vec_a", dst="vec_b")
     return cc.select(
         F.col("doc_id").alias("vec_id"),
@@ -1392,9 +1400,9 @@ def q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         salted_join_small,
     )
 
-    li = rebalance_for_cpu(
-        load_table(spark, sf_dir, "lineitem"), "l_orderkey"
-    ).select(F.col("l_partkey").alias("partkey"), "l_quantity")
+    li = _fact(spark, sf_dir, "lineitem", "l_orderkey").select(
+        F.col("l_partkey").alias("partkey"), "l_quantity"
+    )
     part = load_table(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("partkey"), "p_brand"
     )

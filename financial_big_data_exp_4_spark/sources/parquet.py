@@ -59,6 +59,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     bench host), and a metastore catalog would resolve the relation once
     and reuse it exactly like this. No data is cached: the memo holds the
     unexecuted DataFrame, so every action still scans the files.
+
+    Caveat (like any relation cache): the handle pins the file-listing
+    snapshot taken at first load, so a fixture directory REWRITTEN
+    mid-session would be read stale (or fail on a size mismatch). The
+    fixtures are read-only for a session's lifetime by contract
+    (TESTDATA.md — the driver regenerates them only between rounds, i.e.
+    between processes); a live-table deployment would use a real catalog
+    with invalidation instead.
     """
     ensure_session_confs(spark)
     memo = getattr(spark, _SCAN_MEMO_ATTR, None)

@@ -69,6 +69,46 @@ def test_merge_changes_contract_violations(spark):
     assert out == {2: 22.0, 3: 30.0, 4: 44.0}
 
 
+def test_merge_changes_upsert_and_sequence(spark):
+    """Upsert-U + last-writer-wins: an I-then-U batch for a NEW key must
+    survive as an insert with the final payload (update-only semantics
+    silently lost the row), and with a sequence column a D-then-I
+    re-insert resolves to the later I instead of the priority-ranked D."""
+    base = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    # no sequence: I-then-U on new key 50 -> U wins by priority, but the
+    # key is absent from base, so upsert-U must INSERT the final payload
+    iu = spark.createDataFrame(
+        [(50, "I", 500.0), (50, "U", 555.0)],
+        "k long, op string, v double",
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in merge_changes(base, iu, key="k", cols=("v",)).collect()
+    }
+    assert out == {1: 10.0, 2: 20.0, 50: 555.0}
+
+    # with a sequence column: delete-then-reinsert keeps the LATER insert
+    # (last-writer-wins), where the priority fallback keeps the delete
+    di = spark.createDataFrame(
+        [(2, "D", None, 1), (2, "I", 222.0, 2)],
+        "k long, op string, v double, seq long",
+    )
+    with_seq = {
+        r["k"]: r["v"]
+        for r in merge_changes(
+            base, di, key="k", cols=("v",), seq_col="seq"
+        ).collect()
+    }
+    assert with_seq == {1: 10.0, 2: 222.0}
+    without_seq = {
+        r["k"]: r["v"]
+        for r in merge_changes(
+            base, di.drop("seq"), key="k", cols=("v",)
+        ).collect()
+    }
+    assert without_seq == {1: 10.0}
+
+
 def test_scd2_intervals_versions_and_validity(spark):
     # user 1: A A B A  → versions A[0,2) B[2,3) A[3,∞); user 2: one event
     rows = [
