@@ -175,3 +175,47 @@ def test_semantic_dedup_groups(spark):
     )
     got = {r["vec_id"]: r["group_id"] for r in cc.collect()}
     assert got == {10: 10, 11: 10, 12: 10}
+
+
+def test_triangle_count_matches_bruteforce_model(spark):
+    """Differential pin of the degree-ordered formulation: per-node
+    triangle counts on random-ish small graphs must equal the O(n^3)
+    itertools model — covers hub skew, tie-broken degrees, cliques."""
+    import itertools
+
+    from financial_big_data_exp_4_spark.operators.graph import triangle_count
+
+    cases = [
+        # clique K5: every node in C(4,2)=6 triangles
+        list(itertools.combinations(range(5), 2)),
+        # star (no triangles) plus one closing edge
+        [(0, i) for i in range(1, 6)] + [(1, 2)],
+        # two triangles sharing a node, plus a pendant chain
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (5, 6), (6, 7)],
+        # deterministic pseudo-random graph on 10 nodes
+        [
+            (a, b)
+            for a, b in itertools.combinations(range(10), 2)
+            if (a * 7 + b * 13) % 3 == 0
+        ],
+    ]
+    for edges in cases:
+        nodes = sorted({v for e in edges for v in e})
+        eset = {frozenset(e) for e in edges}
+        model = {
+            n: sum(
+                1
+                for a, b in itertools.combinations(nodes, 2)
+                if frozenset((n, a)) in eset
+                and frozenset((n, b)) in eset
+                and frozenset((a, b)) in eset
+            )
+            for n in nodes
+        }
+        model = {n: c for n, c in model.items() if c > 0}
+        df = spark.createDataFrame(edges, "vec_a long, vec_b long")
+        got = {
+            r["node"]: r["n_triangles"]
+            for r in triangle_count(df).collect()
+        }
+        assert got == model, f"edges={edges}"
