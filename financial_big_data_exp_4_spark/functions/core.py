@@ -179,14 +179,22 @@ def det_hash_mod(key: Column | str, buckets: int) -> Column:
     state, reproducible on any cluster topology.
     """
     k = _col(key).cast("long")
-    h = ((k % _SPLIT_MODULUS) * F.lit(_SPLIT_MULTIPLIER)) % F.lit(_SPLIT_MODULUS)
+    # pmod, not %: Spark's % follows the dividend's sign, so a negative
+    # key would yield a negative bucket and silently pass every
+    # `bucket < threshold` filter downstream. pmod pins [0, P); the later
+    # mods then stay nonnegative. Values are unchanged for nonneg keys.
+    h = (F.pmod(k, F.lit(_SPLIT_MODULUS)) * F.lit(_SPLIT_MULTIPLIER)) % F.lit(
+        _SPLIT_MODULUS
+    )
     return (h % F.lit(buckets)).cast("long")
 
 
 def det_hash_mod_sql(key_sql: str, buckets: int) -> str:
     """The ANSI-SQL rendering of :func:`det_hash_mod` for oracle parity."""
+    # (x % P + P) % P = Spark's pmod — sign-safe for negative keys
     return (
-        f"((({key_sql}) % {_SPLIT_MODULUS}) * {_SPLIT_MULTIPLIER})"
+        f"(((({key_sql}) % {_SPLIT_MODULUS} + {_SPLIT_MODULUS})"
+        f" % {_SPLIT_MODULUS}) * {_SPLIT_MULTIPLIER})"
         f" % {_SPLIT_MODULUS} % {buckets}"
     )
 

@@ -6,6 +6,7 @@ multimodal decode — is Arrow-batched ``mapInPandas``). Each has a mirrored
 ANSI-SQL oracle in :mod:`financial_big_data_exp_4_spark.plans.oracle_ext`.
 """
 
+from financial_big_data_exp_4_spark.operators.asof import asof_join
 from financial_big_data_exp_4_spark.operators.corpus import (
     bm25_scores,
     chunk_documents,
@@ -24,6 +25,7 @@ from financial_big_data_exp_4_spark.operators.graph import (
 )
 from financial_big_data_exp_4_spark.operators.dedup import (
     apply_exact_dedup,
+    signed_docs,
     exact_dedup,
     incremental_neardup,
     minhash_candidate_pairs,
@@ -36,6 +38,7 @@ from financial_big_data_exp_4_spark.operators.dedup import (
 )
 from financial_big_data_exp_4_spark.operators.events import (
     cohort_retention,
+    gap_fill_hourly,
     event_transitions,
     funnel_counts,
     json_extract_stats,
@@ -58,9 +61,18 @@ from financial_big_data_exp_4_spark.operators.relational import (
     standard_scale,
     winsorize,
 )
+from financial_big_data_exp_4_spark.operators.grouped import (
+    group_median_center,
+)
 from financial_big_data_exp_4_spark.operators.multimodal import (
     decode_image,
     multimodal_metadata,
+    resize_images,
+    sample_frames,
+)
+from financial_big_data_exp_4_spark.operators.skew import (
+    salted_groupby_count,
+    salted_join_small,
 )
 from financial_big_data_exp_4_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -81,6 +93,14 @@ from financial_big_data_exp_4_spark.operators.text import (
 
 __all__ = [
     "apply_exact_dedup",
+    "asof_join",
+    "gap_fill_hourly",
+    "group_median_center",
+    "resize_images",
+    "salted_groupby_count",
+    "salted_join_small",
+    "sample_frames",
+    "signed_docs",
     "bm25_scores",
     "chunk_documents",
     "cosine_topk_bruteforce",

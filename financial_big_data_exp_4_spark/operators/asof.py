@@ -43,14 +43,28 @@ def asof_join(
 ) -> DataFrame:
     """Attach ``payload`` of the latest right row (right_ts ≤ left_ts, same
     key) to every left row. ``tiebreak`` is a unique right-side column
-    ordering simultaneous right rows; left columns pass through."""
+    ordering simultaneous right rows; left columns pass through.
+
+    The carried value is the payload of the latest right ROW — a right
+    row whose payload is legitimately NULL yields NULL, not a stale
+    older value. Mechanically: the union-sort's ``last(ignorenulls)``
+    skips NULLs by design (that is how probe rows are passed over), so
+    the payload rides inside a one-field STRUCT — non-NULL for every
+    right row regardless of the payload value — and is unwrapped after
+    the window. The oracle mirrors the same struct wrap.
+    """
+    from pyspark.sql.types import StructField, StructType
+
     lcols = left.columns
+    pl_struct = StructType(
+        [StructField("v", right.schema[payload].dataType)]
+    )
     probes = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
         F.lit(None).cast("long").alias("_tb"),
-        F.lit(None).cast(right.schema[payload].dataType).alias("_pl"),
+        F.lit(None).cast(pl_struct).alias("_pl"),
         *[F.col(c) for c in lcols],
     )
     payloads = right.select(
@@ -58,7 +72,7 @@ def asof_join(
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
         F.col(tiebreak).cast("long").alias("_tb"),
-        F.col(payload).alias("_pl"),
+        F.struct(F.col(payload).alias("v")).alias("_pl"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
     )
     w = (
@@ -67,6 +81,8 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = probes.unionByName(payloads).withColumn(
-        payload_out, F.last("_pl", ignorenulls=True).over(w)
+        "_asof_s", F.last("_pl", ignorenulls=True).over(w)
     )
-    return carried.where(F.col("_tag") == 1).select(*lcols, payload_out)
+    return carried.where(F.col("_tag") == 1).select(
+        *lcols, F.col("_asof_s.v").alias(payload_out)
+    )

@@ -37,17 +37,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from financial_big_data_exp_4_spark.functions.core import (
-    HASH_MODULUS,
-    HASH_MULTIPLIER,
-)
 from financial_big_data_exp_4_spark.operators.dedup import tokenize
 from financial_big_data_exp_4_spark.operators.text import QUALITY_STOPWORDS
-
-#: The engine's single multiplicative-hash constant pair (see
-#: functions.core) — imported, not copied, so oracle agreement can't drift.
-_HASH_P = HASH_MODULUS
-_KNUTH = HASH_MULTIPLIER
 
 #: Gopher-style quality-rule bounds (Rae et al. 2021, table A1 shape —
 #: the *rule set* is the operator; the thresholds are tunable knobs).
@@ -347,8 +338,12 @@ def stratified_sample(
     ``sampleBy`` cannot give. Strata absent from ``rates_permille``
     are dropped (rate 0).
     """
-    k = F.col(key)
-    bucket = ((k % _HASH_P) * _KNUTH) % _HASH_P % 1000
+    from financial_big_data_exp_4_spark.functions.core import det_hash_mod
+
+    # sign-safe bucket (pmod inside det_hash_mod): plain % yields
+    # negative buckets for negative keys, which pass `bucket < rate`
+    # even for rate-0 strata
+    bucket = det_hash_mod(key, 1000)
     rate = F.lit(0)
     for s, r in sorted(rates_permille.items()):
         rate = F.when(F.col(stratum) == s, F.lit(r)).otherwise(rate)

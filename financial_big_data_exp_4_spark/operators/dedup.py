@@ -31,6 +31,8 @@ is single-table relational, so these extend the engine for LLM-data use).
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -219,9 +221,14 @@ def minhash_candidate_pairs(
 
     # persist the exploded band rows: both self-join branches read them,
     # and Spark does not share scans between branches — unpersisted, the
-    # dominant md5-shingle signature expression would compute twice
+    # dominant md5-shingle signature expression would compute twice.
+    # mh_0 < P excludes shingle-less (shorter than SHINGLE_K) documents
+    # from banding: they all carry the identical all-sentinel signature,
+    # which would clique EVERY short doc pair at est_jaccard 1.0 — an
+    # O(n_short²) blowup and false merges downstream (exact dedup is the
+    # operator that covers identical short docs). Oracle in lockstep.
     bands = persist_scoped(
-        sig.select(
+        sig.where(F.col("mh_0") < MINHASH_P).select(
             "doc",
             *[F.col(f"mh_{i}") for i in range(k)],
             F.posexplode(
@@ -344,15 +351,21 @@ def incremental_neardup(
         )
 
     # corpus side: streamed (never broadcast/shuffled) — signatures stay
-    # attached so the pair's o-side agreement inputs need no re-join
+    # attached so the pair's o-side agreement inputs need no re-join.
+    # The mh_0 < P filters exclude shingle-less docs from PAIRING on both
+    # sides (all-sentinel signatures would clique every short doc — see
+    # minhash_candidate_pairs); short new docs still flow through the
+    # exact-md5 flag path below, just with no LSH candidates.
     sig_old = _sig(corpus_signed, "o_")
-    bands_old = sig_old.select(
+    bands_old = sig_old.where(F.col("o_mh_0") < MINHASH_P).select(
         "o_doc", *[f"o_mh_{i}" for i in range(k)], _band_key_cols("o_")
     )
     # new side: signatures and band rows derived separately; only the
     # 3-column band rows broadcast into the pairing join
     sig_new = _sig(new_signed, "n_")
-    bands_new = sig_new.select("n_doc", _band_key_cols("n_"))
+    bands_new = sig_new.where(F.col("n_mh_0") < MINHASH_P).select(
+        "n_doc", _band_key_cols("n_")
+    )
 
     pairs = (
         bands_old.join(
@@ -541,9 +554,13 @@ def simhash_neardup_pairs(
     from financial_big_data_exp_4_spark.session import persist_scoped
 
     # persisted for the same reason as the minhash band rows: the 52-bit
-    # HOF fold would otherwise run once per self-join branch
+    # HOF fold would otherwise run once per self-join branch.
+    # simhash != 0 excludes the no-token sentinel signature (and the
+    # all-nonpositive-bit-sum degenerate): every contentless doc folds to
+    # 0, so banding them would clique all such pairs at hamming 0.
+    # Oracle in lockstep.
     bands = persist_scoped(
-        sh.select(
+        sh.where(F.col("simhash") != 0).select(
             "doc",
             "simhash",
             F.posexplode(
@@ -614,10 +631,17 @@ def ngram_jaccard_adjacent(
     Jaccard operator (the general pair source is the LSH candidates from
     :func:`minhash_candidate_pairs`; all-pairs is never materialized).
     """
-    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+    from financial_big_data_exp_4_spark.session import (
+        persist_scoped,
+        rebalance_for_cpu,
+    )
 
     docs = rebalance_for_cpu(docs, id_col)
-    g = docs.select(
+    # persisted (scoped): both self-join branches read the bigram
+    # projection, and Spark shares no scans between branches — the
+    # tokenize+zip_with bigram expression is the dominant map cost and
+    # would otherwise run once per branch
+    g = persist_scoped(docs.select(
         F.col(id_col).alias("doc"),
         # materialized join key: `a.doc + 1 == b.doc` as a raw condition is
         # not recognized as an equi-join and planned as a nested-loop join
@@ -625,7 +649,7 @@ def ngram_jaccard_adjacent(
         # key makes it a hash/sort-merge join.
         (F.col(id_col) + 1).alias("next_doc"),
         word_bigrams(text_col).alias("grams"),
-    )
+    ))
     a, b = g.alias("a"), g.alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
@@ -644,7 +668,10 @@ def ngram_jaccard_adjacent(
 
 
 def apply_exact_dedup(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: Sequence[str] = ("lang", "n_chars"),
 ) -> DataFrame:
     """The *apply* step of exact dedup: the kept corpus itself — one full
     row per distinct text (the min-id copy), not just the digest table.
@@ -654,8 +681,9 @@ def apply_exact_dedup(
     back on the digest. A window/row_number formulation computes the same
     rows but shuffles and sorts every full-payload row; here the payload
     rows move through the join hash-partitioned once and the *aggregate*
-    shuffle carries only (digest, id) pairs. Output: (doc_id, lang,
-    n_chars) of kept rows.
+    shuffle carries only (digest, id) pairs. ``keep_cols`` is the payload
+    carried for kept rows (default = the fixture's columns; any input
+    schema works). Output: (doc_id, *keep_cols).
     """
     digest = F.md5(F.col(text_col)).alias("_digest")
     keepers = (
@@ -664,10 +692,10 @@ def apply_exact_dedup(
         .agg(F.min(id_col).alias("_keep_id"))
     )
     return (
-        docs.select(digest, id_col, "lang", "n_chars")
+        docs.select(digest, id_col, *keep_cols)
         .join(keepers, "_digest")
         .where(F.col(id_col) == F.col("_keep_id"))
-        .select(id_col, "lang", "n_chars")
+        .select(id_col, *keep_cols)
     )
 
 

@@ -43,17 +43,6 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from financial_big_data_exp_4_spark.functions.core import (
-    HASH_MODULUS,
-    HASH_MULTIPLIER,
-)
-
-#: The engine's single multiplicative-hash constant pair (see
-#: functions.core) — imported, not copied, so oracle agreement can't drift.
-_HASH_P = HASH_MODULUS
-_KNUTH = HASH_MULTIPLIER
-
-
 def keep_latest(
     df: DataFrame, key: str, ts: str, tiebreak: str
 ) -> DataFrame:
@@ -78,13 +67,16 @@ def keep_latest(
 def hash_sample(df: DataFrame, key: str, pct: int) -> DataFrame:
     """Deterministic ``pct``-percent sample by integer key.
 
-    Keeps rows where ``((key mod P) * knuth) mod P mod 100 < pct`` —
-    pure integer arithmetic, identical in any engine, pushed into the
-    scan as an ordinary filter (partition/file pruning still applies).
+    Keeps rows where ``det_hash_mod(key, 100) < pct`` (``((key pmod P) *
+    knuth) mod P mod 100``) — pure integer arithmetic, identical in any
+    engine, pushed into the scan as an ordinary filter (partition/file
+    pruning still applies).
     """
-    k = F.col(key)
-    bucket = ((k % _HASH_P) * _KNUTH) % _HASH_P % 100
-    return df.where(bucket < pct)
+    from financial_big_data_exp_4_spark.functions.core import det_hash_mod
+
+    # det_hash_mod is sign-safe (pmod): a plain % would give negative
+    # buckets for negative keys, which pass `bucket < pct` at ANY pct
+    return df.where(det_hash_mod(key, 100) < pct)
 
 
 def merge_changes(

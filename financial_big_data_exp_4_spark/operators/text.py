@@ -122,8 +122,10 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     prediction = alphabetically-first language with the maximal score.
 
     Map-only; the per-language score is an array intersection against a
-    6-word literal array — constant work per row. Output keeps the labeled
-    ``lang`` column alongside for accuracy eyeballing.
+    6-word literal array — constant work per row. When the input carries
+    a labeled ``lang`` column (the fixture does) it passes through for
+    accuracy eyeballing; an unlabeled corpus — the normal case for a
+    language *identifier* — simply omits it.
     """
     # materialized once — every per-language intersection reads it
     docs = docs.withColumn(
@@ -142,9 +144,10 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     # the earliest alphabetical winner is applied last (outermost when).
     for lang in sorted(scores, reverse=True):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    label = [F.col("lang")] if "lang" in docs.columns else []
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        F.col("lang").alias("lang"),
+        *label,
         pred.alias("lang_pred"),
         best.cast("long").alias("lang_score"),
     )

@@ -280,7 +280,11 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _drain_stream(
-    spark: SparkSession, stream, table: str, output_mode: str = "complete"
+    spark: SparkSession,
+    stream,
+    table: str,
+    output_mode: str = "complete",
+    drain_partitions: int = 4,
 ):
     """Drain a bounded stream into the FIXED-name memory-sink table and
     return it. The memory sink re-registers ``table`` via
@@ -297,7 +301,13 @@ def _drain_stream(
     )
 
     with tempfile.TemporaryDirectory() as ckpt:
-        run_stream_to_memory(stream, table, ckpt, output_mode=output_mode)
+        run_stream_to_memory(
+            stream,
+            table,
+            ckpt,
+            output_mode=output_mode,
+            drain_partitions=drain_partitions,
+        )
     return spark.table(table)
 
 
@@ -724,8 +734,16 @@ def q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = streaming_error_purchase_join(read_events_stream(spark, sf_dir))
+    # 2 state partitions, not the single-store default 4: a stream-stream
+    # join keeps FOUR stores per partition, so its commit-overhead knee
+    # sits lower (measured at sf0.1: 4 parts ~1.95s, 2 ~1.68s, 1 ~1.61s —
+    # 2 keeps parallelism for only ~0.07s over the minimum)
     return _drain_stream(
-        spark, stream, "stream_range_join", output_mode="append"
+        spark,
+        stream,
+        "stream_range_join",
+        output_mode="append",
+        drain_partitions=2,
     ).select("user_id", "err_id", "purch_id", "value")
 
 

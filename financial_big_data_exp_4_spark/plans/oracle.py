@@ -105,7 +105,7 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
         ORDER BY event_id
     """,
     "q_random_split": """
-        SELECT CASE WHEN ((o_orderkey % 1000000007) * 2654435761)
+        SELECT CASE WHEN (((o_orderkey % 1000000007 + 1000000007) % 1000000007) * 2654435761)
                          % 1000000007 % 100 < 80
                     THEN 'train' ELSE 'test' END AS split,
                count(*) AS cnt
@@ -158,7 +158,7 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
                    codes.mkt_idx
             FROM customer c JOIN codes ON c.c_mktsegment = codes.seg
         )
-        SELECT CASE WHEN ((c_custkey % 1000000007) * 2654435761)
+        SELECT CASE WHEN (((c_custkey % 1000000007 + 1000000007) % 1000000007) * 2654435761)
                          % 1000000007 % 100 < 80
                     THEN 'train' ELSE 'test' END AS split,
                count(*) AS cnt,

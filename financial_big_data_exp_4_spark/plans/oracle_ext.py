@@ -137,8 +137,13 @@ _MH_EXPRS = ",\n           ".join(
     for i, (a, b) in enumerate(MINHASH_COEFFS)
 )
 
+# WHERE mh_0 < P: a document shorter than one shingle carries the
+# all-sentinel signature (every mh_i = P); banding those would put ALL
+# short docs in one bucket (an O(n_short^2) false-candidate clique), so
+# they are excluded from pairing on BOTH engine and oracle sides.
 _BAND_SELECTS = "\n        UNION ALL ".join(
-    "SELECT doc, {b} AS band_id, {key} AS band_key FROM sig".format(
+    ("SELECT doc, {b} AS band_id, {key} AS band_key FROM sig"
+     " WHERE mh_0 < " + str(MINHASH_P)).format(
         b=b,
         key=" || ',' || ".join(
             f"CAST(mh_{j} AS VARCHAR)"
@@ -194,10 +199,13 @@ Q_DEDUP_SIMHASH = f"""
     FROM (SELECT doc_id, {_TH_RAW} AS th FROM documents)
 """
 
+# WHERE simhash <> 0: the zero signature is the no-token sentinel (and
+# the all-nonpositive-bit-sum degenerate); pairing it would clique every
+# contentless doc at hamming 0 on both sides.
 _SH_BANDS = "\n        UNION ALL ".join(
     f"SELECT doc_id AS doc, simhash, {b} AS band_id, "
     f"(simhash >> {b * (SIMHASH_BITS // 4)}) & "
-    f"{(1 << (SIMHASH_BITS // 4)) - 1} AS band_key FROM sh"
+    f"{(1 << (SIMHASH_BITS // 4)) - 1} AS band_key FROM sh WHERE simhash <> 0"
     for b in range(4)
 )
 
@@ -506,23 +514,28 @@ Q_ANTI_JOIN = """
 
 # Mirrors the engine's union+window as-of formulation (NOT DuckDB's native
 # ASOF JOIN) so tie handling is defined identically on both sides.
+# The payload rides inside a one-field STRUCT (non-NULL for every right
+# row) so IGNORE NULLS skips only probe rows — a right row with a NULL
+# payload value yields NULL, never a stale older payload. Same wrap as
+# the engine (operators/asof.py).
 Q_ASOF_JOIN = """
     WITH probes AS (
         SELECT user_id AS _k, epoch_us(ts) AS _ts, 1 AS _tag,
-               CAST(NULL AS BIGINT) AS _tb, CAST(NULL AS DOUBLE) AS _pl,
+               CAST(NULL AS BIGINT) AS _tb,
+               CAST(NULL AS STRUCT(v DOUBLE)) AS _pl,
                event_id, user_id, epoch_us(ts) AS ts_us
         FROM events WHERE event_type = 'error'
     ), pay AS (
-        SELECT user_id, epoch_us(ts), 0, event_id, value,
+        SELECT user_id, epoch_us(ts), 0, event_id, {'v': value},
                NULL, NULL, NULL
         FROM events WHERE event_type = 'purchase'
     ), u AS (
         SELECT * FROM probes UNION ALL SELECT * FROM pay
     ), carried AS (
         SELECT event_id, user_id, ts_us, _tag,
-               last_value(_pl IGNORE NULLS) OVER (
+               (last_value(_pl IGNORE NULLS) OVER (
                    PARTITION BY _k ORDER BY _ts, _tag, _tb
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)).v
                    AS last_purchase_value
         FROM u
     )
@@ -721,7 +734,7 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_hash_sample": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
-        WHERE ((o_orderkey % 1000000007) * 2654435761)
+        WHERE (((o_orderkey % 1000000007 + 1000000007) % 1000000007) * 2654435761)
               % 1000000007 % 100 < 10
     """,
     "q_text_normalize": """
@@ -861,7 +874,7 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_stratified_sample": f"""
         SELECT event_id, event_type, user_id
         FROM events
-        WHERE ((event_id % 1000000007) * 2654435761) % 1000000007 % 1000
+        WHERE (((event_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007 % 1000
               < CASE event_type {_rate_cases()} ELSE 0 END
     """,
     "q_inverted_index": f"""
@@ -1562,7 +1575,8 @@ def _inc_band_selects(sig_table: str) -> str:
     """Band rows for the incremental oracle over an arbitrary signature
     CTE (same banding as _BAND_SELECTS, parameterized table)."""
     return "\n        UNION ALL ".join(
-        "SELECT doc, {b} AS band_id, {key} AS band_key FROM {t}".format(
+        ("SELECT doc, {b} AS band_id, {key} AS band_key FROM {t}"
+         " WHERE mh_0 < " + str(MINHASH_P)).format(
             b=b,
             t=sig_table,
             key=" || ',' || ".join(

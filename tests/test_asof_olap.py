@@ -99,3 +99,24 @@ def test_approx_count_distinct_tracks_exact(spark, sf_dir):
     ).head()
     assert row["approx"] > 0
     assert abs(row["approx"] - row["exact"]) <= max(3, 0.15 * row["exact"])
+
+
+def test_asof_join_null_payload_is_not_skipped(spark):
+    """The carried value is the latest right ROW's payload — a right row
+    whose payload is legitimately NULL must yield NULL, not the stale
+    older non-null value (the struct-presence wrap under the
+    ignorenulls mechanism)."""
+    from financial_big_data_exp_4_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100)], "probe_id long, k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(7, 10, 1, 5.0), (8, 10, 5, None)],
+        "rid long, k long, ts long, val double",
+    )
+    got = asof_join(
+        left, right, key="k", left_ts="ts", right_ts="ts",
+        payload="val", tiebreak="rid", payload_out="v",
+    ).collect()
+    assert len(got) == 1 and got[0]["v"] is None

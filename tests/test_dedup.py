@@ -201,3 +201,40 @@ def test_incremental_neardup_signed_path_equivalent(spark):
         ).collect()
     )
     assert raw == signed and len(raw) == 2
+
+
+def test_degenerate_signatures_do_not_clique(spark):
+    """Shingle-less (< SHINGLE_K chars) docs all share the all-sentinel
+    minhash signature, and token-less docs all fold to simhash 0 — both
+    sentinel classes must be EXCLUDED from band pairing, or every such
+    pair becomes a false near-dup candidate (an O(n^2) clique). Exact
+    dedup remains the operator that covers identical short docs."""
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        simhash_neardup_pairs,
+    )
+
+    short = spark.createDataFrame(
+        [(1, "cat"), (2, "dog"), (3, "hi ok"),
+         (4, "a real sentence with plenty of shingle material here"),
+         (5, "a real sentence with plenty of shingle material here!")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_candidate_pairs(short).collect()
+    }
+    assert (1, 2) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+    assert (4, 5) in pairs  # real near-dups still pair
+
+    symbolic = spark.createDataFrame(
+        [(1, "!!!"), (2, "???"), (3, "......"),
+         (4, "genuine words appear here"), (5, "genuine words appear here")],
+        "doc_id long, text string",
+    )
+    sp = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_neardup_pairs(symbolic).collect()
+    }
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in sp)
+    assert (4, 5) in sp

@@ -13,6 +13,7 @@ from financial_big_data_exp_4_spark.operators.corpus import (
     chunk_documents,
 )
 from financial_big_data_exp_4_spark.operators.relational import (
+    hash_sample,
     merge_changes,
     scd2_intervals,
     winsorize,
@@ -541,3 +542,33 @@ def test_standard_scale_matches_exact_model(spark, vals):
             assert r["v_scaled"] == (r["v"] - mean) / std
         else:
             assert r["v_scaled"] is None
+
+
+def test_hash_bucketing_sign_safe(spark):
+    """Negative keys must bucket into [0, N) like positive ones — a
+    dividend-signed %% would give negative buckets that pass every
+    `bucket < rate` filter (0%% samples returning 100%% of negative-key
+    rows)."""
+    from financial_big_data_exp_4_spark.functions.core import det_hash_mod
+    from financial_big_data_exp_4_spark.operators.corpus import (
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(k,) for k in (-7, -5, -1, 0, 3)], "k long"
+    )
+    buckets = [
+        r["b"] for r in df.select(det_hash_mod("k", 100).alias("b")).collect()
+    ]
+    assert all(0 <= b < 100 for b in buckets)
+    assert hash_sample(df, key="k", pct=0).count() == 0
+    assert hash_sample(df, key="k", pct=100).count() == 5
+
+    ev = spark.createDataFrame(
+        [(-3, "view"), (-9, "ghost"), (4, "view")],
+        "event_id long, event_type string",
+    )
+    kept = stratified_sample(
+        ev, key="event_id", stratum="event_type", rates_permille={"view": 0}
+    )
+    assert kept.count() == 0  # rate-0 and unknown strata drop ALL rows
