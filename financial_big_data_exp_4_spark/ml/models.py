@@ -145,7 +145,19 @@ def train_and_evaluate(
     ``save_dir`` persists each fitted model under ``{save_dir}/{name}``
     (K4 — nb4 cell 45 saves the RF model).
     """
-    n_features = train.first()["features"].size
+    # the MLP is the only classifier that needs the feature width (its
+    # input layer); computed lazily so the default names pay no extra
+    # driver job, with an explicit error on an empty train set instead
+    # of first()'s None crash
+    n_features = None
+    if "mlp" in names:
+        head = train.first()
+        if head is None:
+            raise ValueError(
+                "train_and_evaluate: empty training set (MLP needs the "
+                "feature width from at least one row)"
+            )
+        n_features = head["features"].size
     aucs: dict[str, float] = {}
     for name in names:
         model = strip_training_summary(make_classifier(name, n_features).fit(train))

@@ -147,8 +147,24 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_adjacent(load_table(spark, sf_dir, "documents"))
 
 
+def _shared_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k, memoized per (session, sf_dir) —
+    the exact-baseline stage BOTH q_embed_cosine_topk and the ANN proof
+    queries consume (the ANN accuracy check reads its rank-1 rows), so
+    the N×probes scoring fold materializes once per session."""
+    from financial_big_data_exp_4_spark.session import memo_df
+
+    return memo_df(
+        spark,
+        ("bruteforce_topk", sf_dir),
+        lambda: cosine_topk_bruteforce(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+    )
+
+
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_topk_bruteforce(load_table(spark, sf_dir, "embeddings"))
+    return _shared_bruteforce_topk(spark, sf_dir)
 
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,8 +198,13 @@ def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("ivf_kmeans", sf_dir),
         lambda: cosine_topk_ivf_kmeans(emb),
     )
-    exact1 = cosine_topk_bruteforce(emb, k=1).select(
-        "probe_id", F.col("cos_sim").alias("_exact_best")
+    # exact best per probe = rank-1 rows of the memoized brute-force
+    # baseline (shared with q_embed_cosine_topk — one scoring fold per
+    # session instead of one per invocation)
+    exact1 = (
+        _shared_bruteforce_topk(spark, sf_dir)
+        .where(F.col("rank") == 1)
+        .select("probe_id", F.col("cos_sim").alias("_exact_best"))
     )
     per = (
         topk.groupBy("probe_id")
@@ -1307,12 +1328,10 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    merged = merge_changes(
-        base,
-        _orders_changes(spark, sf_dir),
-        key="o_orderkey",
-        cols=("o_totalprice", "o_orderstatus"),
-    )
+    # the diff target IS q_merge_upsert's output — called, not re-spelled,
+    # so the two cannot drift (the oracle side already reuses the merge
+    # SQL verbatim as a CTE)
+    merged = q_merge_upsert(spark, sf_dir)
     return snapshot_diff(
         base, merged, key="o_orderkey", cols=("o_totalprice", "o_orderstatus")
     )

@@ -16,6 +16,7 @@ Every declared reference query has an entry (zero rows-only checks):
 mirrors the assembled vector element-by-element as double casts.
 """
 
+from financial_big_data_exp_4_spark.functions.core import det_hash_mod_sql
 from financial_big_data_exp_4_spark.plans.reference import QUANTILE_PS
 
 _QS_LIST = "[" + ", ".join(repr(p) for p in QUANTILE_PS) + "]"
@@ -104,9 +105,8 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
         FROM events
         ORDER BY event_id
     """,
-    "q_random_split": """
-        SELECT CASE WHEN (((o_orderkey % 1000000007 + 1000000007) % 1000000007) * 2654435761)
-                         % 1000000007 % 100 < 80
+    "q_random_split": f"""
+        SELECT CASE WHEN {det_hash_mod_sql("o_orderkey", 100)} < 80
                     THEN 'train' ELSE 'test' END AS split,
                count(*) AS cnt
         FROM orders
@@ -141,7 +141,7 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
     # StringIndexer frequencyDesc contract), imputed acctbal, hash split —
     # all summed exactly, and every output column is an integer (acctbal
     # as BIGINT cents) so the hash is stable under any float canonicalizer.
-    "q_feature_pipeline": """
+    "q_feature_pipeline": f"""
         WITH freq AS (
             SELECT c_mktsegment AS seg, count(*) AS cnt
             FROM customer GROUP BY c_mktsegment
@@ -158,8 +158,7 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
                    codes.mkt_idx
             FROM customer c JOIN codes ON c.c_mktsegment = codes.seg
         )
-        SELECT CASE WHEN (((c_custkey % 1000000007 + 1000000007) % 1000000007) * 2654435761)
-                         % 1000000007 % 100 < 80
+        SELECT CASE WHEN {det_hash_mod_sql("c_custkey", 100)} < 80
                     THEN 'train' ELSE 'test' END AS split,
                count(*) AS cnt,
                sum(CAST(mkt_idx AS BIGINT)) AS sum_mkt_idx,

@@ -18,6 +18,7 @@ byte length), which is exactly what makes the binary plumbing testable.
 
 from __future__ import annotations
 
+from financial_big_data_exp_4_spark.functions.core import det_hash_mod_sql
 from financial_big_data_exp_4_spark.operators.dedup import (
     MINHASH_BANDS,
     MINHASH_COEFFS,
@@ -731,11 +732,10 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
             FROM events
         ) WHERE rn = 1
     """,
-    "q_hash_sample": """
+    "q_hash_sample": f"""
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders
-        WHERE (((o_orderkey % 1000000007 + 1000000007) % 1000000007) * 2654435761)
-              % 1000000007 % 100 < 10
+        WHERE {det_hash_mod_sql("o_orderkey", 100)} < 10
     """,
     "q_text_normalize": """
         SELECT doc_id,
@@ -874,7 +874,7 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_stratified_sample": f"""
         SELECT event_id, event_type, user_id
         FROM events
-        WHERE (((event_id % 1000000007 + 1000000007) % 1000000007) * 2654435761) % 1000000007 % 1000
+        WHERE {det_hash_mod_sql("event_id", 1000)}
               < CASE event_type {_rate_cases()} ELSE 0 END
     """,
     "q_inverted_index": f"""

@@ -283,14 +283,9 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fitted splits are a model artifact (exactly what a fitted
     # QuantileDiscretizer/Bucketizer persists) — memoized per
     # (session, sf_dir) like the k-means quantizer fit
-    memo_attr = "_fbde4_quantile_splits"
-    memo = getattr(spark, memo_attr, None)
-    if memo is None:
-        memo = {}
-        try:
-            setattr(spark, memo_attr, memo)
-        except Exception:  # pragma: no cover - slotted/proxied sessions
-            memo = None
+    from financial_big_data_exp_4_spark.session import session_memo
+
+    memo = session_memo(spark, "_fbde4_quantile_splits")
     splits = memo.get(sf_dir) if memo is not None else None
     if splits is None:
         ps = ", ".join(repr(p) for p in QUANTILE_PS)

@@ -150,6 +150,24 @@ def persist_scoped(df, slots: int = 2):
 _MEMO_ATTR = "_fbde4_df_memo"
 
 
+def session_memo(spark, attr: str) -> dict | None:
+    """Fetch-or-create a memo dict stored ON the session object under
+    ``attr`` — the one shared implementation of the per-session memo
+    pattern (:func:`memo_df`, the scan-plan memo in
+    :mod:`.sources.parquet`, the fitted quantile splits). Dies with the
+    session; returns ``None`` when the session object rejects attributes
+    (slotted/proxied sessions), in which case callers just skip
+    memoization."""
+    memo = getattr(spark, attr, None)
+    if memo is None:
+        memo = {}
+        try:
+            setattr(spark, attr, memo)
+        except Exception:  # pragma: no cover - slotted/proxied sessions
+            return None
+    return memo
+
+
 def memo_df(spark, key: tuple, builder, max_entries: int = 8):
     """Session-scoped memo of *persisted* DataFrames, keyed on
     ``key`` (include every input that determines the result, e.g.
@@ -165,13 +183,9 @@ def memo_df(spark, key: tuple, builder, max_entries: int = 8):
     on next request. Results are deterministic, so memo vs fresh is
     observationally identical.
     """
-    memo = getattr(spark, _MEMO_ATTR, None)
+    memo = session_memo(spark, _MEMO_ATTR)
     if memo is None:
-        memo = {}
-        try:
-            setattr(spark, _MEMO_ATTR, memo)
-        except Exception:  # pragma: no cover - slotted/proxied sessions
-            return builder()
+        return builder()
     if key in memo:
         return memo[key]
     df = builder().persist()

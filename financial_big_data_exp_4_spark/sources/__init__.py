@@ -7,6 +7,7 @@ from financial_big_data_exp_4_spark.sources.parquet import (
 from financial_big_data_exp_4_spark.sources.csv import (
     read_csv,
     write_single_csv,
+    write_text,
 )
 from financial_big_data_exp_4_spark.sources.jsonl import (
     read_jsonl,
@@ -27,6 +28,7 @@ __all__ = [
     "read_orc",
     "register_views",
     "write_jsonl",
+    "write_text",
     "write_orc",
     "write_partitioned_parquet",
     "write_single_csv",

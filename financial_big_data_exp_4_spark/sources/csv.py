@@ -68,8 +68,20 @@ def write_text(
     writes MR ``Text`` output lines). Concatenates all columns with ``sep``
     into one string column and writes parallel ``.text`` part files —
     unlike the single-file CSV sink, this keeps full write parallelism.
+
+    NULLs render as empty fields: ``concat_ws`` SKIPS null arguments
+    (its documented behavior), which would emit a shorter line and shift
+    every later field one column left — silent misalignment for any
+    downstream parser — so each column is coalesced to '' first, keeping
+    the field count constant.
     """
     from pyspark.sql import functions as F
 
-    line = F.concat_ws(sep, *[F.col(c).cast("string") for c in df.columns])
+    line = F.concat_ws(
+        sep,
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(""))
+            for c in df.columns
+        ],
+    )
     df.select(line.alias("value")).write.mode(mode).text(path)

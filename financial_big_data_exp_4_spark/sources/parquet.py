@@ -68,14 +68,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     between processes); a live-table deployment would use a real catalog
     with invalidation instead.
     """
+    from financial_big_data_exp_4_spark.session import session_memo
+
     ensure_session_confs(spark)
-    memo = getattr(spark, _SCAN_MEMO_ATTR, None)
-    if memo is None:
-        memo = {}
-        try:
-            setattr(spark, _SCAN_MEMO_ATTR, memo)
-        except Exception:  # pragma: no cover - slotted/proxied sessions
-            memo = None
+    memo = session_memo(spark, _SCAN_MEMO_ATTR)
     key = (sf_dir, name)
     if memo is not None and key in memo:
         return memo[key]

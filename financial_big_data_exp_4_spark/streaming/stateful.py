@@ -46,8 +46,15 @@ def _update_user_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Per-user running (event count, max event time): fold this batch's
-    rows into the state, emit the updated totals once per batch."""
-    n, last = state.get if state.exists else (0, 0)
+    rows into the state, emit the updated totals once per batch.
+
+    The fresh-state seed for ``last_ts_us`` is int64-min, not 0: a key
+    whose events are all pre-epoch (negative µs — backfills of historic
+    data) must report its true max, which ``max(0, ts)`` would silently
+    pin to 0 while the batch oracle (``max(epoch_us(ts))``) reports the
+    negative value. Every emitted row has ≥ 1 observed event, so the
+    sentinel itself never escapes."""
+    n, last = state.get if state.exists else (0, -(2**63))
     for pdf in pdfs:
         n += len(pdf)
         if len(pdf):

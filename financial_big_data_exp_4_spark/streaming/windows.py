@@ -199,13 +199,40 @@ def seed_snapshot(base: DataFrame, out_dir: str) -> None:
 
 
 def read_snapshot(spark: SparkSession, out_dir: str) -> DataFrame:
-    """Read the LATEST snapshot version. Discovery goes through the
-    parquet source's partition listing (``v`` is a partition column);
-    production would keep a manifest / table format instead of listing,
-    but the versioned layout itself is format-free."""
-    allv = spark.read.parquet(out_dir)
-    vmax = allv.agg(F.max("v")).head()[0]
-    return allv.where(F.col("v") == vmax).drop("v")
+    """Read the latest **committed** snapshot version.
+
+    A crash mid-write of ``v=N`` leaves a partial partition with no
+    ``_SUCCESS`` marker; a bare ``max(v)`` listing would hand readers
+    that torn version until the stream replays the batch. Discovery
+    therefore walks the Hadoop FileSystem (works for any scheme Spark
+    can write) and takes the highest version directory whose
+    ``_SUCCESS`` exists — the same commit signal Spark's own
+    FileOutputCommitter leaves. Production would keep a manifest / table
+    format instead of listing; the versioned layout itself is
+    format-free."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(out_dir)
+    fs = jpath.getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    committed = []
+    for st in fs.listStatus(jpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("v=")):
+            continue
+        try:
+            v = int(name[2:])
+        except ValueError:
+            continue
+        if fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{out_dir}/{name}/_SUCCESS")
+        ):
+            committed.append(v)
+    if not committed:
+        raise FileNotFoundError(
+            f"read_snapshot: no committed snapshot version under {out_dir}"
+        )
+    return spark.read.parquet(f"{out_dir}/v={max(committed)}")
 
 
 def run_stream_merge(
@@ -233,6 +260,13 @@ def run_stream_merge(
     version write is a full snapshot — the format-free trade-off; a
     table format (or partition-level rewrites) drops in at the
     ``foreachBatch`` body without touching the plan above it.
+
+    Lifecycle contract: checkpoint and output dir pair for life — a
+    FRESH checkpoint restarts batch ids at 0, so pointing it at an
+    out_dir whose committed versions already advanced further would
+    leave the old higher versions shadowing the new chain in
+    :func:`read_snapshot`. Start a rebuild with a fresh out_dir (or
+    prune versions > 0 first).
     """
     from financial_big_data_exp_4_spark.operators.relational import (
         merge_changes,
