@@ -572,3 +572,45 @@ def test_hash_bucketing_sign_safe(spark):
         ev, key="event_id", stratum="event_type", rates_permille={"view": 0}
     )
     assert kept.count() == 0  # rate-0 and unknown strata drop ALL rows
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    base_keys=st.sets(st.integers(0, 10), max_size=5),
+    change_list=st.lists(
+        st.tuples(st.integers(0, 15), _ops, st.integers(-5, 5)),
+        max_size=10,
+    ),
+)
+def test_merge_changes_seq_matches_ordered_model(
+    spark, base_keys, change_list
+):
+    """With a sequence column, merge_changes ≡ applying the change log
+    in sequence order to a dict — last-writer-wins upsert semantics,
+    including duplicate keys, I-then-U on new keys, and D-then-I
+    re-inserts (the cases priority-only resolution cannot express)."""
+    model = {k: float(k * 10) for k in base_keys}
+    for k, op, v in change_list:  # list order IS the sequence
+        if op == "D":
+            model.pop(k, None)
+        else:  # U and I are both upserts
+            model[k] = float(v)
+    base_df = spark.createDataFrame(
+        [(k, float(k * 10)) for k in sorted(base_keys)] or [],
+        "k long, v double",
+    )
+    ch_df = spark.createDataFrame(
+        [
+            (k, op, float(v), i)
+            for i, (k, op, v) in enumerate(change_list)
+        ]
+        or [],
+        "k long, op string, v double, seq long",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in merge_changes(
+            base_df, ch_df, key="k", cols=("v",), seq_col="seq"
+        ).collect()
+    }
+    assert got == model
