@@ -141,6 +141,9 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
     # StringIndexer frequencyDesc contract), imputed acctbal, hash split —
     # all summed exactly, and every output column is an integer (acctbal
     # as BIGINT cents) so the hash is stable under any float canonicalizer.
+    # Outer sums MUST be wrapped in CAST(... AS BIGINT): DuckDB returns
+    # HUGEINT (int128) for any integer sum(), which some canonicalizers
+    # render differently from int64 and the hash then mismatches.
     "q_feature_pipeline": f"""
         WITH freq AS (
             SELECT c_mktsegment AS seg, count(*) AS cnt
@@ -161,9 +164,9 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
         SELECT CASE WHEN {det_hash_mod_sql("c_custkey", 100)} < 80
                     THEN 'train' ELSE 'test' END AS split,
                count(*) AS cnt,
-               sum(CAST(mkt_idx AS BIGINT)) AS sum_mkt_idx,
-               sum(CAST(CAST(acctbal AS DECIMAL(38,2)) * 100 AS BIGINT))
-                   AS sum_acctbal_cents
+               CAST(sum(CAST(mkt_idx AS BIGINT)) AS BIGINT) AS sum_mkt_idx,
+               CAST(sum(CAST(CAST(acctbal AS DECIMAL(38,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS sum_acctbal_cents
         FROM feat
         GROUP BY 1
         ORDER BY split

@@ -80,11 +80,25 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            import pyarrow as pa
+
+            tbl = con.execute(oracles[name]).arrow()
+            ocols = tbl.column_names
+            cols_py = [c.to_pylist() for c in tbl.columns]
+            orows = [tuple(vals) for vals in zip(*cols_py)] if cols_py else []
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
+        # DuckDB returns HUGEINT (arrow decimal128) for bare integer sum();
+        # driver canonicalizers may render it differently from int64 even
+        # when the digits agree, so an un-cast output type is itself a bug.
+        unstable = [f.name for f in tbl.schema if pa.types.is_decimal(f.type)]
+        if unstable:
+            print(
+                f"FAIL {name}: oracle output column(s) {unstable} are "
+                f"DECIMAL/HUGEINT — wrap in CAST(... AS BIGINT/DOUBLE)"
+            )
             failures.append(name)
             continue
         sn, sc, sh = table_fingerprint(scols, srows)
