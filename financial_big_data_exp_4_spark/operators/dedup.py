@@ -456,38 +456,76 @@ def simhash_docs(
     return base.select("doc_id", F.expr(_SIMHASH_EXPR).alias("simhash"))
 
 
+def _prune_to_participants(
+    docs: DataFrame, cand: DataFrame, id_col: str
+) -> DataFrame:
+    """Restrict ``docs`` to rows that participate in a candidate pair.
+
+    Broadcast-semi-join against ``distinct(doc_a ∪ doc_b)`` — run this
+    BEFORE any per-document verify computation (bigrams, text join).
+    At 100 TB the corpus is petabyte-scale but the LSH candidate set is
+    tiny (bucket-capped, near-dup-rate-bounded), so exact-verify work
+    must be proportional to |candidates|, not |corpus|: without this
+    prune the verify pass maps over and shuffles EVERY document twice.
+    The broadcast hint is safe because participants carry one bigint per
+    row and are bounded by 2·|candidate pairs|; if a workload ever
+    produces a candidate set too large to broadcast, AQE still plans a
+    shuffled semi-join rather than failing.
+    """
+    participants = (
+        cand.select(F.col("doc_a").alias(id_col))
+        .union(cand.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    return docs.join(F.broadcast(participants), id_col, "semi")
+
+
+#: Cap used by the thresholded edit-distance verify: distances are only
+#: meaningful near 0 for near-duplicates, so the DP can early-exit once
+#: the distance provably exceeds this. Reported distance is
+#: least(true_distance, EDIT_DISTANCE_CAP).
+EDIT_DISTANCE_CAP = 100
+
+
 def neardup_edit_distance(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     pairs: DataFrame | None = None,
+    cap: int = EDIT_DISTANCE_CAP,
 ) -> DataFrame:
-    """Exact character edit distance over the LSH candidate pairs.
+    """Capped character edit distance over the LSH candidate pairs.
 
     The third verify metric next to bigram Jaccard
     (:func:`neardup_verified_pairs`) and Hamming
     (:func:`simhash_neardup_pairs`): candidates come from the banded
-    MinHash join (never all-pairs), then the full Levenshtein distance is
-    computed only on those |candidates| pairs via two hash joins back to
-    the text. Output: (doc_a, doc_b, edit_dist).
+    MinHash join (never all-pairs); the text is then pruned to candidate
+    participants (broadcast semi-join — verify cost proportional to
+    |candidates|, not |corpus|) and Levenshtein runs only on those
+    |candidates| pairs. Output: (doc_a, doc_b, edit_dist) with
+    ``edit_dist = least(true_distance, cap)``.
 
-    100 TB: Levenshtein is O(len_a × len_b) per pair — fine on a pruned
-    candidate set, catastrophic all-pairs; the LSH front end IS the cost
-    model. For long documents bound the cost with Spark's thresholded
-    ``levenshtein(l, r, threshold)`` form (early-exits the DP once the
-    band exceeds the threshold) — not used here because the oracle's
-    engine computes the unbounded distance.
+    100 TB: unbounded Levenshtein is O(len_a × len_b) per pair; the
+    declared semantics cap it, so Spark's thresholded
+    ``levenshtein(l, r, threshold)`` early-exits the DP once the banded
+    diagonal exceeds ``cap`` — O(len × cap) per pair. The DuckDB oracle
+    declares the identical ``least(levenshtein(...), cap)``.
 
     ``pairs``: optionally feed a precomputed candidate-pair frame
     (``doc_a``, ``doc_b`` columns) — e.g. a pipeline-shared
     materialization of :func:`minhash_candidate_pairs` — instead of
     re-deriving the signatures here.
     """
-    cand = (
-        pairs if pairs is not None
-        else minhash_candidate_pairs(docs, text_col, id_col)
-    ).select("doc_a", "doc_b")
-    txt = docs.select(
+    from financial_big_data_exp_4_spark.session import persist_scoped
+
+    if pairs is None:
+        # the candidate plan feeds both the participant broadcast and the
+        # pair join; persist so the LSH stage runs once, not twice
+        pairs = persist_scoped(
+            minhash_candidate_pairs(docs, text_col, id_col)
+        )
+    cand = pairs.select("doc_a", "doc_b")
+    txt = _prune_to_participants(docs, cand, id_col).select(
         F.col(id_col).alias("_edoc"), F.col(text_col).alias("_etext")
     )
     a = txt.select(
@@ -496,13 +534,17 @@ def neardup_edit_distance(
     b = txt.select(
         F.col("_edoc").alias("doc_b"), F.col("_etext").alias("_tb")
     )
+    # Spark's 3-arg levenshtein returns -1 when distance > threshold;
+    # folding -1 back to `cap` yields exactly least(distance, cap).
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"), cap)
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.levenshtein(F.col("_ta"), F.col("_tb"))
+            F.when(lev < 0, F.lit(cap))
+            .otherwise(lev)
             .cast("long")
             .alias("edit_dist"),
         )
@@ -718,17 +760,24 @@ def neardup_verified_pairs(
     consume when false-positive cost matters).
 
     The exact comparison runs ONLY on candidate pairs (O(|candidates|),
-    never all-pairs); each side's bigram set joins in by doc id — two
-    hash joins of |candidates| rows against the docs table. Output:
-    (doc_a, doc_b, jaccard), jaccard ≥ threshold.
+    never all-pairs): docs are first pruned to candidate participants
+    (broadcast semi-join, :func:`_prune_to_participants`) so the bigram
+    map work and both hash joins touch |participants| rows, not the full
+    corpus. Output: (doc_a, doc_b, jaccard), jaccard ≥ threshold.
     """
-    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+    from financial_big_data_exp_4_spark.session import (
+        persist_scoped,
+        rebalance_for_cpu,
+    )
 
-    cand = (
-        pairs if pairs is not None
-        else minhash_candidate_pairs(docs, text_col, id_col)
-    ).select("doc_a", "doc_b")
-    grams = rebalance_for_cpu(docs, id_col).select(
+    if pairs is None:
+        # see neardup_edit_distance: candidate plan feeds two consumers
+        pairs = persist_scoped(
+            minhash_candidate_pairs(docs, text_col, id_col)
+        )
+    cand = pairs.select("doc_a", "doc_b")
+    pruned = _prune_to_participants(docs, cand, id_col)
+    grams = rebalance_for_cpu(pruned, id_col).select(
         F.col(id_col).alias("_gdoc"), word_bigrams(text_col).alias("_grams")
     )
     a = grams.select(

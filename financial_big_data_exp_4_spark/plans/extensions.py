@@ -130,8 +130,9 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neardup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact Levenshtein over the LSH candidate pairs (verify metric #3);
-    candidates come from the family-shared memoized stage."""
+    """Capped Levenshtein (least(dist, 100)) over the LSH candidate pairs
+    (verify metric #3); candidates come from the family-shared memoized
+    stage and text is pruned to candidate participants first."""
     return neardup_edit_distance(
         load_table(spark, sf_dir, "documents"),
         pairs=_shared_minhash_pairs(spark, sf_dir),

@@ -1173,12 +1173,16 @@ from financial_big_data_exp_4_spark.operators.dedup import (  # noqa: E402
     NEARDUP_VERIFY_THRESHOLD,
 )
 
-# Same candidate front end, exact character edit distance as the verify
-# metric (integer → hash-exact on any engine).
+# Same candidate front end, capped character edit distance as the verify
+# metric (integer → hash-exact on any engine). The cap (100, matching
+# operators.dedup.EDIT_DISTANCE_CAP) is part of the declared semantics:
+# it lets the engine use Spark's early-exit levenshtein(l, r, threshold)
+# form — O(len × cap) per pair instead of O(len²).
 EXTENSION_ORACLE_SQL["q_neardup_edit"] = f"""
     WITH cand AS ({Q_NEARDUP_MINHASH})
     SELECT c.doc_a, c.doc_b,
-           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist
+           CAST(least(levenshtein(da.text, db.text), 100) AS BIGINT)
+               AS edit_dist
     FROM cand c
     JOIN documents da ON c.doc_a = da.doc_id
     JOIN documents db ON c.doc_b = db.doc_id
