@@ -421,14 +421,15 @@ def incremental_neardup(
 #: formulation (one ``aggregate`` per bit, double ``pow``/``floor``) ran
 #: 52 separate interpreted folds over the array and measured 15× slower
 #: at sf0.1 (10.0s → 0.68s).
-_SIMHASH_EXPR = f"""aggregate(
-  zip_with(
-    aggregate(_th, array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),
-      (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
-        (a, b) -> a + CAST(shiftright(h, b) & 1 AS BIGINT) * 2 - 1)),
-    sequence(0, {SIMHASH_BITS - 1}),
-    (s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
-  CAST(0 AS BIGINT), (acc, x) -> acc + x)"""
+_SIMHASH_EXPR = f"""IF(coalesce(size(_th), 0) <= 0, CAST(-1 AS BIGINT),
+  aggregate(
+    zip_with(
+      aggregate(_th, array_repeat(CAST(0 AS BIGINT), {SIMHASH_BITS}),
+        (acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}),
+          (a, b) -> a + CAST(shiftright(h, b) & 1 AS BIGINT) * 2 - 1)),
+      sequence(0, {SIMHASH_BITS - 1}),
+      (s, b) -> IF(s > 0, shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))),
+    CAST(0 AS BIGINT), (acc, x) -> acc + x))"""
 
 
 def simhash_docs(
@@ -439,9 +440,13 @@ def simhash_docs(
     For each bit b: sum over distinct token hashes of ±1 (by bit b of the
     hash); bit set iff the sum is positive (ties → 0, deterministic).
     Pure integer bit arithmetic, reproducible on any engine (the DuckDB
-    oracle uses integer division by 2^b — identical results). An empty
-    token set folds to all-zero sums → simhash 0, matching the oracle's
-    ``coalesce(..., 0)``.
+    oracle uses integer division by 2^b — identical results). A token-less
+    document (empty or NULL text / no alphanumeric runs) gets the
+    OUT-OF-DOMAIN sentinel -1 — real signatures live in [0, 2^52), so the
+    sentinel can never collide with a contentful document, including the
+    legitimate all-zero signature of a doc whose 52 bit-sums are all
+    nonpositive (which a 0-as-sentinel scheme would silently drop from
+    pairing). Oracle in lockstep.
 
     The token-hash array is materialized as a column first — inlining it
     would re-run tokenize+md5 once per bit position (observed 50×
@@ -597,12 +602,12 @@ def simhash_neardup_pairs(
 
     # persisted for the same reason as the minhash band rows: the 52-bit
     # HOF fold would otherwise run once per self-join branch.
-    # simhash != 0 excludes the no-token sentinel signature (and the
-    # all-nonpositive-bit-sum degenerate): every contentless doc folds to
-    # 0, so banding them would clique all such pairs at hamming 0.
-    # Oracle in lockstep.
+    # simhash >= 0 excludes only the out-of-domain no-token sentinel
+    # (-1): contentless docs must not clique with each other at hamming
+    # 0, while a contentful doc with a legitimate all-zero signature
+    # still participates. Oracle in lockstep.
     bands = persist_scoped(
-        sh.where(F.col("simhash") != 0).select(
+        sh.where(F.col("simhash") >= 0).select(
             "doc",
             "simhash",
             F.posexplode(

@@ -57,10 +57,17 @@ def connected_components(
     ).localCheckpoint(eager=True)  # edges reused every round: cut the
     # upstream (possibly expensive) candidate-generation lineage once
 
+    # Seed = min(self ∪ neighbors), a single grouped aggregate. This IS
+    # propagation round 1: with identity labels, the neighbor-label join
+    # joins every v to lbl(v) = v, so the join is redundant and the round
+    # collapses to one agg over the edge list — same result, one shuffle
+    # instead of three, no action. For LSH candidate graphs this alone
+    # finishes most components: every band bucket emits a clique, and a
+    # clique converges at round 1 (everyone sees the bucket minimum).
     labels = (
-        sym.select("u")
-        .distinct()
-        .select(F.col("u").alias("node"), F.col("u").alias("lbl"))
+        sym.groupBy("u")
+        .agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
+        .select(F.col("u").alias("node"), "lbl")
         .localCheckpoint(eager=True)
     )
 
@@ -77,29 +84,32 @@ def connected_components(
             F.coalesce(F.col("nbr_lbl"), F.col("lbl")).alias("nbr_lbl"),
         )
 
-    # TWO propagation rounds per materialization+convergence check: each
-    # Spark action costs a fixed scheduler floor on top of the (tiny)
-    # shuffle work, and the fixpoint needs `diameter` propagations plus
-    # one no-change detection — batching halves the action count for the
-    # same total join work (round-3 VERDICT next-round #3b). The inner
-    # (unmaterialized) round folds its min into the label column; the
-    # outer round's (lbl, nbr_lbl) pair carries the batch's change test:
-    # no change across the batch ⟺ the outer round changed nothing AND a
-    # converged outer round implies the inner one was converged too
-    # (min-label propagation is monotone — once a round is a no-op every
-    # later round is).
-    for _ in range(max_iter):
-        inner = propagate(labels).select(
-            "node", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl")
-        )
-        step = propagate(inner).localCheckpoint(eager=True)
+    # Adaptive batch schedule: the first batch is ONE propagation — for
+    # LSH candidate graphs the seed already converged every clique-shaped
+    # component (diameter 1, the overwhelming majority), so the first
+    # batch is usually pure certification and should be as cheap as
+    # possible. Later batches run TWO propagations per materialization+
+    # convergence check (inner round unmaterialized, folding its min into
+    # the label column; the outer round's (lbl, nbr_lbl) pair carries the
+    # batch's change test) — each Spark action costs a fixed scheduler
+    # floor on top of the (tiny) shuffle work, so batching halves the
+    # action count once real propagation is happening. No change across a
+    # batch ⟺ the outer round changed nothing AND monotonicity (a no-op
+    # round makes every later round a no-op) extends it backward.
+    for batch in range(max_iter):
+        step = labels
+        if batch > 0:
+            step = propagate(step).select(
+                "node", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl")
+            )
+        step = propagate(step).localCheckpoint(eager=True)
         changed = step.where(F.col("nbr_lbl") < F.col("lbl")).count()
         labels = step.select(
             "node", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl")
         )
         if changed == 0:
             # the outer round was a no-op; by monotonicity the batch is
-            # at the fixpoint — but the INNER round may still have
+            # at the fixpoint — but the inner round may still have
             # changed labels, which `labels` already includes
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")

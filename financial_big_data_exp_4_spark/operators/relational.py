@@ -116,6 +116,15 @@ def merge_changes(
     row-order-dependent. Either way this is a small-side-only
     aggregation — lazy, broadcast-sized, no driver action, zero effect
     on unique change sets beyond a tiny agg.
+
+    ``seq_col`` edge cases (resolution is ``max(struct(_seq, _p,
+    payload))``, so both are deterministic but worth knowing): a NULL
+    sequence sorts below every non-NULL one — an unsequenced change row
+    always LOSES to any sequenced change for the same key; and exact
+    sequence ties fall back to the priority-then-payload order above.
+    Mixed or absent sequence numbers are therefore NOT order-preserving;
+    callers with a real changelog should populate ``seq_col`` on every
+    row.
     """
     prio = (
         F.when(F.col("op") == "D", F.lit(3))

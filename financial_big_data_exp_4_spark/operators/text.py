@@ -122,10 +122,12 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     prediction = alphabetically-first language with the maximal score.
 
     Map-only; the per-language score is an array intersection against a
-    6-word literal array — constant work per row. When the input carries
-    a labeled ``lang`` column (the fixture does) it passes through for
-    accuracy eyeballing; an unlabeled corpus — the normal case for a
-    language *identifier* — simply omits it.
+    6-word literal array — constant work per row. Output schema is STABLE
+    regardless of input: ``(doc_id, lang, lang_pred, lang_score)``. When
+    the input carries a labeled ``lang`` column (the fixture does) it
+    passes through for accuracy eyeballing; an unlabeled corpus — the
+    normal case for a language *identifier* — gets ``lang = NULL``, so
+    results union cleanly across labeled and unlabeled corpora.
     """
     # materialized once — every per-language intersection reads it
     docs = docs.withColumn(
@@ -144,10 +146,14 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     # the earliest alphabetical winner is applied last (outermost when).
     for lang in sorted(scores, reverse=True):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
-    label = [F.col("lang")] if "lang" in docs.columns else []
+    label = (
+        F.col("lang")
+        if "lang" in docs.columns
+        else F.lit(None).cast("string").alias("lang")
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        *label,
+        label,
         pred.alias("lang_pred"),
         best.cast("long").alias("lang_score"),
     )

@@ -189,24 +189,27 @@ _TH_RAW = (
     f"list_transform({TOKENIZE}, t -> md5(t)), m -> {_hex13int('m')}))"
 )
 
+# Token-less docs get the out-of-domain sentinel -1 (real signatures are
+# in [0, 2^52)) — engine in lockstep (operators/dedup.py _SIMHASH_EXPR).
 Q_DEDUP_SIMHASH = f"""
     SELECT doc_id,
-           CAST(coalesce(list_sum(list_transform(
+           CASE WHEN coalesce(len(th), 0) = 0 THEN CAST(-1 AS BIGINT)
+           ELSE CAST(coalesce(list_sum(list_transform(
                generate_series(0, {SIMHASH_BITS - 1}), bb ->
                CASE WHEN coalesce(list_sum(list_transform(th, h ->
                         ((h // CAST(pow(2, bb) AS BIGINT)) % 2) * 2 - 1)), 0) > 0
                     THEN CAST(pow(2, bb) AS BIGINT) ELSE 0 END)), 0)
-           AS BIGINT) AS simhash
+           AS BIGINT) END AS simhash
     FROM (SELECT doc_id, {_TH_RAW} AS th FROM documents)
 """
 
-# WHERE simhash <> 0: the zero signature is the no-token sentinel (and
-# the all-nonpositive-bit-sum degenerate); pairing it would clique every
-# contentless doc at hamming 0 on both sides.
+# WHERE simhash >= 0: excludes only the no-token sentinel (-1) — pairing
+# contentless docs would clique them at hamming 0, but a contentful doc
+# with a legitimate all-zero signature still participates.
 _SH_BANDS = "\n        UNION ALL ".join(
     f"SELECT doc_id AS doc, simhash, {b} AS band_id, "
     f"(simhash >> {b * (SIMHASH_BITS // 4)}) & "
-    f"{(1 << (SIMHASH_BITS // 4)) - 1} AS band_key FROM sh WHERE simhash <> 0"
+    f"{(1 << (SIMHASH_BITS // 4)) - 1} AS band_key FROM sh WHERE simhash >= 0"
     for b in range(4)
 )
 

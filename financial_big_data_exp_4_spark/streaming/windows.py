@@ -242,6 +242,7 @@ def run_stream_merge(
     key: str,
     cols,
     drain_partitions: int | None = 4,
+    seq_col: str | None = None,
 ) -> None:
     """Streaming CDC apply: maintain an upserted snapshot table from a
     stream of ``(key, op, cols...)`` change rows — MERGE INTO as a
@@ -267,6 +268,15 @@ def run_stream_merge(
     leave the old higher versions shadowing the new chain in
     :func:`read_snapshot`. Start a rebuild with a fresh out_dir (or
     prune versions > 0 first).
+
+    **Within-batch ordering**: a microbatch can carry several changes
+    for one key, and a stream offers no cross-row order guarantee
+    inside the batch DataFrame. Pass ``seq_col`` (the CDC source's
+    offset / LSN column) to resolve them last-writer-wins; without it
+    ``merge_changes`` falls back to op priority (``D > U > I``), so a
+    delete-then-reinsert landing in ONE batch nets to the delete and
+    the reinserted row is lost. Any real changelog carries an offset —
+    forward it.
     """
     from financial_big_data_exp_4_spark.operators.relational import (
         merge_changes,
@@ -279,7 +289,9 @@ def run_stream_merge(
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         current = spark.read.parquet(f"{out_dir}/v={batch_id}")
-        merged = merge_changes(current, batch_df, key=key, cols=tuple(cols))
+        merged = merge_changes(
+            current, batch_df, key=key, cols=tuple(cols), seq_col=seq_col
+        )
         merged.write.mode("overwrite").parquet(
             f"{out_dir}/v={batch_id + 1}"
         )

@@ -205,10 +205,11 @@ def test_incremental_neardup_signed_path_equivalent(spark):
 
 def test_degenerate_signatures_do_not_clique(spark):
     """Shingle-less (< SHINGLE_K chars) docs all share the all-sentinel
-    minhash signature, and token-less docs all fold to simhash 0 — both
-    sentinel classes must be EXCLUDED from band pairing, or every such
-    pair becomes a false near-dup candidate (an O(n^2) clique). Exact
-    dedup remains the operator that covers identical short docs."""
+    minhash signature, and token-less docs get the out-of-domain simhash
+    sentinel -1 — both sentinel classes must be EXCLUDED from band
+    pairing, or every such pair becomes a false near-dup candidate (an
+    O(n^2) clique). Exact dedup remains the operator that covers
+    identical short docs."""
     from financial_big_data_exp_4_spark.operators.dedup import (
         minhash_candidate_pairs,
         simhash_neardup_pairs,
@@ -238,3 +239,32 @@ def test_degenerate_signatures_do_not_clique(spark):
     }
     assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in sp)
     assert (4, 5) in sp
+
+
+def test_simhash_zero_signature_is_contentful_not_sentinel(spark):
+    """A contentful doc CAN legitimately hash to simhash 0 (every bit-sum
+    nonpositive) — e.g. exactly two tokens whose 52-bit hashes share no
+    set bits, so each bit sums to 0 or -2. Such docs must still
+    participate in near-dup pairing; only the out-of-domain sentinel -1
+    (token-less) is excluded. Tokens w39276/w109046 were mined offline:
+    md5-52(w39276) & md5-52(w109046) == 0."""
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        simhash_docs,
+        simhash_neardup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "w39276 w109046"), (2, "w39276 w109046"), (3, ""),
+         (4, None)],
+        "doc_id long, text string",
+    )
+    sims = {r["doc_id"]: r["simhash"] for r in simhash_docs(docs).collect()}
+    assert sims[1] == 0 and sims[2] == 0  # legitimate zero signature
+    assert sims[3] == -1 and sims[4] == -1  # token-less -> sentinel
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_neardup_pairs(docs).collect()
+    }
+    assert (1, 2, 0) in got  # zero-signature docs still pair
+    assert all(a not in (3, 4) and b not in (3, 4) for a, b, _ in got)

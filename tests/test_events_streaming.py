@@ -461,3 +461,47 @@ def test_stream_merge_maintains_snapshot_exactly_once(spark, tmp_path):
     replay = {tuple(r) for r in read_snapshot(spark, out).collect()}
     assert replay == expected
     assert len(g.glob(out + "/v=*")) == 3  # v0 seed + one per batch
+
+
+def test_stream_merge_same_key_delete_then_reinsert_in_one_batch(
+    spark, tmp_path
+):
+    """A microbatch carrying D then I for the SAME key must net to the
+    reinsert when the change rows carry a sequence column: without
+    ``seq_col`` the op-priority fallback (D > U > I) would resolve the
+    batch to the delete and silently lose the row."""
+    from financial_big_data_exp_4_spark.streaming import (
+        read_snapshot,
+        run_stream_merge,
+        seed_snapshot,
+    )
+
+    base = spark.createDataFrame(
+        [(i, float(i * 10)) for i in range(5)], "k long, val double"
+    )
+    # one file -> one microbatch: the same-key D (seq 1) and I (seq 2)
+    # land in a single batch DataFrame with no row-order guarantee
+    changes = [(3, "D", None, 1), (3, "I", 333.0, 2), (9, "I", 900.0, 3)]
+    src = tmp_path / "chg"
+    spark.createDataFrame(
+        changes, "k long, op string, val double, seq long"
+    ).coalesce(1).write.parquet(str(src))
+
+    out = str(tmp_path / "snap")
+    seed_snapshot(base, out)
+    stream = spark.readStream.schema(
+        spark.read.parquet(str(src)).schema
+    ).parquet(str(src))
+    run_stream_merge(
+        stream,
+        out,
+        str(tmp_path / "ckpt"),
+        key="k",
+        cols=("val",),
+        seq_col="seq",
+    )
+
+    got = {tuple(r) for r in read_snapshot(spark, out).collect()}
+    assert (3, 333.0) in got  # last-writer-wins: the reinsert survived
+    assert (9, 900.0) in got
+    assert len(got) == 6  # 5 base rows (k=3 rewritten) + 1 insert

@@ -54,6 +54,17 @@ def test_language_id_prefers_profile_hits(spark):
     assert rows[1]["lang_pred"] == "de"
     assert rows[2]["lang_pred"] == "de" and rows[2]["lang_score"] == 0
 
+    # stable output schema: an unlabeled corpus still emits (doc_id,
+    # lang, lang_pred, lang_score) with lang NULL, so labeled and
+    # unlabeled results union cleanly
+    unlabeled = spark.createDataFrame(
+        [(3, "the cat sat")], "doc_id long, text string"
+    )
+    u = language_id(unlabeled)
+    assert u.columns == language_id(docs).columns
+    both = language_id(docs).unionByName(u).collect()
+    assert {r["doc_id"]: r["lang"] for r in both}[3] is None
+
 
 def test_doc_fingerprint_short_doc_guard(spark):
     from financial_big_data_exp_4_spark.operators import doc_fingerprint
