@@ -37,12 +37,14 @@ in the warmup wall time and in each operator's standalone tests.
 For the cross-engine reference the same script runs every DuckDB oracle
 (best of two passes) over the same parquet files and reports
 ``oracle_queries`` / ``oracle_total_sec`` and the Spark/oracle
-``oracle_ratio``. Round-4 measured numbers on this host (98 queries):
-Spark ≈ 42-45s (stable) vs oracle ≈ 32-65s → ratio ≈ 0.68-1.15 at sf0.1
+``oracle_ratio``. Round-5 measured numbers on this host (98 queries):
+Spark ≈ 43-44s vs oracle ≈ 32-65s → ratio ≈ 0.68-1.15 at sf0.1
 across repeated full runs (the oracle side swings harder with host
 CPU-steal — its recursive-CTE clusters/semantic-dedup oracles are
 memory-heavy — so the two sides rarely catch the same noise window;
-round 3 was 1.4-1.8 before the floor/fan-out work). The remaining gap
+round 3 was 1.4-1.8 before the floor/fan-out work; round 5's seeded
+adaptive-batch connected components cut q_dedup_clusters 18.8s → ~0.6s
+against its 18s recursive-CTE oracle). The remaining gap
 is almost entirely structural, not per-operator: (a) Spark's per-job
 floor — ~0.12s/query even for ``spark.range(1).count()`` with
 ``spark.locality.wait=0``, ≈ 11s across 97 queries, scheduler/stage

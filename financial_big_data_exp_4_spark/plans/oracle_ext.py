@@ -868,7 +868,10 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
             FROM d
         )
         SELECT chunk,
-               (greatest(cum, 1) - 1) // {PACK_BUDGET} AS bin,
+               -- cum is a windowed sum -> HUGEINT in DuckDB; cast the
+               -- derived bin back to BIGINT for a stable output type
+               CAST((greatest(cum, 1) - 1) // {PACK_BUDGET} AS BIGINT)
+                   AS bin,
                count(*) AS n_docs,
                CAST(sum(n_tok) AS BIGINT) AS n_tokens
         FROM c

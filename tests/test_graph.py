@@ -4,6 +4,52 @@ pipeline on fixture data."""
 from __future__ import annotations
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _union_find_components(edges):
+    """Python union-find reference model: node -> min reachable node."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in list(parent)}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find_model(spark, edges):
+    """The seeded, adaptively-batched min-label loop ≡ union-find on
+    arbitrary small graphs — chains, cliques, self-loops, duplicate and
+    reversed edges all land in the generated space, covering every
+    convergence path (seed-only, 1-prop batch, multi-batch)."""
+    from financial_big_data_exp_4_spark.operators import connected_components
+
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(df).collect()
+    }
+    assert got == _union_find_components(edges)
 
 
 def test_connected_components_chain_and_islands(spark):
