@@ -472,10 +472,15 @@ def _prune_to_participants(
     tiny (bucket-capped, near-dup-rate-bounded), so exact-verify work
     must be proportional to |candidates|, not |corpus|: without this
     prune the verify pass maps over and shuffles EVERY document twice.
-    The broadcast hint is safe because participants carry one bigint per
-    row and are bounded by 2·|candidate pairs|; if a workload ever
-    produces a candidate set too large to broadcast, AQE still plans a
-    shuffled semi-join rather than failing.
+    The broadcast hint is part of the declared scale contract:
+    participants carry ONE bigint per row, bounded by 2·|candidate
+    pairs|, and the LSH front end (band buckets capped, near-dup rate
+    bounded) keeps that set orders of magnitude below the corpus. The
+    hint IS binding — Spark honors an explicit ``broadcast()`` even for
+    a large side — so a workload whose candidate set could exceed
+    broadcast limits (≈ billions of pairs) should pass a pre-reduced
+    ``pairs`` frame or drop to the un-hinted semi-join and let
+    statistics pick the join strategy.
     """
     participants = (
         cand.select(F.col("doc_a").alias(id_col))

@@ -85,6 +85,13 @@ def test_connected_components_deep_chain_converges(spark):
     assert len(got) == 13
 
 
+def test_connected_components_empty_edges(spark):
+    from financial_big_data_exp_4_spark.operators import connected_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).collect() == []
+
+
 def test_connected_components_iteration_bound(spark):
     from financial_big_data_exp_4_spark.operators import connected_components
 

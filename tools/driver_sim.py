@@ -1,0 +1,82 @@
+"""Driver-simulation gate: the external correctness driver imports
+``__spark_entry__`` with a PLAIN SparkSession (none of the engine's
+session confs) and samples the first N ``queries()`` entries. The local
+gate (`check_correctness.py`) runs under ``get_spark`` — green there
+does not prove green under the driver's session. This tool reproduces
+the driver's conditions: a bare builder session, default confs apart
+from master/shuffle-partitions, then the same fingerprint compare.
+
+Usage: python tools/driver_sim.py [sf_dir] [sample_n]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+from check_correctness import table_fingerprint  # noqa: E402  (sibling)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sample_n = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    # the driver's shape: plain session, no engine confs
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("driver_sim")
+        .getOrCreate()
+    )
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = list(entry_mod.queries().items())[:sample_n]
+    oracles = entry_mod.oracle_sql()
+    failures = []
+    for name, fn in qs:
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = [tuple(r) for r in sdf.collect()]
+            scols = sdf.columns
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(srows)}")
+            continue
+        res = con.execute(oracles[name])
+        ocols = [d[0] for d in res.description]
+        orows = res.fetchall()
+        ok = table_fingerprint(scols, srows) == table_fingerprint(
+            ocols, orows
+        )
+        print(("OK  " if ok else "FAIL") + f" {name}")
+        if not ok:
+            failures.append(name)
+    print(
+        f"\ndriver-sim: {len(failures)} failures: {failures}"
+        if failures
+        else "\ndriver-sim: all green"
+    )
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
