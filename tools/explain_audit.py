@@ -146,6 +146,18 @@ def main() -> int:
             problems.append("semi join not planned as LeftSemi")
         if name == "q_dedup_apply" and "Window" in plan:
             problems.append("dedup-apply planned as window, not agg+join")
+        if name in ("q_neardup_verified", "q_neardup_edit"):
+            # verify passes must prune the corpus to candidate
+            # participants BEFORE per-document work: a broadcast
+            # LeftSemi join must appear in the plan (round-5 scale fix —
+            # exact-verify cost proportional to |candidates|, not
+            # |corpus|)
+            if "LeftSemi" not in plan:
+                problems.append("verify pass lost the participant prune")
+        if name == "q_neardup_edit" and "Some(100)" not in plan:
+            # declared least(dist, 100) must use Spark's early-exit
+            # thresholded levenshtein form, not the unbounded DP
+            problems.append("edit distance not thresholded in plan")
         if name == "q_tfidf" and "TakeOrderedAndProject" not in plan:
             problems.append("tf-idf top-k not TakeOrderedAndProject")
         if name == "q_inverted_index" and (
