@@ -786,8 +786,16 @@ def neardup_verified_pairs(
             minhash_candidate_pairs(docs, text_col, id_col)
         )
     cand = pairs.select("doc_a", "doc_b")
-    pruned = _prune_to_participants(docs, cand, id_col)
-    grams = rebalance_for_cpu(pruned, id_col).select(
+    # rebalance BEFORE the prune: rebalance_for_cpu probes the input's
+    # partition count via .rdd, and on a join plan that probe eagerly
+    # executes the candidate/broadcast stages at query-BUILD time under
+    # AQE (observed: 3 jobs fired before any action); on the bare scan
+    # it plans nothing. The semi-join then runs map-side on the
+    # fanned-out partitions, so the pruned rows stay spread.
+    pruned = _prune_to_participants(
+        rebalance_for_cpu(docs, id_col), cand, id_col
+    )
+    grams = pruned.select(
         F.col(id_col).alias("_gdoc"), word_bigrams(text_col).alias("_grams")
     )
     a = grams.select(

@@ -73,21 +73,16 @@ _SAMPLE_FIRST = [
 
 _MERGED = {**_REF_QUERIES, **EXTENSION_QUERIES}
 _MERGED_SQL = {**_REF_SQL, **EXTENSION_ORACLE_SQL}
-assert set(_SAMPLE_FIRST) <= set(_MERGED), sorted(
-    set(_SAMPLE_FIRST) - set(_MERGED)
-)
+_SF = set(_SAMPLE_FIRST)
+assert _SF <= set(_MERGED), sorted(_SF - set(_MERGED))
 
 REFERENCE_QUERIES = {
     **{name: _MERGED[name] for name in _SAMPLE_FIRST},
-    **{n: q for n, q in _MERGED.items() if n not in set(_SAMPLE_FIRST)},
+    **{n: q for n, q in _MERGED.items() if n not in _SF},
 }
 REFERENCE_ORACLE_SQL = {
     **{n: _MERGED_SQL[n] for n in _SAMPLE_FIRST if n in _MERGED_SQL},
-    **{
-        n: q
-        for n, q in _MERGED_SQL.items()
-        if n not in set(_SAMPLE_FIRST)
-    },
+    **{n: q for n, q in _MERGED_SQL.items() if n not in _SF},
 }
 
 assert len(REFERENCE_QUERIES) == len(_REF_QUERIES) + len(EXTENSION_QUERIES)

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from financial_big_data_exp_4_spark.functions.core import det_hash_mod_sql
 from financial_big_data_exp_4_spark.operators.dedup import (
+    EDIT_DISTANCE_CAP,
     MINHASH_BANDS,
     MINHASH_COEFFS,
     MINHASH_P,
@@ -1180,14 +1181,15 @@ from financial_big_data_exp_4_spark.operators.dedup import (  # noqa: E402
 )
 
 # Same candidate front end, capped character edit distance as the verify
-# metric (integer → hash-exact on any engine). The cap (100, matching
-# operators.dedup.EDIT_DISTANCE_CAP) is part of the declared semantics:
+# metric (integer → hash-exact on any engine). The cap
+# (operators.dedup.EDIT_DISTANCE_CAP) is part of the declared semantics:
 # it lets the engine use Spark's early-exit levenshtein(l, r, threshold)
 # form — O(len × cap) per pair instead of O(len²).
 EXTENSION_ORACLE_SQL["q_neardup_edit"] = f"""
     WITH cand AS ({Q_NEARDUP_MINHASH})
     SELECT c.doc_a, c.doc_b,
-           CAST(least(levenshtein(da.text, db.text), 100) AS BIGINT)
+           CAST(least(levenshtein(da.text, db.text),
+                      {EDIT_DISTANCE_CAP}) AS BIGINT)
                AS edit_dist
     FROM cand c
     JOIN documents da ON c.doc_a = da.doc_id

@@ -16,6 +16,21 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+#: Every fixture table the oracles may reference — single source of truth
+#: shared by check_correctness, driver_sim, and type_audit.
+BASE_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def register_views(con, sf_dir: str) -> None:
+    """Register each fixture parquet as a DuckDB view named after it."""
+    for t in BASE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
 
 def canon(v):
     if v is None:
@@ -46,6 +61,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import duckdb
+    import pyarrow as pa
 
     import __spark_entry__ as entry_mod
     from financial_big_data_exp_4_spark.session import get_spark
@@ -55,13 +71,7 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
 
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    register_views(con, sf_dir)
 
     failures = []
     for name, fn in qs.items():
@@ -80,8 +90,6 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
             continue
         try:
-            import pyarrow as pa
-
             tbl = con.execute(oracles[name]).arrow()
             ocols = tbl.column_names
             cols_py = [c.to_pylist() for c in tbl.columns]

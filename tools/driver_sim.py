@@ -16,7 +16,10 @@ import sys
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tools")
 
-from check_correctness import table_fingerprint  # noqa: E402  (sibling)
+from check_correctness import (  # noqa: E402  (sibling tool module)
+    register_views,
+    table_fingerprint,
+)
 
 
 def main() -> int:
@@ -38,13 +41,7 @@ def main() -> int:
     import __spark_entry__ as entry_mod
 
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    register_views(con, sf_dir)
 
     qs = list(entry_mod.queries().items())[:sample_n]
     oracles = entry_mod.oracle_sql()
@@ -61,9 +58,14 @@ def main() -> int:
         if name not in oracles:
             print(f"ROWS-ONLY {name}: {len(srows)}")
             continue
-        res = con.execute(oracles[name])
-        ocols = [d[0] for d in res.description]
-        orows = res.fetchall()
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {e}")
+            failures.append(name)
+            continue
         ok = table_fingerprint(scols, srows) == table_fingerprint(
             ocols, orows
         )

@@ -154,10 +154,15 @@ def main() -> int:
             # |corpus|)
             if "LeftSemi" not in plan:
                 problems.append("verify pass lost the participant prune")
-        if name == "q_neardup_edit" and "Some(100)" not in plan:
-            # declared least(dist, 100) must use Spark's early-exit
+        if name == "q_neardup_edit":
+            from financial_big_data_exp_4_spark.operators.dedup import (
+                EDIT_DISTANCE_CAP,
+            )
+
+            # declared least(dist, cap) must use Spark's early-exit
             # thresholded levenshtein form, not the unbounded DP
-            problems.append("edit distance not thresholded in plan")
+            if f"Some({EDIT_DISTANCE_CAP})" not in plan:
+                problems.append("edit distance not thresholded in plan")
         if name == "q_tfidf" and "TakeOrderedAndProject" not in plan:
             problems.append("tf-idf top-k not TakeOrderedAndProject")
         if name == "q_inverted_index" and (

@@ -27,6 +27,20 @@ sys.path.insert(0, "/root/repo")
 
 def family(t: str) -> str:
     t = t.lower()
+    # container kinds first: "array<bigint>" must NOT classify as "int"
+    # (a list-vs-scalar mismatch is exactly what this tool exists to
+    # catch). Spark spells arrays "array<...>"; Arrow spells them
+    # "list<item: ...>" / "large_list<...>"; both sides keep the element
+    # family so array<bigint> vs list<item: double> still differs.
+    for kind, spark_prefix, arrow_prefixes in (
+        ("array", "array<", ("list<", "large_list<", "fixed_size_list")),
+        ("map", "map<", ("map<",)),
+        ("struct", "struct<", ("struct<",)),
+    ):
+        if t.startswith(spark_prefix) or t.startswith(arrow_prefixes):
+            inner = t.split("<", 1)[1].rsplit(">", 1)[0]
+            inner = inner.split(":", 1)[-1].strip()  # arrow "item: type"
+            return f"{kind}<{family(inner)}>"
     if "decimal" in t or "hugeint" in t:
         return "DECIMAL"
     if any(k in t for k in ("int", "long", "short", "byte")):
@@ -47,18 +61,15 @@ def main() -> int:
 
     import duckdb
 
+    sys.path.insert(0, "/root/repo/tools")
+    from check_correctness import register_views
+
     import __spark_entry__ as entry_mod
     from financial_big_data_exp_4_spark.session import get_spark
 
     spark = get_spark("type_audit")
     con = duckdb.connect()
-    for t in (
-        "region nation customer supplier part orders lineitem events "
-        "documents embeddings"
-    ).split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    register_views(con, sf_dir)
 
     failures = []
     oracles = entry_mod.oracle_sql()
@@ -80,12 +91,14 @@ def main() -> int:
             failures.append((name, f"oracle schema error: {e}"))
             continue
         otypes = {f.name: str(f.type) for f in tbl.schema}
+        for col in otypes.keys() - sdtypes.keys():
+            failures.append((name, f"oracle-only column {col}"))
         for col, st in sdtypes.items():
             if col not in otypes:
                 failures.append((name, f"column {col} missing in oracle"))
                 continue
             sf_, of_ = family(st), family(otypes[col])
-            if sf_ != of_ or "DECIMAL" in (sf_, of_):
+            if sf_ != of_ or "DECIMAL" in sf_ or "DECIMAL" in of_:
                 failures.append(
                     (name, f"{col}: spark {st} vs oracle {otypes[col]}")
                 )
