@@ -103,6 +103,13 @@ def rebalance_for_cpu(df, key: str, target: int | None = None):
     the plan stays shuffle-free. The explicit partition count keeps AQE
     from coalescing the deliberately tiny shuffle back down to one
     partition.
+
+    CALLER CONSTRAINT: pass a BARE SCAN (or near-scan projection), never
+    a join/aggregate plan — the partition probe goes through ``df.rdd``,
+    and materializing an RDD from a plan with exchanges EXECUTES those
+    stages eagerly at build time under AQE (observed: 3 jobs fired
+    before any action when a broadcast-semi-join plan was probed).
+    Rebalance the scan first, then build the joins on top.
     """
     from pyspark.sql import functions as F
 

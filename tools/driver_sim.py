@@ -29,14 +29,21 @@ def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
-    # the driver's shape: plain session, no engine confs
-    spark = (
+    # the driver's shape: plain session, no engine confs. Shuffle
+    # partitions default to Spark's own 200 unless DRIVER_SIM_SHUFFLE is
+    # set — results must be partition-count-invariant, so exercising a
+    # different count than the local gate's 32 is part of the point.
+    import os
+
+    shuffle = os.environ.get("DRIVER_SIM_SHUFFLE")
+    builder = (
         SparkSession.builder.master("local[8]")
-        .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .appName("driver_sim")
-        .getOrCreate()
     )
+    if shuffle:
+        builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+    spark = builder.getOrCreate()
 
     import __spark_entry__ as entry_mod
 
