@@ -281,18 +281,23 @@ def snapshot_diff(
     (diff_class, n_keys), classes that occur only.
     """
     # explicit presence markers: payload columns may be legitimately NULL,
-    # and the USING-join coalesces the key, so neither can test presence
+    # and the join coalesces/duplicates the key, so neither can test
+    # presence. The key comparison itself is eqNullSafe: a plain equi-join
+    # never matches NULL keys, so a NULL-key row identical in both
+    # snapshots would misreport as one added plus one removed.
     o = old.select(
-        key,
+        F.col(key).alias("_o_key"),
         F.lit(1).alias("_o_present"),
         *[F.col(c).alias(f"_o_{c}") for c in cols],
     )
     n = new.select(
-        key,
+        F.col(key).alias("_n_key"),
         F.lit(1).alias("_n_present"),
         *[F.col(c).alias(f"_n_{c}") for c in cols],
     )
-    joined = o.join(n, key, "full_outer")
+    joined = o.join(
+        n, F.col("_o_key").eqNullSafe(F.col("_n_key")), "full_outer"
+    )
     same = F.lit(True)
     for c in cols:
         same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
@@ -330,7 +335,10 @@ def standard_scale(
     """
     v = F.col(value)
     x = v.cast("decimal(12,2)")
-    n = F.count(F.lit(1)).cast("double")
+    # count the VALUE column, not rows: sum() skips NULLs, so dividing by
+    # count(*) would bias both moments on NULL-bearing input (every
+    # z-score in the group shifts and mis-scales)
+    n = F.count(x).cast("double")
     sx = F.sum(x).cast("double")
     sxx = F.sum(x * x).cast("double")
     # greatest(·, 0): for a constant group the double combination
@@ -378,12 +386,18 @@ def winsorize(
         F.percentile(v, lo).alias("_lo"),
         F.percentile(v, hi).alias("_hi"),
     )
+    # NULL guard: least/greatest SKIP NULL arguments, so an unguarded
+    # clip would fabricate the lower bound for a NULL value — invented
+    # data, not clipping. NULL in → NULL out, was_clipped false.
+    clipped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    )
     return df.join(F.broadcast(bounds), group).select(
         *df.columns,
         F.col("_lo").alias("lo_bound"),
         F.col("_hi").alias("hi_bound"),
-        F.least(F.greatest(v, F.col("_lo")), F.col("_hi")).alias(
-            f"{value}_clipped"
-        ),
-        ((v < F.col("_lo")) | (v > F.col("_hi"))).alias("was_clipped"),
+        clipped.alias(f"{value}_clipped"),
+        F.coalesce(
+            (v < F.col("_lo")) | (v > F.col("_hi")), F.lit(False)
+        ).alias("was_clipped"),
     )

@@ -518,8 +518,9 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained as a bounded stream — the stateful-operator sibling of
     q_stream_tumbling.
 
-    Event times are second-truncated before windowing so the oracle can
-    mirror the gap semantics exactly. ``session_window`` merges an event
+    Event times are second-truncated before windowing (inside
+    ``streaming_session_counts``, its default) so the oracle can mirror
+    the gap semantics exactly. ``session_window`` merges an event
     arriving exactly ``gap`` after the previous one (inclusive "within
     the gap duration" — verified empirically against an exact-1800s pair
     at sf0.1), so a NEW session starts iff ``t - last_t > gap``: the
@@ -530,11 +531,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_session_counts,
     )
 
-    # Truncate the loader's µs event time to whole seconds (works for both
-    # physical ts encodings — the raw column is not referenced here).
-    stream = read_events_stream(spark, sf_dir).withColumn(
-        "ts_utc", F.expr("timestamp_seconds(unix_micros(ts_utc) DIV 1000000)")
-    )
+    stream = read_events_stream(spark, sf_dir)
     return _drain_stream(
         spark, streaming_session_counts(stream), "stream_sessions"
     ).select(

@@ -17,18 +17,38 @@ late data beyond the watermark is dropped deterministically.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from financial_big_data_exp_4_spark.session import ensure_session_confs
 
-NS_PER_SEC = 1_000_000_000
+
+@contextmanager
+def _drain_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily size the stateful-shuffle (= state store) partition
+    count for a bounded drain, restoring the session conf after. One
+    place, not three: every drain helper shares the same save/set/restore
+    discipline (``None`` = leave the session value alone)."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    if n is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events parquet with a proper event-time
-    column (µs timestamp derived from the bigint-ns physical value with
-    integer-exact arithmetic, same as the batch loader)."""
+    column. The fixture's ``ts`` has shipped under BOTH physical
+    encodings across generations — INT64 TIMESTAMP(NANOS), which the
+    retrofitted ``nanosAsLong`` conf surfaces as bigint, and
+    TIMESTAMP(MICROS), which reads as a native timestamp — so both
+    branches below are live depending on the fixture generation; neither
+    is a dead "future" path. Either way ``ts_utc`` lands at µs
+    precision via integer-exact arithmetic, same as the batch loader."""
     ensure_session_confs(spark)
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # FileStreamSource requires a *directory* basePath; stream the scale
@@ -41,8 +61,10 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     if dict(static.dtypes)["ts"] == "bigint":
+        # nanos-encoded generations (read as raw ns since epoch)
         ts_utc = F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-    else:  # pragma: no cover - future readers with native nanos
+    else:
+        # micros-encoded generations (native timestamp/timestamp_ntz)
         ts_utc = F.col("ts").cast("timestamp")
     return stream.withColumn("ts_utc", ts_utc)
 
@@ -67,14 +89,32 @@ def streaming_tumbling_counts(
 
 
 def streaming_session_counts(
-    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    second_truncate: bool = True,
 ) -> DataFrame:
     """Per-user session event counts via Spark's native ``session_window``
     (stateful gap-merge; sessions close when the watermark passes
-    last-event + gap). Streaming twin of ``operators.events.sessionize``."""
+    last-event + gap). Streaming twin of ``operators.events.sessionize``.
+
+    ``second_truncate`` (default on) floors event times to whole seconds
+    BEFORE windowing — the batch sessionizer compares second-truncated
+    times, and ``session_window`` on raw µs timestamps disagrees with it
+    for gaps within 1s of the boundary (a true gap of 1800.8s truncates
+    to exactly 1800 → batch merges, µs windowing splits). On integer
+    seconds the two agree everywhere including the exact-gap boundary
+    (``session_window`` merges an event arriving exactly ``gap`` after
+    the previous one — inclusive, verified empirically — matching the
+    batch ``> gap`` new-session test). Pass ``False`` only for
+    pure-streaming sessions that never need batch parity."""
+    ts = F.col("ts_utc")
+    if second_truncate:
+        ts = F.expr("timestamp_seconds(unix_micros(ts_utc) DIV 1000000)")
     return (
-        events.withWatermark("ts_utc", watermark)
-        .groupBy(F.session_window("ts_utc", gap), "user_id")
+        events.withColumn("_session_ts", ts)
+        .withWatermark("_session_ts", watermark)
+        .groupBy(F.session_window("_session_ts", gap), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
@@ -128,10 +168,7 @@ def run_stream_to_memory(
     4 → 0.81s, 2 → 0.80s — per-partition store-commit overhead, so the
     default sits at the knee.)"""
     spark = df.sparkSession
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    if drain_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
-    try:
+    with _drain_shuffle_partitions(spark, drain_partitions):
         q = (
             df.writeStream.format("memory")
             .queryName(query_name)
@@ -141,8 +178,6 @@ def run_stream_to_memory(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def run_stream_foreach_batch(
@@ -169,16 +204,13 @@ def run_stream_foreach_batch(
     :func:`run_stream_to_memory`.
     """
     spark = df.sparkSession
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    if drain_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
 
     def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(
             f"{out_dir}/batch_id={batch_id}"
         )
 
-    try:
+    with _drain_shuffle_partitions(spark, drain_partitions):
         q = (
             df.writeStream.foreachBatch(_write_batch)
             .outputMode("append")
@@ -187,8 +219,6 @@ def run_stream_foreach_batch(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def seed_snapshot(base: DataFrame, out_dir: str) -> None:
@@ -283,9 +313,6 @@ def run_stream_merge(
     )
 
     spark = changes.sparkSession
-    saved = spark.conf.get("spark.sql.shuffle.partitions")
-    if drain_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(drain_partitions))
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         current = spark.read.parquet(f"{out_dir}/v={batch_id}")
@@ -296,7 +323,7 @@ def run_stream_merge(
             f"{out_dir}/v={batch_id + 1}"
         )
 
-    try:
+    with _drain_shuffle_partitions(spark, drain_partitions):
         q = (
             changes.writeStream.foreachBatch(_apply)
             .outputMode("append")
@@ -305,8 +332,6 @@ def run_stream_merge(
             .start()
         )
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
 def streaming_error_purchase_join(

@@ -131,6 +131,46 @@ def test_streaming_sessions_match_batch_session_count(spark, sf_dir):
     assert stream_sessions == batch_sessions
 
 
+def test_streaming_sessions_second_truncation_at_gap_boundary(
+    spark, tmp_path
+):
+    """A true gap of 1800.8s truncates to exactly 1800s: the batch
+    sessionizer (second-truncated, new session iff gap > 1800) MERGES
+    the pair, and the streaming twin must agree — its default second
+    truncation exists precisely for this boundary. On raw µs times
+    (second_truncate=False) session_window splits the pair, which is the
+    documented batch-parity divergence."""
+    import datetime as dt
+
+    from financial_big_data_exp_4_spark.streaming import (
+        run_stream_to_memory,
+        streaming_session_counts,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, base + dt.timedelta(seconds=0.1)),
+        (1, base + dt.timedelta(seconds=1800.9)),
+    ]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "user_id long, ts_utc timestamp").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def drain(table, **kw):
+        stream = streaming_session_counts(
+            spark.readStream.schema(schema).parquet(src), **kw
+        )
+        with tempfile.TemporaryDirectory() as ckpt:
+            run_stream_to_memory(stream, table, ckpt)
+        return spark.table(table).collect()
+
+    truncated = drain("sess_boundary_trunc")
+    assert [r["n_events"] for r in truncated] == [2]  # merged, = batch
+
+    raw = drain("sess_boundary_raw", second_truncate=False)
+    assert sorted(r["n_events"] for r in raw) == [1, 1]  # µs split
+
+
 def test_json_extract_values(spark):
     from financial_big_data_exp_4_spark.operators import json_extract_stats
 

@@ -16,6 +16,8 @@ from financial_big_data_exp_4_spark.operators.relational import (
     hash_sample,
     merge_changes,
     scd2_intervals,
+    snapshot_diff,
+    standard_scale,
     winsorize,
 )
 from financial_big_data_exp_4_spark.operators.similarity import (
@@ -151,6 +153,44 @@ def test_winsorize_clips_and_flags(spark):
         assert r["v_clipped"] == min(max(r["v"], lo), hi)
         assert r["was_clipped"] == (r["v"] < lo or r["v"] > hi)
     assert sum(r["was_clipped"] for r in out) == 10
+
+
+def test_winsorize_null_value_stays_null(spark):
+    """Spark's least/greatest SKIP NULL arguments, so an unguarded clip
+    fabricates the lower bound for a NULL value — NULL must stay NULL
+    with was_clipped False (missing data is not an outlier)."""
+    rows = [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["v"]: r for r in winsorize(df, "g", "v", 0.25, 0.75).collect()}
+    assert out[None]["v_clipped"] is None
+    assert out[None]["was_clipped"] is False
+    assert out[1.0]["v_clipped"] == out[1.0]["lo_bound"]  # real clip intact
+
+
+def test_standard_scale_ignores_null_values_in_moments(spark):
+    """sum() skips NULLs, so n must be count(value) not count(*): with a
+    NULL in the group the non-null moments are mean=2.0, pop-std over
+    [1,2,3] — a row-count denominator would bias both."""
+    import math
+
+    rows = [("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {r["v"]: r for r in standard_scale(df, "g", "v").collect()}
+    assert out[1.0]["group_mean"] == pytest.approx(2.0)
+    assert out[1.0]["group_std"] == pytest.approx(math.sqrt(2.0 / 3.0))
+    assert out[None]["v_scaled"] is None
+
+
+def test_snapshot_diff_null_key_is_matched_null_safe(spark):
+    """A NULL-key row identical in both snapshots is unchanged — a plain
+    equi-join would misreport it as one added plus one removed."""
+    old = spark.createDataFrame([(None, 7.0), (1, 1.0)], "k long, v double")
+    new = spark.createDataFrame([(None, 7.0), (1, 2.0)], "k long, v double")
+    got = {
+        r["diff_class"]: r["n_keys"]
+        for r in snapshot_diff(old, new, key="k", cols=("v",)).collect()
+    }
+    assert got == {"unchanged": 1, "changed": 1}
 
 
 def test_chunk_documents_covers_text_with_overlap(spark, sf_dir):
