@@ -199,6 +199,21 @@ def det_hash_mod_sql(key_sql: str, buckets: int) -> str:
     )
 
 
+def floor_div_sql(col_sql: str, divisor: int) -> str:
+    """Integer FLOOR division (toward −∞) as a Spark-SQL expression.
+
+    Spark's ``DIV`` truncates toward ZERO, so a pre-epoch (negative)
+    timestamp would land in a double-width bucket straddling zero — an
+    event at −0.5 h bucketed as hour 0 — while DuckDB's ``//`` floors;
+    every time-bucketing site must floor on both engines or the
+    differential gate breaks on pre-epoch data. ``a − pmod(a, d)`` is
+    exactly divisible by ``d`` and equals ``floor(a/d)·d``, and the
+    arithmetic stays in BIGINT (no double round-trip — exactness at
+    ~1.7e18 ns magnitudes requires integer ops).
+    """
+    return f"((({col_sql}) - pmod(({col_sql}), {divisor})) DIV {divisor})"
+
+
 def train_test_split_col(key: Column | str, train_pct: int = 80) -> Column:
     """Deterministic 'train'/'test' tag from an integer key (task-4 M5
     ``randomSplit([0.8, 0.2])`` re-expressed partition-invariantly)."""

@@ -59,11 +59,16 @@ def asof_join(
     pl_struct = StructType(
         [StructField("v", right.schema[payload].dataType)]
     )
+    # the tiebreak rides in its NATIVE type — any orderable column works
+    # (string uuid, timestamp, bigint). A cast("long") here would crash
+    # under ANSI mode for non-numeric tiebreaks, and silently NULL them
+    # (destroying the documented tie determinism) under non-ANSI. The
+    # probe side's NULL literal takes the same type so the union lines up.
     probes = left.select(
         F.col(key).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_tag"),
-        F.lit(None).cast("long").alias("_tb"),
+        F.lit(None).cast(right.schema[tiebreak].dataType).alias("_tb"),
         F.lit(None).cast(pl_struct).alias("_pl"),
         *[F.col(c) for c in lcols],
     )
@@ -71,7 +76,7 @@ def asof_join(
         F.col(key).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_tag"),
-        F.col(tiebreak).cast("long").alias("_tb"),
+        F.col(tiebreak).alias("_tb"),
         F.struct(F.col(payload).alias("v")).alias("_pl"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
     )

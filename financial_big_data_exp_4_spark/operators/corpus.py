@@ -108,11 +108,16 @@ def quality_filter(
     filter output back to the table — one pass, no shuffle on doc_id.
     """
     t = F.col(text_col)
+    # NULL text tokenizes to the EMPTY array, not NULL: unguarded, every
+    # feature and the composite keep would come out NULL, and a NULL keep
+    # passes silently through both where(keep) and where(~keep) — the
+    # junk row vanishes from the audit trail. Empty-token docs fail the
+    # word-count rule, so NULL text is an explicit, auditable reject.
     base = docs.select(
         *keep_cols,
         F.col(id_col).alias("doc_id"),
         t.alias("_t"),
-        tokenize(t).alias("_toks"),
+        tokenize(F.coalesce(t, F.lit(""))).alias("_toks"),
         F.length(F.regexp_replace(F.lower(t), "[^a-z0-9]", "")).alias(
             "_tok_chars"
         ),
@@ -164,12 +169,21 @@ def repetition_stats(
     """
     t = F.col(text_col)
     # materialize the token array once (SPARK-36718: an inlined alias
-    # would re-run the tokenize regex per downstream reference)
-    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+    # would re-run the tokenize regex per downstream reference), and
+    # persist it: the word-stats branch and the exploded-bigram branch
+    # both read base, and Spark shares no scans between join branches —
+    # unpersisted, the docs scan + rebalance shuffle + tokenize regex all
+    # run twice per invocation (same hazard bm25_scores documents)
+    from financial_big_data_exp_4_spark.session import (
+        persist_scoped,
+        rebalance_for_cpu,
+    )
 
-    base = rebalance_for_cpu(docs, id_col).select(
-        F.col(id_col).alias("doc_id"), tokenize(t).alias("_toks")
-    ).withColumn("_n", F.size(F.col("_toks")))
+    base = persist_scoped(
+        rebalance_for_cpu(docs, id_col)
+        .select(F.col(id_col).alias("doc_id"), tokenize(t).alias("_toks"))
+        .withColumn("_n", F.size(F.col("_toks")))
+    )
     # word stats (map-only)
     n = F.col("_n")
     nd = F.size(F.array_distinct(F.col("_toks")))
@@ -300,10 +314,10 @@ def pack_sequences(
     token falls in. Output: one row per (chunk, bin) with doc and token
     counts.
     """
+    from financial_big_data_exp_4_spark.operators.text import BPE_TOKEN_RE
+
     t = F.col(text_col)
-    n_tok = F.size(
-        F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
-    )
+    n_tok = F.size(F.regexp_extract_all(F.lower(t), F.lit(BPE_TOKEN_RE), 0))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.expr(f"{id_col} DIV {chunk}").alias("chunk"),

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from financial_big_data_exp_4_spark.functions.core import floor_div_sql
+
 NS_PER_SEC = 1_000_000_000
 SESSION_GAP_SEC = 30 * 60
 
@@ -36,11 +38,13 @@ def tumbling_counts(events: DataFrame, width_sec: int = 3600) -> DataFrame:
     """Events per (tumbling window, event_type); window key = epoch seconds
     of the window start.
 
-    All time math is integer ``DIV`` — a double round-trip on ~1.7e18 ns
-    values would round (doubles are exact only to 2^53) and could misplace
-    events at window boundaries."""
+    All time math is integer FLOOR division (``floor_div_sql`` — Spark's
+    bare ``DIV`` truncates toward zero, putting pre-epoch events in a
+    double-width bucket at zero while the DuckDB oracle's ``//`` floors);
+    a double round-trip on ~1.7e18 ns values would round (doubles are
+    exact only to 2^53) and could misplace events at window boundaries."""
     win = (
-        F.expr(f"ts DIV {NS_PER_SEC * width_sec}") * width_sec
+        F.expr(floor_div_sql("ts", NS_PER_SEC * width_sec)) * width_sec
     ).cast("long")
     return (
         events.select(win.alias("window_start_s"), "event_type")
@@ -62,7 +66,7 @@ def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     base = events.select(
         "user_id",
         "event_id",
-        F.expr(f"ts DIV {NS_PER_SEC}").alias("ts_s"),  # integer-exact
+        F.expr(floor_div_sql("ts", NS_PER_SEC)).alias("ts_s"),  # floor-exact
     )
     w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
     prev = F.lag("ts_s").over(w)
@@ -103,7 +107,7 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
     At 100 TB the grid is still only types × hours rows; everything after
     the first aggregate is dimension-sized.
     """
-    hour = F.expr(f"ts DIV {NS_PER_SEC * 3600}").cast("long")
+    hour = F.expr(floor_div_sql("ts", NS_PER_SEC * 3600)).cast("long")
     counts = (
         events.select(F.col("event_type"), hour.alias("hour_bucket"))
         .groupBy("event_type", "hour_bucket")
@@ -132,8 +136,13 @@ def json_extract_stats(events: DataFrame) -> DataFrame:
     extracted value per event_type — the semi-structured-column pattern.
     ``get_json_object`` is a native JVM expression (Jackson), pushdown- and
     codegen-friendly; exact integer SUM keeps the result engine-portable.
+    ``try_cast``, not ``cast``: semi-structured data WILL contain
+    non-integer values eventually, and under Spark 4's default ANSI mode
+    a plain cast would abort the whole aggregation on the first one —
+    try_cast yields NULL, which the null-skipping sum/min/max absorb
+    (DuckDB's TRY_CAST is the oracle mirror).
     """
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long")
     return (
         events.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -160,7 +169,7 @@ def funnel_counts(
     First-touch timestamps are compared in exact integer µs. Output:
     (stage_idx, stage, n_users), stage_idx 1..k.
     """
-    ts_us = F.expr("ts DIV 1000").alias("ts_us")
+    ts_us = F.expr(floor_div_sql("ts", 1000)).alias("ts_us")
     per_user = (
         events.select("user_id", "event_type", ts_us)
         .groupBy("user_id")
@@ -216,7 +225,9 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     (days²/2) — dimension-sized. Day arithmetic is exact integer ns→day
     division. Output: (cohort_day, day_offset, n_users).
     """
-    day = F.expr("ts DIV 86400000000000").cast("long")  # ns → day
+    day = F.expr(floor_div_sql("ts", 86_400_000_000_000)).cast(
+        "long"
+    )  # ns → day, floored
     per_user = events.select("user_id", day.alias("day")).groupBy(
         "user_id"
     ).agg(F.collect_set("day").alias("_days"))
@@ -241,15 +252,27 @@ def event_transitions(events: DataFrame) -> DataFrame:
     One shuffle on user_id feeds the lag window; the transition pairs
     then partial-aggregate into a bounded key space (|types|²), so the
     second exchange is dimension-sized. The per-user order is
-    (ts, event_id) — total, so transitions are deterministic. First
-    events (no predecessor) are excluded. Output:
+    (µs-floored ts, event_id) — total, so transitions are deterministic,
+    and µs-truncated like every other ordered operator here: the oracle
+    reads µs-precision timestamps, so ordering by raw ns would diverge
+    on a NANOS-encoded fixture whenever two events share a µs but differ
+    in sub-µs ns (the event_id tiebreak then decides on both engines).
+    First events (no predecessor) are excluded. Output:
     (prev_type, event_type, n_transitions).
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tagged = events.select(
+    # two-step select: a window cannot reference a lateral alias from
+    # the same projection (UNSUPPORTED_FEATURE.LATERAL_COLUMN_ALIAS)
+    base = events.select(
         "user_id",
         "event_id",
-        "ts",
+        "event_type",
+        F.expr(floor_div_sql("ts", 1000)).alias("_ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("_ts_us", "event_id")
+    tagged = base.select(
+        "user_id",
+        "event_id",
+        "_ts_us",
         "event_type",
         F.lag("event_type").over(w).alias("prev_type"),
     )
@@ -279,7 +302,7 @@ def moving_value_avg(events: DataFrame, n: int = 3) -> DataFrame:
     base = events.select(
         "event_id",
         "user_id",
-        F.expr("ts DIV 1000").alias("ts_us"),
+        F.expr(floor_div_sql("ts", 1000)).alias("ts_us"),
         F.col("value").cast("decimal(18,6)").alias("_v"),
     )
     msum = F.sum("_v").over(w)

@@ -39,6 +39,12 @@ QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in", "is",
 FINGERPRINT_K = 8  # char-shingle width for the rolling fingerprint
 FINGERPRINT_STRIDE = 2  # shingle sampling stride (matches SHINGLE_STRIDE)
 
+#: The BPE-ish tokenizer regex (word runs + single punctuation) — the ONE
+#: definition shared by :func:`token_counts`, ``corpus.pack_sequences``,
+#: and the generated oracle SQL; a local literal copy in any of them
+#: would let the token counts drift apart silently.
+BPE_TOKEN_RE = r"[a-z0-9]+|[^a-z0-9\s]"
+
 
 def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace tokens vs BPE-ish tokens (word runs + single punctuation).
@@ -48,9 +54,7 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     """
     t = F.col(text_col)
     ws = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
-    bpe = F.size(
-        F.regexp_extract_all(F.lower(t), F.lit(r"[a-z0-9]+|[^a-z0-9\s]"), 0)
-    )
+    bpe = F.size(F.regexp_extract_all(F.lower(t), F.lit(BPE_TOKEN_RE), 0))
     return docs.select(
         F.col(id_col).alias("doc_id"),
         ws.cast("long").alias("ws_tokens"),
@@ -236,13 +240,18 @@ def scrub_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     scan speed; the standard compliance pass before any corpus leaves the
     ingestion boundary. Emits the scrubbed text plus per-kind match counts
     (the audit trail a compliance pipeline must keep).
+
+    Counts mirror the SEQUENTIAL replacement: phones are counted on the
+    email-redacted text, because a phone-shaped substring inside an email
+    address is consumed by the email pass and never produces a [PHONE]
+    token — counting it from the original text would claim a redaction
+    that did not happen. Oracle in lockstep.
     """
     t = F.col(text_col)
+    after_email = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
     n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))
-    n_phone = F.size(F.regexp_extract_all(t, F.lit(PII_PHONE), 0))
-    clean = F.regexp_replace(
-        F.regexp_replace(t, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
-    )
+    n_phone = F.size(F.regexp_extract_all(after_email, F.lit(PII_PHONE), 0))
+    clean = F.regexp_replace(after_email, PII_PHONE, "[PHONE]")
     return docs.select(
         F.col(id_col).alias("doc_id"),
         clean.alias("clean_text"),

@@ -60,6 +60,7 @@ from financial_big_data_exp_4_spark.operators.similarity import (  # noqa: E402
     _LSH_KNUTH,
 )
 from financial_big_data_exp_4_spark.operators.text import (
+    BPE_TOKEN_RE,
     FINGERPRINT_K,
     FINGERPRINT_STRIDE,
     LANG_PROFILES,
@@ -345,11 +346,11 @@ Q_EMBED_NEARDUP = f"""
 
 # -- text -------------------------------------------------------------------
 
-Q_TOKEN_COUNT = r"""
+Q_TOKEN_COUNT = rf"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS ws_tokens,
            CAST(len(regexp_extract_all(lower(text),
-                    '[a-z0-9]+|[^a-z0-9\s]')) AS BIGINT) AS bpe_tokens
+                    '{BPE_TOKEN_RE}')) AS BIGINT) AS bpe_tokens
     FROM documents
 """
 
@@ -481,13 +482,18 @@ Q_SESSIONIZE = """
     GROUP BY user_id, session_idx
 """
 
+# TRY_CAST mirrors the engine's try_cast: a non-integer property value
+# becomes NULL (absorbed by the null-skipping aggregates) instead of
+# aborting the query.
 Q_JSON_EXTRACT = """
     SELECT event_type,
            count(*) AS cnt,
-           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS sum_k,
-           min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-           max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+           min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS min_k,
+           max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS max_k
     FROM events
     GROUP BY event_type
 """
@@ -766,7 +772,9 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_quality_filter": f"""
         WITH f AS (
             SELECT doc_id,
-                   {TOKENIZE} AS toks,
+                   -- NULL text -> empty token list (engine in lockstep):
+                   -- keep must be a real boolean for every row
+                   COALESCE({TOKENIZE}, []) AS toks,
                    CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
                         AS BIGINT) AS tok_chars,
                    CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]'))
@@ -859,7 +867,7 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
             SELECT doc_id,
                    doc_id // {PACK_CHUNK} AS chunk,
                    CAST(len(regexp_extract_all(lower(text),
-                        '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_tok
+                        '{BPE_TOKEN_RE}')) AS BIGINT) AS n_tok
             FROM documents
         ), c AS (
             SELECT chunk, n_tok,
@@ -1028,16 +1036,24 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
             FROM documents GROUP BY md5(text)
         ) k ON md5(d.text) = k.dg AND d.doc_id = k.keep_id
     """,
+    # phone count runs on the EMAIL-REDACTED text (sequential-replacement
+    # audit semantics — engine in lockstep): a phone-shaped substring
+    # inside an email never becomes a [PHONE] token.
     "q_pii_scrub": f"""
+        WITH e AS (
+            SELECT doc_id, text,
+                   regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g')
+                       AS after_email
+            FROM documents
+        )
         SELECT doc_id,
-               regexp_replace(regexp_replace(text,
-                   '{PII_EMAIL}', '[EMAIL]', 'g'),
+               regexp_replace(after_email,
                    '{PII_PHONE}', '[PHONE]', 'g') AS clean_text,
                CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT)
                    AS n_emails,
-               CAST(len(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT)
-                   AS n_phones
-        FROM documents
+               CAST(len(regexp_extract_all(after_email, '{PII_PHONE}'))
+                    AS BIGINT) AS n_phones
+        FROM e
     """,
     # sketch-accuracy proof row (same pattern as q_approx_distinct): the
     # oracle pins the exact median and expects the tolerance flag TRUE.

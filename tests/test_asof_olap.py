@@ -50,6 +50,24 @@ def test_asof_join_tie_takes_latest_by_tiebreak(spark):
     assert out[0]["asof_value"] == 2.0  # max tiebreak wins, deterministic
 
 
+def test_asof_join_string_tiebreak(spark):
+    """The tiebreak rides in its native type: a string uuid must neither
+    crash (ANSI cast) nor silently NULL out (non-ANSI cast-to-long would
+    destroy tie determinism)."""
+    from financial_big_data_exp_4_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 7, 100)], "probe_id long, k long, t long")
+    right = spark.createDataFrame(
+        [("uuid-aa", 7, 100, 1.0), ("uuid-zz", 7, 100, 2.0)],
+        "rid string, k long, t long, v double",
+    )
+    out = asof_join(
+        left, right, key="k", left_ts="t", right_ts="t",
+        payload="v", tiebreak="rid",
+    ).collect()
+    assert out[0]["asof_value"] == 2.0  # max string tiebreak wins
+
+
 def test_rollup_totals_consistent(spark, sf_dir):
     from financial_big_data_exp_4_spark.plans.extensions import q_rollup
 

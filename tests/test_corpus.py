@@ -17,6 +17,7 @@ def test_quality_filter_rules(spark):
             (3, "#$% #$% the cat sat on the mat !!! ###"),  # symbol-heavy
             (4, "quick brown foxes jump over seven lazy dogs"),  # no stopword
             (5, ""),                                    # empty: 0 words
+            (6, None),                                  # NULL text
         ],
         "doc_id long, text string",
     )
@@ -29,6 +30,10 @@ def test_quality_filter_rules(spark):
     assert rows[4]["keep"] is False and rows[4]["has_stopword"] is False
     assert rows[5]["keep"] is False and rows[5]["n_words"] == 0
     assert rows[5]["mean_word_len"] == 0.0  # 0/0 guarded
+    # NULL text must be an explicit, auditable reject — a NULL keep would
+    # pass silently through both where(keep) and where(~keep)
+    assert rows[6]["keep"] is False and rows[6]["n_words"] == 0
+    assert rows[6]["has_stopword"] is False
 
 
 def test_repetition_stats_modal_bigram(spark):
@@ -221,6 +226,22 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert rows[1]["clean_text"] == "no pii here"
     assert rows[1]["n_emails"] == 0 and rows[1]["n_phones"] == 0
     assert rows[2]["clean_text"] == "[EMAIL] [EMAIL] [PHONE]"
+
+
+def test_scrub_pii_phone_inside_email_not_double_counted(spark):
+    """A phone-shaped substring consumed by the email pass never becomes
+    a [PHONE] token, so the audit counts must not claim it: counts follow
+    the sequential replacement, not the original text."""
+    from financial_big_data_exp_4_spark.operators import scrub_pii
+
+    docs = spark.createDataFrame(
+        [(0, "contact 555-123-4567@corp.com please")],
+        "doc_id long, text string",
+    )
+    [r] = scrub_pii(docs).collect()
+    assert r["clean_text"] == "contact [EMAIL] please"
+    assert r["n_emails"] == 1
+    assert r["n_phones"] == 0  # consumed by the email pass — not redacted
 
 
 def test_apply_exact_dedup_keeps_min_id_rows(spark):

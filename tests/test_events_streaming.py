@@ -54,6 +54,37 @@ def test_tumbling_counts_window_edges(spark):
     assert out == {10 * 3600: 3, 11 * 3600: 1}
 
 
+def test_tumbling_counts_pre_epoch_floor_buckets(spark):
+    """Pre-epoch timestamps must FLOOR into the hour before zero: Spark's
+    truncating DIV would collapse (-1h, +1h) into one double-width bucket
+    at 0, while the DuckDB oracle's // floors — an engine-oracle mismatch
+    on any pre-epoch backfill."""
+    from financial_big_data_exp_4_spark.operators import (
+        sessionize,
+        tumbling_counts,
+    )
+
+    h = 3600 * NS
+    rows = [
+        (1, "a", -1),        # last ns of hour -1
+        (2, "a", -h),        # exactly on the -1h boundary
+        (3, "a", -h - 1),    # last ns of hour -2
+        (4, "a", 0),         # epoch itself
+    ]
+    events = spark.createDataFrame(rows, "event_id long, event_type string, ts long")
+    out = {r["window_start_s"]: r["cnt"] for r in tumbling_counts(events).collect()}
+    assert out == {-3600: 2, -7200: 1, 0: 1}
+
+    # sessionize's second truncation floors too: ts=-0.5s is second -1,
+    # so the true ~1800.5s gap to +1800s measures 1801 > gap -> 2 sessions
+    ev2 = spark.createDataFrame(
+        [(1, 1, -NS // 2), (2, 1, 1800 * NS)],
+        "event_id long, user_id long, ts long",
+    )
+    sess = sessionize(ev2).collect()
+    assert len(sess) == 2
+
+
 def test_gap_fill_emits_zero_rows_for_empty_hours(spark):
     """The dense grid must cover every hour in [first, last] per type,
     with absent hours as explicit zeros — per type, not globally."""
@@ -181,6 +212,20 @@ def test_json_extract_values(spark):
     out = {r["event_type"]: r for r in json_extract_stats(events).collect()}
     assert out["a"]["sum_k"] == 12 and out["a"]["min_k"] == 5
     assert out["b"]["max_k"] == -1
+
+
+def test_json_extract_non_integer_value_yields_null_not_crash(spark):
+    """Semi-structured data will contain junk: a non-integer property
+    must become NULL (absorbed by the null-skipping aggregates), not
+    abort the query under Spark 4's default ANSI mode."""
+    from financial_big_data_exp_4_spark.operators import json_extract_stats
+
+    events = spark.createDataFrame(
+        [(1, "a", '{"k": 5}'), (2, "a", '{"k": "junk"}'), (3, "a", None)],
+        "event_id long, event_type string, props string",
+    )
+    [r] = json_extract_stats(events).collect()
+    assert (r["cnt"], r["sum_k"], r["min_k"], r["max_k"]) == (3, 5, 5, 5)
 
 
 def test_session_window_merges_at_exact_gap(spark, tmp_path):
