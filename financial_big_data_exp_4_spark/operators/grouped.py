@@ -42,9 +42,15 @@ def group_median_center(
     handling). Output: the input columns plus ``out_col``.
     """
     clean = df.where(F.col(value).isNotNull())
-    out_schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in clean.schema.fields
-    ) + f", {out_col} double"
+    # build the output schema as a StructType, not DDL string-concat:
+    # a column name needing backquotes ("event ts", a reserved word)
+    # would make hand-assembled DDL a ParseException at plan time.
+    # COPY the schema first — StructType.add mutates in place and
+    # DataFrame.schema is cached on the DataFrame, so adding to it
+    # directly would corrupt `clean`'s own column list.
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(list(clean.schema.fields)).add(out_col, "double")
 
     def center(pdf: pd.DataFrame) -> pd.DataFrame:
         # numpy interpolated median == quantile_cont(0.5): the even-count

@@ -36,6 +36,13 @@ META_SCHEMA = (
     "doc_id long, n_bytes long, img_w long, img_h long, digest string"
 )
 
+#: Fake-decode constants — the ONE definition shared by the vectorized
+#: pandas stage below and the generated oracle SQL; a literal copy in
+#: either would let the engine and oracle drift independently.
+FAKE_W_MOD = 640
+FAKE_H_MULT = 31
+FAKE_H_MOD = 480
+
 
 def decode_image(payload: bytes) -> object:
     """Decode an image payload. STUB — no image codec ships in this
@@ -49,8 +56,24 @@ def decode_image(payload: bytes) -> object:
 
 def _fake_decode_dims(n_bytes: int) -> tuple[int, int]:
     """Deterministic stand-in for decoded image dimensions (documented
-    fake): w = n % 640, h = (n * 31) % 480."""
-    return n_bytes % 640, (n_bytes * 31) % 480
+    fake): w = n % FAKE_W_MOD, h = (n * FAKE_H_MULT) % FAKE_H_MOD."""
+    return n_bytes % FAKE_W_MOD, (n_bytes * FAKE_H_MULT) % FAKE_H_MOD
+
+
+def _payloads(docs: DataFrame) -> DataFrame:
+    """The shared JVM-side projection every multimodal operator starts
+    from: utf-8 binary payload plus codegen'd length and md5. A NULL text
+    yields NULL payload/n_bytes/digest, which the pandas stages must
+    propagate (the oracle's octet_length/md5 propagate NULL)."""
+    return docs.select(
+        "doc_id",
+        F.encode("text", "UTF-8").alias("payload"),
+    ).select(
+        "doc_id",
+        "payload",
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("digest"),
+    )
 
 
 def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -59,16 +82,20 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     ``n_bytes`` and ``digest`` arrive precomputed from the JVM side and
     pass through untouched. The fake decode is vectorized over ``n_bytes``
     (a real decode would iterate ``payload`` through the codec — same
-    batch shape, same output schema).
+    batch shape, same output schema). ``n_bytes`` is re-read as pandas
+    nullable Int64: a NULL payload arrives as NaN in a float64 column,
+    and NaN arithmetic written back to a long column would produce
+    garbage (unsafe Arrow conversion), where Int64's NA round-trips to a
+    proper SQL NULL — matching the oracle's NULL propagation.
     """
     for pdf in batches:
-        n = pdf["n_bytes"]
+        n = pdf["n_bytes"].astype("Int64")
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "n_bytes": n,
-                "img_w": n % 640,
-                "img_h": (n * 31) % 480,
+                "img_w": n % FAKE_W_MOD,
+                "img_h": (n * FAKE_H_MULT) % FAKE_H_MOD,
                 "digest": pdf["digest"],
             }
         )
@@ -91,8 +118,12 @@ def resize_images(docs: DataFrame, out_w: int = 224, out_h: int = 224) -> DataFr
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
+                    # NULL payload (NULL text) stays NULL — a real codec
+                    # has nothing to decode either
                     "payload": pdf["payload"].map(
-                        lambda b: bytes(b[:target]).ljust(target, b"\0")
+                        lambda b: None
+                        if b is None
+                        else bytes(b[:target]).ljust(target, b"\0")
                     ),
                     "out_w": out_w,
                     "out_h": out_h,
@@ -116,15 +147,22 @@ def _frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     (1-4) and per-frame byte offsets from ``n_bytes``, and reuses the
     JVM-computed md5 digest suffixed with the index as the frame hash.
     The expansion itself — variable output rows per input row through an
-    Arrow batch — is the plumbing under test.
+    Arrow batch — is the plumbing under test. A NULL payload (NULL text)
+    emits ZERO frame rows — the oracle's ``range(0, NULL)`` unnests to
+    nothing, and an unguarded ``index.repeat(NaN)`` would crash the job.
     """
     for pdf in batches:
-        reps = (pdf["n_bytes"] % 4 + 1).to_numpy()
+        reps = (
+            (pdf["n_bytes"].astype("Int64") % 4 + 1)
+            .fillna(0)
+            .astype("int64")
+            .to_numpy()
+        )
         expanded = pdf.loc[pdf.index.repeat(reps)].reset_index(drop=True)
         frame_idx = pd.Series(
             [i for r in reps for i in range(r)], dtype="int64"
         )
-        nb = expanded["n_bytes"]
+        nb = expanded["n_bytes"].astype("int64")
         nf = nb % 4 + 1
         yield pd.DataFrame(
             {
@@ -142,15 +180,7 @@ def sample_frames(docs: DataFrame) -> DataFrame:
     offsets deterministic from byte length; real decode stubbed — see
     :func:`decode_image`). Length/digest stay JVM-side as in
     :func:`multimodal_metadata`."""
-    payloads = docs.select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
-    ).select(
-        "doc_id",
-        "payload",
-        F.length("payload").cast("long").alias("n_bytes"),
-        F.md5("payload").alias("digest"),
-    )
-    return payloads.mapInPandas(_frame_batches, FRAME_SCHEMA)
+    return _payloads(docs).mapInPandas(_frame_batches, FRAME_SCHEMA)
 
 
 def multimodal_metadata(docs: DataFrame) -> DataFrame:
@@ -162,13 +192,4 @@ def multimodal_metadata(docs: DataFrame) -> DataFrame:
     JVM-side expressions (``F.length``/``F.md5`` — codegen'd, no Python);
     the Arrow hop carries the payload solely for the decode step.
     """
-    payloads = docs.select(
-        "doc_id",
-        F.encode("text", "UTF-8").alias("payload"),
-    ).select(
-        "doc_id",
-        "payload",
-        F.length("payload").cast("long").alias("n_bytes"),
-        F.md5("payload").alias("digest"),
-    )
-    return payloads.mapInPandas(_decode_batches, META_SCHEMA)
+    return _payloads(docs).mapInPandas(_decode_batches, META_SCHEMA)

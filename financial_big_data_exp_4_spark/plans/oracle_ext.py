@@ -596,11 +596,19 @@ Q_SET_OPS = """
 
 # -- multimodal -------------------------------------------------------------
 
-Q_MULTIMODAL_META = """
+from financial_big_data_exp_4_spark.operators.multimodal import (  # noqa: E402
+    FAKE_H_MOD,
+    FAKE_H_MULT,
+    FAKE_W_MOD,
+)
+
+Q_MULTIMODAL_META = f"""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST(octet_length(encode(text)) % 640 AS BIGINT) AS img_w,
-           CAST((octet_length(encode(text)) * 31) % 480 AS BIGINT) AS img_h,
+           CAST(octet_length(encode(text)) % {FAKE_W_MOD} AS BIGINT)
+               AS img_w,
+           CAST((octet_length(encode(text)) * {FAKE_H_MULT}) % {FAKE_H_MOD}
+                AS BIGINT) AS img_h,
            md5(text) AS digest
     FROM documents
 """

@@ -145,7 +145,14 @@ def persist_scoped(df, slots: int = 2):
     evict the inner cache before the outer plan ever materializes it —
     observed 2× signature recompute, 5.2s vs 2.3s at sf0.1)."""
     while len(_LIVE_CACHE) >= slots:
-        _LIVE_CACHE.pop(0).unpersist()
+        # the cache is process-global, so an evicted entry may belong to
+        # a session that has since been STOPPED — unpersist would then
+        # raise on the dead SparkContext and abort a perfectly valid new
+        # query. A dead plan's cache is already gone; just drop the ref.
+        try:
+            _LIVE_CACHE.pop(0).unpersist()
+        except Exception:
+            pass
     df = df.persist()
     _LIVE_CACHE.append(df)
     return df
@@ -205,17 +212,21 @@ def memo_df(spark, key: tuple, builder, max_entries: int = 8):
 def collect_pandas(df, max_rows: int = 1_000_000):
     """K3 — guarded ``toPandas`` (reference nb2 cell 11 collects the full
     table for plotting). Collecting is only legitimate on small
-    (post-aggregate) results; this raises before materializing anything
-    bigger than ``max_rows`` so a 100 TB table can never be pulled onto
-    the driver by accident. Arrow transfer is already enabled session-wide.
+    (post-aggregate) results; this refuses anything bigger than
+    ``max_rows`` so a 100 TB table can never be pulled onto the driver by
+    accident. ONE execution: collecting ``limit(max_rows + 1)`` bounds
+    driver memory exactly like a count-then-collect guard, but runs the
+    plan once instead of twice and leaves no window for the source to
+    grow between the check and the collect. Arrow transfer is already
+    enabled session-wide.
     """
-    n = df.limit(max_rows + 1).count()
-    if n > max_rows:
+    pdf = df.limit(max_rows + 1).toPandas()
+    if len(pdf) > max_rows:
         raise ValueError(
             f"refusing toPandas(): result exceeds {max_rows} rows; "
             "aggregate or sample first"
         )
-    return df.toPandas()
+    return pdf
 
 
 #: Marker attribute set on a session object once :func:`ensure_session_confs`

@@ -41,15 +41,29 @@ def read_jsonl(
     """Read JSONL with an explicit schema (never inferred — see module
     docstring). Malformed lines land in ``corrupt_col`` (PERMISSIVE)
     rather than failing the read; pass ``corrupt_col=None`` for strict
-    FAILFAST ingestion."""
-    reader = spark.read.schema(schema)
+    FAILFAST ingestion.
+
+    The quarantine column is appended to the caller's data schema HERE:
+    Spark only populates ``columnNameOfCorruptRecord`` when that column
+    exists in the read schema — configured without it, malformed lines
+    silently become all-NULL data rows and the quarantine the docstring
+    promises never materializes."""
     if corrupt_col is None:
-        reader = reader.option("mode", "FAILFAST")
-    else:
-        reader = reader.option("mode", "PERMISSIVE").option(
-            "columnNameOfCorruptRecord", corrupt_col
+        return (
+            spark.read.schema(schema).option("mode", "FAILFAST").json(path)
         )
-    return reader.json(path)
+    if isinstance(schema, str):
+        schema = f"{schema}, {corrupt_col} string"
+    else:
+        # copy the field list — StructType.add mutates in place, and
+        # StructType(fields) keeps the caller's list by reference
+        schema = StructType(list(schema.fields)).add(corrupt_col, "string")
+    return (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
 
 
 def write_partitioned_parquet(

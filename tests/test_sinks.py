@@ -76,18 +76,26 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, sf_dir, tmp_path):
     got = {r["doc_id"]: r["text"] for r in back.collect()}
     assert got == orig
 
-    # a malformed line quarantines, not fails
+    # a malformed line quarantines, not fails. read_jsonl appends the
+    # quarantine column to the DATA schema itself — callers pass only
+    # their data columns (a schema without the corrupt column would make
+    # Spark silently emit malformed lines as all-NULL data rows).
     bad = tmp_path / "docs_jsonl" / "part-bad.json"
     bad.write_text('{"doc_id": 1, "text": "ok"}\nNOT JSON AT ALL\n')
     # Spark refuses a query that references ONLY the corrupt-record
     # column of a json scan (it would require re-parsing); the
     # documented pattern is to cache the parsed batch first.
-    quarantined = read_jsonl(
-        spark, path, "doc_id long, text string, _corrupt_record string"
-    ).cache()
+    quarantined = read_jsonl(spark, path, "doc_id long, text string").cache()
     try:
+        assert "_corrupt_record" in quarantined.columns
         n_bad = quarantined.where("_corrupt_record IS NOT NULL").count()
         assert n_bad == 1
+        # the malformed line is NOT an all-NULL data row in disguise:
+        # every fully-NULL data projection belongs to the quarantined one
+        nulls = quarantined.where(
+            "doc_id IS NULL AND text IS NULL"
+        ).count()
+        assert nulls == n_bad
     finally:
         quarantined.unpersist()
 

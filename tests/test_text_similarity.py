@@ -111,6 +111,35 @@ def test_multimodal_metadata_plumbing(spark):
     assert rows[1]["n_bytes"] == 0
 
 
+def test_multimodal_null_text_propagates_null(spark):
+    """NULL text must behave like the oracle's NULL propagation: metadata
+    emits the row with NULL n_bytes/dims/digest (not a crash or garbage
+    long from NaN arithmetic), frame sampling emits zero rows (the
+    oracle's range(0, NULL) unnests to nothing), and resize keeps the
+    payload NULL."""
+    from financial_big_data_exp_4_spark.operators.multimodal import (
+        multimodal_metadata,
+        resize_images,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "real text"), (1, None)], "doc_id long, text string"
+    )
+    meta = {r["doc_id"]: r for r in multimodal_metadata(docs).collect()}
+    assert meta[1]["n_bytes"] is None
+    assert meta[1]["img_w"] is None and meta[1]["img_h"] is None
+    assert meta[1]["digest"] is None
+    assert meta[0]["n_bytes"] == 9  # non-null rows unaffected
+
+    frames = sample_frames(docs).collect()
+    assert {r["doc_id"] for r in frames} == {0}  # no frames for NULL
+
+    resized = {r["doc_id"]: r for r in resize_images(docs).collect()}
+    assert resized[1]["payload"] is None
+    assert resized[0]["payload"] is not None
+
+
 def test_decode_image_is_an_explicit_stub():
     import pytest
 
