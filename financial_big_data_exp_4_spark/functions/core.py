@@ -227,7 +227,7 @@ def train_test_split_col(key: Column | str, train_pct: int = 80) -> Column:
 # ---------------------------------------------------------------------------
 
 def md5_hash64(c: Column | str) -> Column:
-    """Deterministic unsigned-53-bit hash of a string: the first 13 hex
+    """Deterministic unsigned-52-bit hash of a string: the first 13 hex
     digits of md5, parsed as an integer.
 
     Why md5 and 13 digits: md5 is available and bit-identical in Spark and

@@ -37,6 +37,14 @@ LABEL_COL = "is_default"
 #: 20 levels after indexing (nb4 cell 15, README.md:338-342).
 DATE_INDEX_COLS: tuple[str, ...] = ("issue_date_ind", "earlies_credit_mon_ind")
 
+#: Columns deliberately EXCLUDED from the feature vector. The reference's
+#: indexed-string list (nb4 cell 9) covers 8 of its 9 string columns;
+#: ``employer_type`` is the task-3 reporting dimension and is not a model
+#: feature there — the exclusion is reference parity, and it must be
+#: explicit: an unexpected dtype falling through a narrow allowlist would
+#: silently shrink the feature vector with no error.
+NON_FEATURE_COLS: tuple[str, ...] = ("loan_id", "user_id", "employer_type")
+
 FEATURE_PIPELINE_STAGES = (
     "impute(-1 / '-1')",
     "StringIndexer ×8 (frequencyDesc)",
@@ -77,15 +85,33 @@ def build_feature_pipeline(df: DataFrame, label_col: str = LABEL_COL) -> tuple[P
     ]
     feature_cols = []
     for name, dtype in df.dtypes:
-        if name == label_col or name in ("loan_id", "user_id"):
+        if name == label_col or name in NON_FEATURE_COLS:
             continue
         if name in string_cols:
             ind = f"{name}_ind"
             feature_cols.append(
                 f"{ind}_bkt" if ind in date_inds else ind
             )
-        elif dtype in ("int", "bigint", "double", "float", "smallint"):
+        elif dtype in (
+            "int",
+            "bigint",
+            "double",
+            "float",
+            "smallint",
+            "tinyint",
+            "boolean",
+        ) or dtype.startswith("decimal"):
+            # every numeric-family dtype is a feature — a narrow
+            # allowlist silently drops tinyint flags or decimal amounts
+            # from the vector and the model degrades with no error
             feature_cols.append(name)
+        else:
+            raise ValueError(
+                f"build_feature_pipeline: column {name!r} has "
+                f"non-feature dtype {dtype!r} — index it (add to "
+                "string_cols), cast it, or drop it explicitly; silently "
+                "excluding it would train on fewer features than declared"
+            )
     assembler = VectorAssembler(
         inputCols=feature_cols, outputCol="features", handleInvalid="keep"
     )

@@ -22,7 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from financial_big_data_exp_4_spark.functions.core import exact_money_sum
+from financial_big_data_exp_4_spark.functions.core import (
+    exact_money_sum,
+    floor_div_sql,
+)
 from financial_big_data_exp_4_spark.sources import load_table
 
 
@@ -74,11 +77,16 @@ def range_join_bucketed(
     Cost: one shuffle of |P| + 2|I| rows — the standard bucketed range
     join (the same trick Databricks' RANGE_JOIN hint applies). Each
     matching pair is produced exactly once (the probe's bucket is
-    unique).
+    unique). Buckets FLOOR (``floor_div_sql``) per the repo-wide time
+    rule: truncating DIV happens to stay complete here (both sides shift
+    the same way near zero), but that safety is an accident of the ±1
+    expansion — flooring keeps the invariant load-bearing-free.
     """
-    p = probes.withColumn("_bucket", F.expr(f"{probe_ts} DIV {width_us}"))
+    p = probes.withColumn(
+        "_bucket", F.expr(floor_div_sql(probe_ts, width_us))
+    )
     i = intervals.withColumn(
-        "_b0", F.expr(f"{start_ts} DIV {width_us}")
+        "_b0", F.expr(floor_div_sql(start_ts, width_us))
     ).select(
         "*",
         F.explode(

@@ -64,7 +64,10 @@ from financial_big_data_exp_4_spark.operators import (
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from financial_big_data_exp_4_spark.functions.core import exact_money_sum
+from financial_big_data_exp_4_spark.functions.core import (
+    exact_money_sum,
+    floor_div_sql,
+)
 from financial_big_data_exp_4_spark.operators.asof import asof_join
 from financial_big_data_exp_4_spark.operators.corpus import EVENT_SAMPLE_RATES
 from financial_big_data_exp_4_spark.session import rebalance_for_cpu
@@ -455,7 +458,8 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select(
             "event_type",
             "user_id",
-            F.expr("ts DIV 86400000000000").alias("day"),
+            # floor, not DIV: the oracle's // floors pre-epoch days
+            F.expr(floor_div_sql("ts", 86_400_000_000_000)).alias("day"),
         )
         .groupBy("event_type")
         .agg(

@@ -59,6 +59,10 @@ from financial_big_data_exp_4_spark.operators.similarity import (  # noqa: E402
     _LSH_HASH_P,
     _LSH_KNUTH,
 )
+from financial_big_data_exp_4_spark.operators.joins import (
+    LARGE_ORDER_THRESHOLD,
+    US_PER_HOUR,
+)
 from financial_big_data_exp_4_spark.operators.text import (
     BPE_TOKEN_RE,
     FINGERPRINT_K,
@@ -512,12 +516,13 @@ Q_STAR_JOIN = """
     GROUP BY r_name, n_name
 """
 
-Q_ANTI_JOIN = """
+Q_ANTI_JOIN = f"""
     SELECT c_mktsegment, count(*) AS n_customers
     FROM customer c
     WHERE NOT EXISTS (
         SELECT 1 FROM orders o
-        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_totalprice > {LARGE_ORDER_THRESHOLD})
     GROUP BY c_mktsegment
 """
 
@@ -730,13 +735,13 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         FROM sess
         GROUP BY user_id, session_idx
     """,
-    "q_range_join": """
+    "q_range_join": f"""
         SELECT e.user_id, e.event_id AS err_id, p.event_id AS purch_id,
                p.value
         FROM events e JOIN events p ON e.user_id = p.user_id
         WHERE e.event_type = 'error' AND p.event_type = 'purchase'
           AND epoch_us(e.ts) >= epoch_us(p.ts)
-          AND epoch_us(e.ts) < epoch_us(p.ts) + 3600000000
+          AND epoch_us(e.ts) < epoch_us(p.ts) + {US_PER_HOUR}
     """,
     # keep-latest is uniquely defined by the (ts, event_id) total order,
     # so the window formulation here must equal the engine's aggregate
@@ -1009,12 +1014,13 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_stream_dedup": """
         SELECT DISTINCT user_id, event_type FROM events
     """,
-    "q_semi_join": """
+    "q_semi_join": f"""
         SELECT c_custkey, c_acctbal
         FROM customer
         WHERE EXISTS (
             SELECT 1 FROM orders
-            WHERE o_custkey = c_custkey AND o_totalprice > 400000
+            WHERE o_custkey = c_custkey
+              AND o_totalprice > {LARGE_ORDER_THRESHOLD}
         )
     """,
     # frame sums route through DECIMAL(18,6) on both sides: windowed

@@ -102,18 +102,23 @@ def q_employer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Task 3-1 (nb2 cells 14-21): share of rows per group, bround scale 4.
 
     Physical shape for scale: aggregate first (counts per group — tiny),
-    then broadcast-cross-join the single-row total. The reference instead
-    summed ``lit(1/300000)`` per row (fp drift, SURVEY note B); count/total
-    is exact and partitioning-invariant.
+    then derive the total from the SAME aggregate via a global window
+    over the ~5 grouped rows — the fact table is scanned exactly once.
+    (A separate ``orders.agg(count(*))``, or a second aggregate over a
+    re-used ``counts`` frame, both plan a second full scan: Spark shares
+    no subtrees between plan branches.) The reference instead summed
+    ``lit(1/300000)`` per row (fp drift, SURVEY note B); count/total is
+    exact and partitioning-invariant.
     """
+    from pyspark.sql import Window
+
     orders = load_table(spark, sf_dir, "orders")
     counts = orders.groupBy("o_orderpriority").agg(F.count("*").alias("cnt"))
-    total = orders.agg(F.count("*").alias("total"))
+    total = F.sum("cnt").over(Window.partitionBy())
     return (
-        counts.crossJoin(F.broadcast(total))
-        .select(
+        counts.select(
             "o_orderpriority",
-            share_expr(F.col("cnt"), F.col("total"), 4).alias("share"),
+            share_expr(F.col("cnt"), total.cast("long"), 4).alias("share"),
         )
         .orderBy(F.asc("share"), F.asc("o_orderpriority"))
     )
@@ -272,7 +277,10 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.ml.feature import Bucketizer
 
-    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+    from financial_big_data_exp_4_spark.session import (
+        rebalance_for_cpu,
+        session_memo,
+    )
 
     # fan the percentile's partial buffers (and the bucket-count partial
     # aggregate below) across cores — the single-file fixture scan is one
@@ -283,8 +291,6 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fitted splits are a model artifact (exactly what a fitted
     # QuantileDiscretizer/Bucketizer persists) — memoized per
     # (session, sf_dir) like the k-means quantizer fit
-    from financial_big_data_exp_4_spark.session import session_memo
-
     memo = session_memo(spark, "_fbde4_quantile_splits")
     splits = memo.get(sf_dir) if memo is not None else None
     if splits is None:
@@ -292,7 +298,12 @@ def q_quantile_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs = orders.agg(
             F.expr(f"percentile(o_totalprice, array({ps}))").alias("qs")
         ).head()["qs"]
-        splits = [float("-inf"), *qs, float("inf")]
+        # dedupe: Bucketizer REJECTS non-strictly-increasing splits, and
+        # adjacent quantiles collide whenever one value covers ≥ 1/20 of
+        # the column (a fixed promotional price). QuantileDiscretizer
+        # dedups automatically; the exact-percentile path must too.
+        uniq = sorted(set(float(q) for q in qs))
+        splits = [float("-inf"), *uniq, float("inf")]
         if memo is not None:
             memo[sf_dir] = splits
     bucketizer = Bucketizer(

@@ -38,7 +38,9 @@ def test_feature_pipeline_shape(spark):
 
     df = impute(synthesize_loans(spark, 2_000))
     pipeline, cols = build_feature_pipeline(df)
-    assert len(cols) == 39  # 42 ref fields + employer_type - label - 2 ids - 1(date col folded)
+    # 43 synthesized columns − label − NON_FEATURE_COLS (2 ids +
+    # employer_type, the task-3 dimension the reference never indexes)
+    assert len(cols) == 39
     out = pipeline.fit(df).transform(df)
     first = out.select("features").first()["features"]
     assert first.size == len(cols)
