@@ -43,8 +43,11 @@ across repeated full runs (the oracle side swings harder with host
 CPU-steal — its recursive-CTE clusters/semantic-dedup oracles are
 memory-heavy — so the two sides rarely catch the same noise window;
 round 3 was 1.4-1.8 before the floor/fan-out work; round 5's seeded
-adaptive-batch connected components cut q_dedup_clusters 18.8s → ~0.6s
-against its 18s recursive-CTE oracle). The remaining gap
+adaptive-batch connected components measure 0.68s seeded vs 1.26s
+unseeded at sf0.1 — same session, same materialized pair input, one
+flag, ``tools/cc_ab.py`` — against an 18s-class recursive-CTE oracle;
+an earlier "18.8s → 0.6s" claim here paired a DuckDB oracle number
+with a Spark number across rounds and is retracted). The remaining gap
 is almost entirely structural, not per-operator: (a) Spark's per-job
 floor — ~0.12s/query even for ``spark.range(1).count()`` with
 ``spark.locality.wait=0``, ≈ 11s across 97 queries, scheduler/stage
@@ -117,8 +120,16 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     qs = entry_mod.queries()
-    for fn in qs.values():  # untimed warmup: codegen + footer cache
+    # Warmup pass: absorbs codegen + footer cache AND populates every
+    # memoized family stage. Timed per query so the artifact records the
+    # from-scratch (cold) cost the memoization hides from the timed
+    # passes — the first consumer of each memo family pays the full
+    # build here (round-5 VERDICT next-round #3).
+    cold: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
         run_full(fn(spark, sf_dir))
+        cold[name] = round(time.perf_counter() - t0, 3)
 
     timings: dict[str, float] = {}
     for _ in range(PASSES):
@@ -135,6 +146,7 @@ def main() -> None:
     oracle_timings = run_oracles(sf_dir, set(timings))
     oracle_total = round(sum(oracle_timings.values()), 4)
 
+    ratio = round(total / oracle_total, 3) if oracle_total else None
     print(
         json.dumps(
             {
@@ -145,9 +157,39 @@ def main() -> None:
                 "sf": sf,
                 "oracle_queries": oracle_timings,
                 "oracle_total_sec": oracle_total,
-                "oracle_ratio": round(total / oracle_total, 3)
-                if oracle_total
-                else None,
+                "oracle_ratio": ratio,
+            }
+        )
+    )
+    # Second, COMPACT summary line printed LAST so it always survives the
+    # driver's last-2000-chars stdout capture (round-5 VERDICT #1: the
+    # big JSON line's tail sits inside oracle_queries, so BENCH_r3-r5
+    # carried zero Spark per-query numbers and two judge rounds misread
+    # oracle times as Spark times). Contents: Spark total + ratio, the 10
+    # slowest Spark queries (warm/timed passes), and the cold warmup-pass
+    # time of every memo-family consumer — the first consumer of each
+    # family pays the shared build, quantifying what memoization hides.
+    top_spark = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
+    )
+    memo_consumers = [
+        "q_neardup_minhash", "q_neardup_verified", "q_neardup_edit",
+        "q_dedup_clusters", "q_dedup_incremental", "q_embed_cosine_topk",
+        "q_embed_ann_kmeans", "q_embed_neardup", "q_semantic_dedup",
+        "q_embed_lsh_pairs", "q_triangle_count", "q_merge_upsert",
+        "q_table_diff",
+    ]
+    print(
+        json.dumps(
+            {
+                "spark_total_sec": total,
+                "oracle_total_sec": oracle_total,
+                "oracle_ratio": ratio,
+                "sf": sf,
+                "top_spark": top_spark,
+                "cold": {
+                    q: cold[q] for q in memo_consumers if q in cold
+                },
             }
         )
     )

@@ -12,9 +12,13 @@ Deviations from the reference, each deliberate (SURVEY §7 trap 4):
 
 100 TB notes: ``StringIndexer.fit`` collects each column's distinct labels
 to the driver — fine for the reference's categoricals (≤ thousands of
-labels); a cardinality guard belongs in front of web-scale id-like
-columns. ``QuantileDiscretizer`` uses the Greenwald-Khanna sketch — one
-pass, mergeable across partitions, no sort.
+labels), fatal on a web-scale id-like column, so
+:func:`build_feature_pipeline` guards it: ONE aggregate of
+``approx_count_distinct`` over all to-be-indexed columns, raising before
+any fit when a column exceeds ``MAX_INDEX_CARDINALITY``. On
+reference-shaped data the guard never fires (nb4 cells 9-11 index 8
+bounded-cardinality columns). ``QuantileDiscretizer`` uses the
+Greenwald-Khanna sketch — one pass, mergeable across partitions, no sort.
 """
 
 from __future__ import annotations
@@ -45,6 +49,14 @@ DATE_INDEX_COLS: tuple[str, ...] = ("issue_date_ind", "earlies_credit_mon_ind")
 #: silently shrink the feature vector with no error.
 NON_FEATURE_COLS: tuple[str, ...] = ("loan_id", "user_id", "employer_type")
 
+#: Ceiling on the distinct-label count of any column fed to
+#: ``StringIndexer`` — its ``fit`` collects EVERY distinct label to the
+#: driver, so an id-like column at web scale is a driver OOM, not a slow
+#: job. 100k labels ≈ a few MB collected: generous for genuine
+#: categoricals (the reference's 8 indexed columns are each ≤ thousands),
+#: far below the id-column blowup the guard exists to catch.
+MAX_INDEX_CARDINALITY = 100_000
+
 FEATURE_PIPELINE_STAGES = (
     "impute(-1 / '-1')",
     "StringIndexer ×8 (frequencyDesc)",
@@ -58,15 +70,53 @@ def impute(df: DataFrame) -> DataFrame:
     return df.na.fill(-1).na.fill("-1")
 
 
-def build_feature_pipeline(df: DataFrame, label_col: str = LABEL_COL) -> tuple[Pipeline, list[str]]:
+def build_feature_pipeline(
+    df: DataFrame,
+    label_col: str = LABEL_COL,
+    max_index_cardinality: int | None = MAX_INDEX_CARDINALITY,
+) -> tuple[Pipeline, list[str]]:
     """The reference's feature chain as one Pipeline (M2+M3+M4+M12).
 
     Returns (pipeline, assembled_input_cols). Feature columns = every
     non-label column, with the 8 strings replaced by their indices and
     the 2 date indices replaced by their 20-quantile buckets — the
     reference's exact recipe (nb4 cells 9-20).
+
+    ``max_index_cardinality`` (module docstring): every to-be-indexed
+    column's distinct-label count is estimated in ONE
+    ``approx_count_distinct`` aggregate, and any column above the ceiling
+    raises *before* ``StringIndexer.fit`` can attempt to collect its
+    labels to the driver. Pass ``None`` to skip the check (and its one
+    scan) when the caller has already profiled the columns.
     """
     string_cols = [c for c in STRING_FEATURE_COLS if c in df.columns]
+    if max_index_cardinality is not None and string_cols:
+        # one job, map-side HLL sketches, a single driver row — vs the
+        # full distinct-label collect StringIndexer.fit would do per
+        # column. rsd 5%: plenty to separate "thousands" from "millions";
+        # the ceiling is a guard rail, not an exact budget.
+        card = (
+            df.agg(
+                *[
+                    F.approx_count_distinct(c, rsd=0.05).alias(c)
+                    for c in string_cols
+                ]
+            )
+            .head()
+            .asDict()
+        )
+        over = {
+            c: n for c, n in card.items() if n > max_index_cardinality
+        }
+        if over:
+            raise ValueError(
+                "build_feature_pipeline: column(s) too high-cardinality "
+                f"to StringIndex (approx distinct labels): {over} — "
+                f"ceiling {max_index_cardinality}. Id-like columns do "
+                "not belong in a label index (StringIndexer.fit collects "
+                "every distinct label to the driver); hash-bucket or "
+                "drop them instead."
+            )
     indexers = [
         StringIndexer(
             inputCol=c, outputCol=f"{c}_ind", handleInvalid="keep"

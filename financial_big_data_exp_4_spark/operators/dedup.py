@@ -462,7 +462,8 @@ def simhash_docs(
 
 
 def _prune_to_participants(
-    docs: DataFrame, cand: DataFrame, id_col: str
+    docs: DataFrame, cand: DataFrame, id_col: str,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Restrict ``docs`` to rows that participate in a candidate pair.
 
@@ -478,16 +479,19 @@ def _prune_to_participants(
     bounded) keeps that set orders of magnitude below the corpus. The
     hint IS binding — Spark honors an explicit ``broadcast()`` even for
     a large side — so a workload whose candidate set could exceed
-    broadcast limits (≈ billions of pairs) should pass a pre-reduced
-    ``pairs`` frame or drop to the un-hinted semi-join and let
-    statistics pick the join strategy.
+    broadcast limits (≈ billions of pairs) must pass
+    ``hint_broadcast=False`` to drop the hint and let statistics/AQE
+    pick the join strategy (a shuffled semi-join is correct, just
+    slower), instead of risking a driver OOM on a forced broadcast.
     """
     participants = (
         cand.select(F.col("doc_a").alias(id_col))
         .union(cand.select(F.col("doc_b").alias(id_col)))
         .distinct()
     )
-    return docs.join(F.broadcast(participants), id_col, "semi")
+    if hint_broadcast:
+        participants = F.broadcast(participants)
+    return docs.join(participants, id_col, "semi")
 
 
 #: Cap used by the thresholded edit-distance verify: distances are only
@@ -503,6 +507,7 @@ def neardup_edit_distance(
     id_col: str = "doc_id",
     pairs: DataFrame | None = None,
     cap: int = EDIT_DISTANCE_CAP,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """Capped character edit distance over the LSH candidate pairs.
 
@@ -524,7 +529,9 @@ def neardup_edit_distance(
     ``pairs``: optionally feed a precomputed candidate-pair frame
     (``doc_a``, ``doc_b`` columns) — e.g. a pipeline-shared
     materialization of :func:`minhash_candidate_pairs` — instead of
-    re-deriving the signatures here.
+    re-deriving the signatures here. ``hint_broadcast=False`` drops the
+    participant-broadcast hint for candidate sets too large to
+    broadcast (see :func:`_prune_to_participants`).
     """
     from financial_big_data_exp_4_spark.session import persist_scoped
 
@@ -535,7 +542,9 @@ def neardup_edit_distance(
             minhash_candidate_pairs(docs, text_col, id_col)
         )
     cand = pairs.select("doc_a", "doc_b")
-    txt = _prune_to_participants(docs, cand, id_col).select(
+    txt = _prune_to_participants(
+        docs, cand, id_col, hint_broadcast=hint_broadcast
+    ).select(
         F.col(id_col).alias("_edoc"), F.col(text_col).alias("_etext")
     )
     a = txt.select(
@@ -763,6 +772,7 @@ def neardup_verified_pairs(
     id_col: str = "doc_id",
     threshold: float = NEARDUP_VERIFY_THRESHOLD,
     pairs: DataFrame | None = None,
+    hint_broadcast: bool = True,
 ) -> DataFrame:
     """LSH candidates confirmed by *exact* n-gram Jaccard — the full
     recall-then-precision near-dup pipeline (band join proposes, exact
@@ -793,7 +803,8 @@ def neardup_verified_pairs(
     # it plans nothing. The semi-join then runs map-side on the
     # fanned-out partitions, so the pruned rows stay spread.
     pruned = _prune_to_participants(
-        rebalance_for_cpu(docs, id_col), cand, id_col
+        rebalance_for_cpu(docs, id_col), cand, id_col,
+        hint_broadcast=hint_broadcast,
     )
     grams = pruned.select(
         F.col(id_col).alias("_gdoc"), word_bigrams(text_col).alias("_grams")

@@ -42,10 +42,17 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = CC_MAX_ITER,
+    seeded: bool = True,
 ) -> DataFrame:
     """Label each node of the undirected ``edges`` graph with the minimum
     node id reachable from it. Output: (doc_id, cluster_id), one row per
     node that appears in at least one edge.
+
+    ``seeded=False`` initializes labels to the identity (each node its
+    own label) instead of the min(self ∪ neighbors) aggregate — the
+    pre-optimization shape, kept ONLY so ``tools/cc_ab.py`` can measure
+    seeded vs unseeded in one session (same data, same JVM). Production
+    callers always use the default.
 
     Raises ``RuntimeError`` if the fixpoint is not reached in ``max_iter``
     rounds — a diameter that large means the input is not a dedup graph
@@ -64,12 +71,20 @@ def connected_components(
     # instead of three, no action. For LSH candidate graphs this alone
     # finishes most components: every band bucket emits a clique, and a
     # clique converges at round 1 (everyone sees the bucket minimum).
-    labels = (
-        sym.groupBy("u")
-        .agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
-        .select(F.col("u").alias("node"), "lbl")
-        .localCheckpoint(eager=True)
-    )
+    if seeded:
+        labels = (
+            sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
+            .select(F.col("u").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    else:  # identity labels: measurement-only baseline (see docstring)
+        labels = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
 
     def propagate(lbls: DataFrame) -> DataFrame:
         nbr_min = (

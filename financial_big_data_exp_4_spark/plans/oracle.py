@@ -116,12 +116,16 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
     # Bucketizer with splits [-inf, q_0.05..q_0.95, +inf] assigns x the
     # left-closed bucket [s_j, s_{j+1}) — i.e. the count of internal
     # splits <= x. quantile_cont == Spark's exact `percentile` (same
-    # (n-1)*p linear interpolation).
+    # (n-1)*p linear interpolation). list_distinct mirrors the engine's
+    # split dedupe (Bucketizer rejects duplicate splits; the engine
+    # compresses colliding quantiles, so the oracle must count each
+    # collided split once or bucket ids above the collision diverge).
     "q_quantile_bucket": f"""
         WITH q AS (
             SELECT quantile_cont(o_totalprice, {_QS_LIST}) AS qs FROM orders
         )
-        SELECT CAST(len(list_filter(q.qs, s -> s <= o.o_totalprice)) AS INTEGER)
+        SELECT CAST(len(list_filter(list_distinct(q.qs),
+                                    s -> s <= o.o_totalprice)) AS INTEGER)
                    AS price_bucket,
                count(*) AS cnt
         FROM orders o, q

@@ -149,10 +149,19 @@ def persist_scoped(df, slots: int = 2):
         # a session that has since been STOPPED — unpersist would then
         # raise on the dead SparkContext and abort a perfectly valid new
         # query. A dead plan's cache is already gone; just drop the ref.
+        # The guard is NARROW (round-6 ADVICE): only the dead-session
+        # case is swallowed; a genuine unpersist failure on a live
+        # session (e.g. transient RPC error) propagates, because
+        # silencing it would leak the executor-memory slot with no
+        # signal.
+        victim = _LIVE_CACHE.pop(0)
         try:
-            _LIVE_CACHE.pop(0).unpersist()
+            sc = victim.sparkSession.sparkContext
+            dead = sc._jsc is None or sc._jsc.sc().isStopped()
         except Exception:
-            pass
+            dead = True  # can't even reach the context: session is gone
+        if not dead:
+            victim.unpersist()
     df = df.persist()
     _LIVE_CACHE.append(df)
     return df

@@ -47,14 +47,22 @@ def read_jsonl(
     Spark only populates ``columnNameOfCorruptRecord`` when that column
     exists in the read schema — configured without it, malformed lines
     silently become all-NULL data rows and the quarantine the docstring
-    promises never materializes."""
+    promises never materializes. A schema that ALREADY contains
+    ``corrupt_col`` is used as-is (appending again would duplicate the
+    column and make every downstream reference ambiguous)."""
     if corrupt_col is None:
         return (
             spark.read.schema(schema).option("mode", "FAILFAST").json(path)
         )
     if isinstance(schema, str):
-        schema = f"{schema}, {corrupt_col} string"
-    else:
+        # parse the DDL so the containment check is exact (a substring
+        # test would false-positive on e.g. a column named
+        # `my_corrupt_record`)
+        parsed = StructType.fromDDL(schema)
+        if corrupt_col not in parsed.fieldNames():
+            parsed = parsed.add(corrupt_col, "string")
+        schema = parsed
+    elif corrupt_col not in schema.fieldNames():
         # copy the field list — StructType.add mutates in place, and
         # StructType(fields) keeps the caller's list by reference
         schema = StructType(list(schema.fields)).add(corrupt_col, "string")

@@ -70,6 +70,13 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20}
+    # the measurement-only unseeded arm (tools/cc_ab.py) must agree with
+    # the production seeded default on the same graph
+    unseeded = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_components(edges, seeded=False).collect()
+    }
+    assert unseeded == got
 
 
 def test_connected_components_deep_chain_converges(spark):

@@ -121,3 +121,45 @@ def test_hash_sample_deterministic_and_proportional(spark, sf_dir):
     total = orders.count()
     assert 0.05 * total < a < 0.15 * total
     assert hash_sample(orders, "o_orderkey", 100).count() == total
+
+
+def test_quantile_bucket_colliding_splits_match_oracle(spark, tmp_path):
+    """Round-6 ADVICE (medium): when adjacent quantiles collide (one value
+    covers >= 1/20 of the column) the engine compresses the duplicate
+    splits before Bucketizer; the DuckDB oracle must count over
+    list_distinct(qs) or every bucket id above the collision diverges.
+    Differential pin: engine vs the DECLARED oracle SQL on a fixture
+    built to collide (~40% of rows share one price)."""
+    import duckdb
+
+    from financial_big_data_exp_4_spark.plans.oracle import (
+        REFERENCE_ORACLE_SQL,
+    )
+    from financial_big_data_exp_4_spark.plans.reference import (
+        q_quantile_bucket,
+    )
+
+    rows = []
+    for k in range(1, 501):
+        # keys 1-200: a fixed promotional price -> q_0.05..q_0.40 collide
+        price = 1000.0 if k <= 200 else 1000.0 + k
+        rows.append((k, price))
+    df = spark.createDataFrame(rows, "o_orderkey long, o_totalprice double")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/orders.parquet"
+    )
+
+    got = {
+        r["price_bucket"]: r["cnt"]
+        for r in q_quantile_bucket(spark, str(tmp_path)).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{tmp_path}/orders.parquet/*.parquet'"
+    )
+    want = dict(
+        con.execute(REFERENCE_ORACLE_SQL["q_quantile_bucket"]).fetchall()
+    )
+    assert got == want
+    assert len(got) > 2  # collision compressed, buckets still plural

@@ -48,6 +48,31 @@ def test_feature_pipeline_shape(spark):
     assert out.where(sum(F.col(c).isNull().cast("int") for c in cols) > 0).count() == 0
 
 
+def test_feature_pipeline_cardinality_guard(spark):
+    """An id-like string column must raise BEFORE StringIndexer.fit can
+    collect its labels to the driver (round-5 VERDICT #5: the one
+    genuine 100 TB driver-side risk). On reference-shaped data the guard
+    never fires (previous test builds with the default ceiling)."""
+    import pytest
+
+    from financial_big_data_exp_4_spark.ml.features import (
+        build_feature_pipeline,
+        impute,
+    )
+    from financial_big_data_exp_4_spark.sources.loans import synthesize_loans
+
+    df = impute(synthesize_loans(spark, 5_000)).withColumn(
+        # unique per row -> cardinality == row count, far over a tiny
+        # test ceiling; named `industry` so it lands in the indexed set
+        "industry", F.concat(F.lit("id_"), F.col("loan_id").cast("string"))
+    )
+    with pytest.raises(ValueError, match="too high-cardinality"):
+        build_feature_pipeline(df, max_index_cardinality=1_000)
+    # ceiling None skips the guard entirely (caller has profiled)
+    pipeline, _ = build_feature_pipeline(df, max_index_cardinality=None)
+    assert pipeline is not None
+
+
 def test_split_is_deterministic_and_disjoint(split_features):
     train, test = split_features
     n_train, n_test = train.count(), test.count()

@@ -99,6 +99,16 @@ def test_jsonl_roundtrip_and_corrupt_quarantine(spark, sf_dir, tmp_path):
     finally:
         quarantined.unpersist()
 
+    # a caller following the old convention (corrupt column already in
+    # the schema) must NOT get a duplicate column (round-6 ADVICE): the
+    # append is skipped for both the DDL-string and StructType forms
+    for sch in (
+        "doc_id long, text string, _corrupt_record string",
+        read_jsonl(spark, path, "doc_id long, text string").schema,
+    ):
+        cols = read_jsonl(spark, path, sch).columns
+        assert cols.count("_corrupt_record") == 1
+
 
 def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
     from financial_big_data_exp_4_spark.sources import (

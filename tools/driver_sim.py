@@ -43,6 +43,18 @@ def main() -> int:
     )
     if shuffle:
         builder = builder.config("spark.sql.shuffle.partitions", shuffle)
+    # getOrCreate silently RETURNS a pre-existing session (e.g. one built
+    # by get_spark with all engine confs), which would defeat the whole
+    # point of simulating the driver's bare-session shape — refuse to run
+    # under one rather than produce a false "green under plain confs"
+    # (round-6 ADVICE).
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        raise RuntimeError(
+            "driver_sim must own its SparkSession; found an active one "
+            f"({active.sparkContext.appName!r}) whose confs would leak "
+            "into the simulation. Run driver_sim in a fresh process."
+        )
     spark = builder.getOrCreate()
 
     import __spark_entry__ as entry_mod
