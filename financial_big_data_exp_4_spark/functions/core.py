@@ -204,9 +204,11 @@ def floor_div_sql(col_sql: str, divisor: int) -> str:
 
     Spark's ``DIV`` truncates toward ZERO, so a pre-epoch (negative)
     timestamp would land in a double-width bucket straddling zero — an
-    event at −0.5 h bucketed as hour 0 — while DuckDB's ``//`` floors;
-    every time-bucketing site must floor on both engines or the
-    differential gate breaks on pre-epoch data. ``a − pmod(a, d)`` is
+    event at −0.5 h bucketed as hour 0. DuckDB's integer ``//``
+    truncates the same way (``-7 // 2 = -3`` — NOT floor), so the
+    oracles use the mirrored ``oracle_ext.duck_floor_div``; every
+    time-bucketing site must floor on BOTH engines or the differential
+    gate breaks on pre-epoch data. ``a − pmod(a, d)`` is
     exactly divisible by ``d`` and equals ``floor(a/d)·d``, and the
     arithmetic stays in BIGINT (no double round-trip — exactness at
     ~1.7e18 ns magnitudes requires integer ops).

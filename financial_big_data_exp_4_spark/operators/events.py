@@ -40,7 +40,8 @@ def tumbling_counts(events: DataFrame, width_sec: int = 3600) -> DataFrame:
 
     All time math is integer FLOOR division (``floor_div_sql`` — Spark's
     bare ``DIV`` truncates toward zero, putting pre-epoch events in a
-    double-width bucket at zero while the DuckDB oracle's ``//`` floors);
+    double-width bucket at zero; the DuckDB oracle's ``//`` truncates
+    too, so the oracle floors via ``duck_floor_div``);
     a double round-trip on ~1.7e18 ns values would round (doubles are
     exact only to 2^53) and could misplace events at window boundaries."""
     win = (

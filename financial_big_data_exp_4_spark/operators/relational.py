@@ -332,9 +332,14 @@ def standard_scale(
     ``value`` column must carry ≤ 2 decimal digits (exact decimal cast —
     same contract as the correlation operator). Output adds
     (group_mean, group_std, {value}_scaled).
+
+    decimal(18,2), not (12,2): values to ±1e16 stay exact, and the
+    x·x product lands at decimal(37,4) — still inside the 38-digit
+    cap, so the square sum stays exact too. (12,2) aborted on a
+    ±9.9e11 balance under ANSI (found by tools/fuzz_correctness.py).
     """
     v = F.col(value)
-    x = v.cast("decimal(12,2)")
+    x = v.cast("decimal(18,2)")
     # count the VALUE column, not rows: sum() skips NULLs, so dividing by
     # count(*) would bias both moments on NULL-bearing input (every
     # z-score in the group shifts and mis-scales)

@@ -79,13 +79,17 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    """Precondition (whole cosine family): vectors are nonzero — a
-    zero-norm vector makes cosine undefined, and under Spark 4's ANSI
-    mode the division raises DIVIDE_BY_ZERO rather than yielding NaN.
-    Embedding pipelines guarantee this upstream (a zero embedding is a
-    bug); a tolerant variant would wrap the divide in
-    ``F.when(norm > 0, ...)`` on both engine and oracle sides."""
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    """Cosine with NULL for zero-norm inputs (whole cosine family): a
+    zero-norm vector makes cosine undefined, and at corpus scale zero
+    embeddings are a certainty (empty documents, dead encoder rows), so
+    the division is ``try_divide`` — NULL, never a DIVIDE_BY_ZERO abort
+    under Spark 4's ANSI mode. This is exactly DuckDB's float
+    ``x / 0.0 → NULL``, so engine and oracle stay in lockstep without
+    any oracle change, and thresholded consumers (``cos >= t``) drop
+    zero-norm pairs identically on both sides. Found by
+    ``tools/fuzz_correctness.py`` (zero vectors crashed all 7 embedding
+    queries)."""
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def norm(a: Column) -> Column:
@@ -114,7 +118,11 @@ def cosine_pandas(a: Column, b: Column) -> Column:
         vb = np.stack(ys.to_numpy()).astype(np.float64)
         num = (va * vb).sum(axis=1)
         den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
-        return pd.Series(num / den)
+        # zero-norm -> NULL (nullable Float64 -> Arrow null), matching
+        # the native path's try_divide contract
+        out = np.divide(num, den, out=np.full_like(num, np.nan),
+                        where=den != 0)
+        return pd.Series(out, dtype="Float64").mask(den == 0)
 
     return _cos(a, b)
 
@@ -125,8 +133,9 @@ def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Co
     just factored out), so values stay bit-identical to the oracle while
     each pair costs ONE fold instead of three. Materialize the norms as
     real columns (non-cheap aliases survive CollapseProject) — measured
-    ~3× on the IVF/near-dup queries at sf0.1."""
-    return dot(a, b) / (norm_a * norm_b)
+    ~3× on the IVF/near-dup queries at sf0.1. ``try_divide`` for the
+    same zero-norm NULL contract as :func:`cosine`."""
+    return F.try_divide(dot(a, b), norm_a * norm_b)
 
 
 def cosine_topk_bruteforce(
@@ -508,7 +517,11 @@ def cosine_topk_ivf_kmeans(
     base = _rebalance(embeddings, "vec_id").select(
         "vec_id", "embedding", norm(F.col("embedding")).alias("_norm")
     )
-    unit = base.withColumn(
+    # zero-norm vectors have no direction, so they can live in no angular
+    # cell: exclude them from the fit AND the index (array_to_vector
+    # aborts on the NULL elements a tolerant divide would produce). Their
+    # similarity to anything is NULL by the cosine contract anyway.
+    unit = base.where(F.col("_norm") > 0).withColumn(
         "_feat",
         array_to_vector(
             F.transform(

@@ -1110,7 +1110,7 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = events.select(
         "user_id",
         "event_id",
-        F.expr("ts DIV 1000000000").alias("ts_s"),
+        F.expr(floor_div_sql("ts", 1_000_000_000)).alias("ts_s"),
         "event_type",
     )
     return scd2_intervals(base)
@@ -1204,7 +1204,7 @@ def q_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = events.select(
         "event_id",
         "user_id",
-        F.expr("ts DIV 1000000000").alias("ts_s"),
+        F.expr(floor_div_sql("ts", 1_000_000_000)).alias("ts_s"),
         F.col("value").cast("decimal(18,6)").alias("_v"),
     )
     return base.select(

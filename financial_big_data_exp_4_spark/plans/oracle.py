@@ -132,12 +132,14 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
         ORDER BY price_bucket
     """,
+    # COALESCE(-1.0) mirrors the engine's impute-before-assemble (NULL
+    # aborts VectorAssembler's handleInvalid="error" default)
     "q_vector_assemble": """
         SELECT c_custkey,
                CAST(3 AS BIGINT) AS n_features,
                CAST(c_custkey AS DOUBLE) AS f_custkey,
                CAST(c_nationkey AS DOUBLE) AS f_nationkey,
-               CAST(c_acctbal AS DOUBLE) AS f_acctbal
+               CAST(COALESCE(c_acctbal, -1.0) AS DOUBLE) AS f_acctbal
         FROM customer
         ORDER BY c_custkey
     """,
@@ -150,8 +152,8 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
     # render differently from int64 and the hash then mismatches.
     "q_feature_pipeline": f"""
         WITH freq AS (
-            SELECT c_mktsegment AS seg, count(*) AS cnt
-            FROM customer GROUP BY c_mktsegment
+            SELECT COALESCE(c_mktsegment, '-1') AS seg, count(*) AS cnt
+            FROM customer GROUP BY 1
         ), codes AS (
             SELECT seg,
                    CAST(dense_rank() OVER (ORDER BY cnt DESC, seg ASC) - 1
@@ -163,7 +165,8 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
                                  ELSE CAST(c.c_acctbal AS DOUBLE) END,
                             -1.0) AS acctbal,
                    codes.mkt_idx
-            FROM customer c JOIN codes ON c.c_mktsegment = codes.seg
+            FROM customer c
+            JOIN codes ON COALESCE(c.c_mktsegment, '-1') = codes.seg
         )
         SELECT CASE WHEN {det_hash_mod_sql("c_custkey", 100)} < 80
                     THEN 'train' ELSE 'test' END AS split,
@@ -175,18 +178,23 @@ REFERENCE_ORACLE_SQL: dict[str, str] = {
         GROUP BY 1
         ORDER BY split
     """,
+    # COALESCE(seg, '-1') mirrors the engine's impute-before-index (the
+    # reference's na.fill('-1'); NULL would abort the indexer and fall
+    # out of this equi-join)
     "q_string_index": """
         WITH freq AS (
-            SELECT c_mktsegment AS seg, count(*) AS cnt
-            FROM customer GROUP BY c_mktsegment
+            SELECT COALESCE(c_mktsegment, '-1') AS seg, count(*) AS cnt
+            FROM customer GROUP BY 1
         ), codes AS (
             SELECT seg,
                    CAST(dense_rank() OVER (ORDER BY cnt DESC, seg ASC) - 1 AS DOUBLE)
                        AS mkt_idx
             FROM freq
         )
-        SELECT c.c_custkey, c.c_mktsegment, codes.mkt_idx
-        FROM customer c JOIN codes ON c.c_mktsegment = codes.seg
+        SELECT c.c_custkey, COALESCE(c.c_mktsegment, '-1') AS c_mktsegment,
+               codes.mkt_idx
+        FROM customer c
+        JOIN codes ON COALESCE(c.c_mktsegment, '-1') = codes.seg
         ORDER BY c.c_custkey
     """,
 }

@@ -450,8 +450,28 @@ Q_DOC_FINGERPRINT = f"""
 
 # -- events -----------------------------------------------------------------
 
-Q_TUMBLING_WINDOW = """
-    SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) * 3600
+
+def duck_floor_div(expr: str, n: int) -> str:
+    """Integer FLOOR division (toward −∞) as a DuckDB expression —
+    the oracle-side twin of the engine's ``floor_div_sql``.
+
+    DuckDB's integer ``//`` TRUNCATES toward zero (``-7 // 2 = -3``),
+    exactly like Spark's bare ``DIV`` — the earlier assumption that it
+    floors was wrong and only held because the driver fixture has no
+    pre-epoch timestamps (every negative-bucket row diverged by one
+    width; found by ``tools/fuzz_correctness.py``). ``a − posmod(a, n)``
+    is exactly divisible by ``n``, all in BIGINT — no double round-trip.
+    """
+    return f"((({expr}) - ((({expr}) % {n} + {n}) % {n})) // {n})"
+
+
+#: epoch-µs floor-buckets shared by every events oracle below
+_FD_SEC = duck_floor_div("epoch_us(ts)", 1_000_000)
+_FD_HOUR = duck_floor_div("epoch_us(ts)", 3_600_000_000)
+_FD_DAY = duck_floor_div("epoch_us(ts)", 86_400_000_000)
+
+Q_TUMBLING_WINDOW = f"""
+    SELECT CAST({_FD_HOUR} AS BIGINT) * 3600
                AS window_start_s,
            event_type,
            count(*) AS cnt
@@ -459,10 +479,10 @@ Q_TUMBLING_WINDOW = """
     GROUP BY 1, 2
 """
 
-Q_SESSIONIZE = """
+Q_SESSIONIZE = f"""
     WITH base AS (
         SELECT user_id, event_id,
-               CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
+               CAST({_FD_SEC} AS BIGINT) AS ts_s
         FROM events
     ), tagged AS (
         SELECT user_id, event_id, ts_s,
@@ -489,14 +509,23 @@ Q_SESSIONIZE = """
 # TRY_CAST mirrors the engine's try_cast: a non-integer property value
 # becomes NULL (absorbed by the null-skipping aggregates) instead of
 # aborting the query.
+#: DuckDB's json_extract_string ABORTS on malformed JSON ('' / '{' /
+#: 'not json') — TRY_CAST can't save it because the extract itself
+#: throws — while Spark's get_json_object returns NULL. json_valid()
+#: gates the extract so both engines yield NULL for junk lines (found
+#: by tools/fuzz_correctness.py; the driver fixture happens to be
+#: all-valid JSON, crawl-scale props are not).
 Q_JSON_EXTRACT = """
     SELECT event_type,
            count(*) AS cnt,
-           CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+           CAST(sum(TRY_CAST(CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS BIGINT))
                 AS BIGINT) AS sum_k,
-           min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+           min(TRY_CAST(CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS BIGINT))
                AS min_k,
-           max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
+           max(TRY_CAST(CASE WHEN json_valid(props)
+                    THEN json_extract_string(props, '$.k') END AS BIGINT))
                AS max_k
     FROM events
     GROUP BY event_type
@@ -649,13 +678,19 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     # order), so the declared output is per-probe structural/bounds
     # proofs; the oracle expects every proof TRUE — the q_approx_distinct
     # pattern. probe_id count matches the query's n_probes=5 default.
+    # one all-TRUE proof row per probe that EXISTS in the data (and has a
+    # direction): derived from the table, not range(5) — a fixture whose
+    # vec_ids don't start at 0 (or whose probe rows are zero vectors)
+    # changes the probe set, and the structural contract must follow it
     "q_embed_ann_kmeans": """
-        SELECT CAST(range AS BIGINT) AS probe_id,
+        SELECT vec_id AS probe_id,
                TRUE AS has_k,
                TRUE AS ranks_contiguous,
                TRUE AS sims_bounded,
                TRUE AS best_le_exact
-        FROM range(5)
+        FROM embeddings
+        WHERE vec_id < 5
+          AND len(list_filter(embedding, x -> x <> 0)) > 0
     """,
     "q_embed_neardup": Q_EMBED_NEARDUP,
     "q_token_count": Q_TOKEN_COUNT,
@@ -677,10 +712,10 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_window_rank": Q_WINDOW_RANK,
     "q_percentile": Q_PERCENTILE,
     "q_set_ops": Q_SET_OPS,
-    "q_distinct_agg": """
+    "q_distinct_agg": f"""
         SELECT event_type,
                count(DISTINCT user_id) AS n_users,
-               count(DISTINCT epoch_us(ts) // 86400000000) AS n_days
+               count(DISTINCT {_FD_DAY}) AS n_days
         FROM events
         GROUP BY event_type
     """,
@@ -705,10 +740,10 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     # previous one still MERGES (verified empirically at sf0.1 — Spark
     # treats "within the gap duration" inclusively), so NEW session iff
     # ts - last > gap, the same convention as the batch sessionizer.
-    "q_stream_sessions": """
+    "q_stream_sessions": f"""
         WITH base AS (
             SELECT user_id, event_id,
-                   CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s
+                   CAST({_FD_SEC} AS BIGINT) AS ts_s
             FROM events
         ), tagged AS (
             SELECT user_id, event_id, ts_s,
@@ -968,6 +1003,10 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     # (interpolated middle = one IEEE-exact average), so the Arrow
     # boundary sits under the hash. Aggregate+join form here mirrors the
     # per-group computation without window syntax differences.
+    # IS NOT DISTINCT FROM, not USING: Spark's groupBy treats a NULL key
+    # as a real group (the engine's applyInPandas centers it like any
+    # other), so the median join must be NULL-safe or every NULL-key row
+    # silently falls out of the oracle (found by tools/fuzz_correctness.py)
     "q_group_center": """
         WITH m AS (
             SELECT event_type, quantile_cont(value, 0.5) AS med
@@ -976,7 +1015,8 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         )
         SELECT e.event_id, e.event_type, e.value,
                e.value - m.med AS centered_value
-        FROM events e JOIN m USING (event_type)
+        FROM events e
+        JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
         WHERE e.value IS NOT NULL
     """,
     # the Spark side emits (exact, sketch-within-±5%); the oracle asserts
@@ -1098,10 +1138,10 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     """,
     # ns→µs reader truncation cannot move an event across a whole-second
     # hour boundary; grid generated from the aggregate, not a rescan
-    "q_gap_fill": """
+    "q_gap_fill": f"""
         WITH counts AS (
             SELECT event_type,
-                   epoch_us(ts) // 3600000000 AS hour_bucket,
+                   {_FD_HOUR} AS hour_bucket,
                    count(*) AS n_events
             FROM events GROUP BY 1, 2
         ), spans AS (
@@ -1274,10 +1314,10 @@ EXTENSION_ORACLE_SQL["q_merge_upsert"] = """
     FROM orders WHERE o_orderkey % 97 = 3
 """
 
-EXTENSION_ORACLE_SQL["q_scd2"] = """
+EXTENSION_ORACLE_SQL["q_scd2"] = f"""
     WITH e AS (
         SELECT user_id, event_id,
-               CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+               CAST({_FD_SEC} AS BIGINT) AS ts_s,
                event_type
         FROM events
     ), flagged AS (
@@ -1434,10 +1474,10 @@ EXTENSION_ORACLE_SQL["q_funnel"] = """
     SELECT CAST(3 AS BIGINT), 'purchase', n2 FROM tot
 """
 
-EXTENSION_ORACLE_SQL["q_cohort_retention"] = """
+EXTENSION_ORACLE_SQL["q_cohort_retention"] = f"""
     WITH ud AS (
         SELECT DISTINCT user_id,
-               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+               CAST({_FD_DAY} AS BIGINT) AS day
         FROM events
     ), fd AS (
         SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id
@@ -1528,19 +1568,28 @@ EXTENSION_ORACLE_SQL["q_transitions"] = """
 #: Moments mirror standard_scale's association exactly:
 #: mean = Σx/n, std = sqrt((n·Σx² − Σx·Σx)/(n·n)), all factors DOUBLE
 #: from DECIMAL(12,2) sums.
+# DECIMAL(18,2) matches the engine's widened exact cast (a (12,2)
+# aborts both engines on ±1e12-class balances); count(c_acctbal), not
+# count(*), matches the engine's NULL-skipping moments (sum() skips
+# NULLs, so dividing by count(*) biases mean and std on NULL-bearing
+# input — the engine has divided by the non-NULL count since the
+# round-5 totality fix, and the oracle must too). The square widens ONE
+# operand to (19,2): DuckDB multiplies (18)x(18) in int64 (overflows on
+# 1e14-scale internal ints) but promotes to int128 once an operand
+# exceeds 18 digits, yielding the exact DECIMAL(37,4) Spark produces.
 EXTENSION_ORACLE_SQL["q_standard_scale"] = """
     WITH m AS (
         SELECT c_nationkey AS g,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
-                   / CAST(count(*) AS DOUBLE) AS mean,
-               sqrt(greatest((CAST(count(*) AS DOUBLE)
-                     * CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))
-                                * CAST(c_acctbal AS DECIMAL(12,2)))
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   / CAST(count(c_acctbal) AS DOUBLE) AS mean,
+               sqrt(greatest((CAST(count(c_acctbal) AS DOUBLE)
+                     * CAST(sum(CAST(c_acctbal AS DECIMAL(19,2))
+                                * CAST(c_acctbal AS DECIMAL(18,2)))
                             AS DOUBLE)
-                     - CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
-                       * CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE))
-                    / (CAST(count(*) AS DOUBLE)
-                       * CAST(count(*) AS DOUBLE)), 0.0)) AS std
+                     - CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       * CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE))
+                    / (CAST(count(c_acctbal) AS DOUBLE)
+                       * CAST(count(c_acctbal) AS DOUBLE)), 0.0)) AS std
         FROM customer GROUP BY c_nationkey
     )
     SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
@@ -1686,15 +1735,15 @@ EXTENSION_ORACLE_SQL["q_dedup_incremental"] = f"""
     LEFT JOIN best b ON n.doc_id = b.new_doc
 """
 
-EXTENSION_ORACLE_SQL["q_range_frame"] = """
+EXTENSION_ORACLE_SQL["q_range_frame"] = f"""
     SELECT event_id, user_id,
-           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ts_s,
+           CAST({_FD_SEC} AS BIGINT) AS ts_s,
            count(*) OVER w AS hour_cnt,
            CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
                AS hour_sum
     FROM events
     WINDOW w AS (
         PARTITION BY user_id
-        ORDER BY CAST(epoch_us(ts) // 1000000 AS BIGINT)
+        ORDER BY CAST({_FD_SEC} AS BIGINT)
         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
 """

@@ -242,10 +242,19 @@ def q_fillna(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StringIndexer with the default frequencyDesc ordering (ties broken
     alphabetically — deterministic, hence oracle-checkable as
-    ``dense_rank() over (order by count desc, value asc) - 1``)."""
+    ``dense_rank() over (order by count desc, value asc) - 1``).
+
+    NULL segments are imputed to ``'-1'`` BEFORE indexing — the
+    reference's own recipe (nb4 cell 7 ``na.fill('-1')`` precedes every
+    indexer) and the only total semantics: ``handleInvalid="error"``
+    aborts on NULL, and the oracle's equi-join on the label would drop
+    NULL rows. The imputed label participates in the frequency ordering
+    like any other (mirrored via COALESCE in the oracle)."""
     from pyspark.ml.feature import StringIndexer
 
-    customer = load_table(spark, sf_dir, "customer")
+    customer = load_table(spark, sf_dir, "customer").na.fill(
+        "-1", ["c_mktsegment"]
+    )
     indexer = StringIndexer(
         inputCol="c_mktsegment", outputCol="mkt_idx", handleInvalid="error"
     )
@@ -322,11 +331,19 @@ def q_vector_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VectorAssembler (task 4, nb4 cells 19-20). VectorUDT itself is not
     SQL-comparable, so the declared output round-trips through
     ``vector_to_array`` and emits every assembled element as a double
-    column — a value-level (hash) check of the assembly, not just arity."""
+    column — a value-level (hash) check of the assembly, not just arity.
+
+    ``c_acctbal`` is imputed to −1 first (the reference assembles only
+    post-``na.fill`` columns, nb4 cell 7): the assembler's
+    ``handleInvalid="error"`` default aborts on NULL, and ``"keep"``
+    would smuggle NaN into the vector — imputation is the total,
+    reference-faithful semantics (COALESCE(−1.0) in the oracle)."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.functions import vector_to_array
 
-    customer = load_table(spark, sf_dir, "customer")
+    customer = load_table(spark, sf_dir, "customer").na.fill(
+        -1.0, ["c_acctbal"]
+    )
     assembled = VectorAssembler(
         inputCols=["c_custkey", "c_nationkey", "c_acctbal"], outputCol="features"
     ).transform(customer)
@@ -383,7 +400,11 @@ def q_feature_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("c_acctbal").cast("double"))
         .alias("acctbal"),
     )
-    imputed = with_nulls.na.fill(-1.0, ["acctbal"])
+    # impute BOTH halves like the reference's cell 7 (na.fill(-1) then
+    # na.fill('-1')): a NULL segment would abort the indexer
+    imputed = with_nulls.na.fill(-1.0, ["acctbal"]).na.fill(
+        "-1", ["c_mktsegment"]
+    )
     pipeline = Pipeline(
         stages=[
             StringIndexer(

@@ -22,6 +22,7 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from financial_big_data_exp_4_spark.functions.core import floor_div_sql
 from financial_big_data_exp_4_spark.session import ensure_session_confs
 
 
@@ -88,6 +89,19 @@ def streaming_tumbling_counts(
     )
 
 
+#: Whole-second shift applied to event time before ``session_window``
+#: and removed from the emitted session starts: ≈ 12,000 years in
+#: seconds. Spark's streaming state watermark clamps at epoch 0, so
+#: WITHOUT the shift every pre-epoch event is silently treated as late
+#: and its session never emitted (found by tools/fuzz_correctness.py:
+#: 141 pre-epoch sessions dropped vs the batch oracle). Sessionization
+#: depends only on event-time GAPS, which are shift-invariant, so the
+#: shifted computation is exact; the domain floor becomes ts ≥ year
+#: −10000 instead of ts ≥ 1970. Well inside timestamp range (µs
+#: timestamps reach year ~294k).
+SESSION_TS_SHIFT_S = 12_000 * 365 * 86_400
+
+
 def streaming_session_counts(
     events: DataFrame,
     gap: str = "30 minutes",
@@ -107,10 +121,28 @@ def streaming_session_counts(
     (``session_window`` merges an event arriving exactly ``gap`` after
     the previous one — inclusive, verified empirically — matching the
     batch ``> gap`` new-session test). Pass ``False`` only for
-    pure-streaming sessions that never need batch parity."""
-    ts = F.col("ts_utc")
-    if second_truncate:
-        ts = F.expr("timestamp_seconds(unix_micros(ts_utc) DIV 1000000)")
+    pure-streaming sessions that never need batch parity.
+
+    Event time is shifted by ``SESSION_TS_SHIFT_S`` around the stateful
+    window (see the constant: pre-epoch events would otherwise be
+    silently dropped by the epoch-clamped watermark); emitted
+    ``session_start`` values are shift-free.
+    """
+    # FLOOR to whole seconds, not DIV (bare DIV truncates toward zero,
+    # shifting every pre-epoch event +1s relative to the batch
+    # sessionizer), then the watermark-floor shift — both exact integer
+    # arithmetic on epoch seconds.
+    sec = floor_div_sql("unix_micros(ts_utc)", 1_000_000)
+    if not second_truncate:
+        # keep µs precision: shift whole seconds, carry the µs remainder
+        sec = f"({sec})"
+        ts = F.expr(
+            "timestamp_micros("
+            f"({sec} + {SESSION_TS_SHIFT_S}) * 1000000 "
+            f"+ pmod(unix_micros(ts_utc), 1000000))"
+        )
+    else:
+        ts = F.expr(f"timestamp_seconds(({sec}) + {SESSION_TS_SHIFT_S})")
     return (
         events.withColumn("_session_ts", ts)
         .withWatermark("_session_ts", watermark)
@@ -118,7 +150,10 @@ def streaming_session_counts(
         .agg(F.count("*").alias("n_events"))
         .select(
             "user_id",
-            F.col("session_window.start").alias("session_start"),
+            (
+                F.col("session_window.start")
+                - F.expr(f"INTERVAL {SESSION_TS_SHIFT_S} SECONDS")
+            ).alias("session_start"),
             "n_events",
         )
     )
@@ -351,9 +386,19 @@ def streaming_error_purchase_join(
     non-watermark µs column in the condition would force the eviction
     planner to ignore it (it cannot bound state from a column it has no
     watermark for).
+
+    Both sides' event time is shifted by ``SESSION_TS_SHIFT_S`` before
+    watermarking (see the constant: the epoch-clamped watermark silently
+    drops pre-epoch rows from join state); the range predicate compares
+    two shifted times, so it is shift-invariant, and the output carries
+    no timestamps — nothing to unshift.
     """
+    shifted = events.withColumn(
+        "ts_utc",
+        F.col("ts_utc") + F.expr(f"INTERVAL {SESSION_TS_SHIFT_S} SECONDS"),
+    )
     errors = (
-        events.where(F.col("event_type") == "error")
+        shifted.where(F.col("event_type") == "error")
         .select(
             F.col("event_id").alias("err_id"),
             F.col("user_id").alias("e_user"),
@@ -363,7 +408,7 @@ def streaming_error_purchase_join(
         .withColumnRenamed("ts_utc", "e_ts_utc")
     )
     purchases = (
-        events.where(F.col("event_type") == "purchase")
+        shifted.where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("purch_id"),
             F.col("user_id").alias("p_user"),

@@ -590,3 +590,45 @@ def test_stream_merge_same_key_delete_then_reinsert_in_one_batch(
     assert (3, 333.0) in got  # last-writer-wins: the reinsert survived
     assert (9, 900.0) in got
     assert len(got) == 6  # 5 base rows (k=3 rewritten) + 1 insert
+
+
+def test_streaming_sessions_keep_pre_epoch_events(spark, tmp_path):
+    """Spark's streaming watermark clamps at epoch 0, so without the
+    SESSION_TS_SHIFT_S offset every pre-epoch event is silently treated
+    as late and its session never emitted (tools/fuzz_correctness.py
+    found 141 such sessions dropped vs the batch oracle). The shifted
+    session_window must emit them with exact, shift-free starts."""
+    import datetime as dt
+
+    from financial_big_data_exp_4_spark.streaming import (
+        run_stream_to_memory,
+        streaming_session_counts,
+    )
+
+    pre = dt.datetime(1969, 12, 2, 6, 0, 0)  # epoch -30 days
+    post = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, pre),
+        (1, pre + dt.timedelta(seconds=10)),   # same pre-epoch session
+        (1, pre + dt.timedelta(seconds=2000)),  # new pre-epoch session
+        (2, post),
+    ]
+    src = str(tmp_path / "ev_pre")
+    spark.createDataFrame(rows, "user_id long, ts_utc timestamp").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = streaming_session_counts(
+        spark.readStream.schema(schema).parquet(src)
+    )
+    with tempfile.TemporaryDirectory() as ckpt:
+        run_stream_to_memory(stream, "sess_pre_epoch", ckpt)
+    got = sorted(
+        (r["user_id"], int(r["session_start"].timestamp()), r["n_events"])
+        for r in spark.table("sess_pre_epoch").collect()
+    )
+    pre_s = int(pre.replace(tzinfo=dt.timezone.utc).timestamp())
+    post_s = int(post.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got == [
+        (1, pre_s, 2),
+        (1, pre_s + 2000, 1),
+        (2, post_s, 1),
+    ]

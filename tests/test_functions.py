@@ -178,3 +178,24 @@ def test_schemaless_read_comparison_semantics(spark, tmp_path):
     assert df.where(F.col("wy") > "3").count() == 1
     # numeric coercion: 10 and 9 both exceed 3
     assert df.where(F.col("wy") > 3).count() == 2
+
+
+def test_duck_floor_div_matches_python_floor_on_negatives():
+    """DuckDB's integer `//` TRUNCATES toward zero (-7 // 2 = -3), same
+    as Spark's DIV — duck_floor_div must floor, matching Python's //
+    and the engine's floor_div_sql (pre-epoch bucket parity; found by
+    tools/fuzz_correctness.py: every negative time bucket diverged by
+    one width before the oracles were switched to it)."""
+    import duckdb
+
+    from financial_big_data_exp_4_spark.plans.oracle_ext import (
+        duck_floor_div,
+    )
+
+    con = duckdb.connect()
+    for x in (-7, -6, -1, 0, 1, 6, 7, -3_600_000_001, 3_600_000_001):
+        for n in (2, 3600, 1_000_000):
+            [(got,)] = con.execute(
+                f"SELECT {duck_floor_div(str(x), n)}"
+            ).fetchall()
+            assert got == x // n, (x, n, got)

@@ -267,3 +267,46 @@ def test_kmeans_ivf_recovers_blob_neighbors(spark):
         ).collect()
     }
     assert approx == truth  # recall 1.0 on separable structure
+
+
+def test_cosine_zero_norm_yields_null_not_abort(spark):
+    """Zero embeddings are a certainty at corpus scale (empty docs, dead
+    encoder rows): the whole cosine family must yield NULL — DuckDB's
+    x/0.0 — instead of ANSI DIVIDE_BY_ZERO, and the pair/top-k/ANN
+    operators must stay total. Found by tools/fuzz_correctness.py (zero
+    vectors crashed all 7 embedding queries)."""
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        cosine,
+        cosine_pandas,
+        cosine_topk_bruteforce,
+        cosine_topk_ivf_kmeans,
+        embedding_neardup_pairs,
+    )
+
+    rows = [(i, [float(i + d) for d in range(4)]) for i in range(1, 8)]
+    rows.append((8, [0.0, 0.0, 0.0, 0.0]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    zero_vs_any = emb.alias("a").crossJoin(emb.alias("b")).where(
+        (F.col("a.vec_id") == 8) & (F.col("b.vec_id") == 1)
+    )
+    for fn in (cosine, cosine_pandas):
+        [r] = zero_vs_any.select(
+            fn(F.col("a.embedding"), F.col("b.embedding")).alias("cs")
+        ).collect()
+        assert r["cs"] is None, fn.__name__
+
+    # top-k ranks the zero vector last (NULLS LAST) and never aborts
+    topk = cosine_topk_bruteforce(emb, n_probes=2, k=10).collect()
+    nulls = [r for r in topk if r["cos_sim"] is None]
+    assert all(
+        r["rank"] == max(x["rank"] for x in topk if x["probe_id"] == r["probe_id"])
+        for r in nulls
+    )
+    # pair mining: the zero vector simply never pairs (NULL >= t is false)
+    pairs = embedding_neardup_pairs(emb, threshold=0.0, stride=3).collect()
+    assert all(8 not in (r["vec_a"], r["vec_b"]) for r in pairs)
+    # learned-quantizer ANN excludes the direction-less vector from the
+    # index and still answers
+    out = cosine_topk_ivf_kmeans(emb, n_probes=2, k=3, n_cells=2, nprobe=2)
+    assert all(r["vec_id"] != 8 for r in out.collect())

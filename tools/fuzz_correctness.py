@@ -1,0 +1,345 @@
+"""Adversarial differential fuzzing: generate a synthetic fixture set
+with hostile-but-in-contract distributions, then run the FULL
+check_correctness gate (every ``queries()`` entry vs its DuckDB oracle)
+over it.
+
+Why: the per-round gate only ever sees the driver's fixed fixture
+distributions. Every class of round-5 bug (NULL totality, pre-epoch
+floor division, zero-signature sentinel overload, quantile-split
+collisions) was invisible at the fixture and real off it. This tool
+makes those classes reproducible on demand:
+
+* **time**: event/order/ship timestamps mix the fixture's 2024 window
+  with pre-epoch (1969) and far-future (2100) values — exercises every
+  sign-safe floor-div bucketing site;
+* **text**: exact-duplicate clusters, near-duplicates (1-2 token
+  edits), empty / whitespace-only / single-token / one-token-repeated
+  docs, CJK + emoji + mixed-case docs, one 2000-token doc — exercises
+  shingle sentinels, repetition detection, tokenizer lockstep;
+* **numbers**: 30% of order prices collide on one promotional value
+  (quantile-split dedupe), exact-duplicate balances, negatives, zeros,
+  ±1e11 extremes;
+* **keys**: zipf-skewed users with forced duplicate (user_id, ts)
+  pairs (asof/latest tiebreaks), dangling order→customer foreign keys
+  (outer/anti joins);
+* **vectors**: exact-duplicate, near-duplicate, and all-ZERO
+  embeddings (zero-norm cosine paths);
+* **json**: malformed (`not json`, `{`, empty) and nested props;
+* **NULLs** (profile ``nulls``, the default): NULLs in every non-key
+  column — text, lang, value, event_type, props, priorities, balances,
+  segments. Keys stay non-null (the one generator-side contract).
+
+Usage::
+
+    python tools/fuzz_correctness.py [--seed N] [--profile nulls|clean]
+                                     [--keep] [query ...]
+
+Generates to /tmp/fuzz_sf_<seed>_<profile>/ and exits with
+check_correctness's exit code (0 iff every oracle-checked query
+matches). Deterministic per seed. ``--keep`` skips regeneration if the
+dir exists (fast re-runs while debugging one query).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+US = 1_000_000
+DAY_US = 86_400 * US
+EPOCH_2024 = 1_704_067_200 * US  # 2024-01-01
+EPOCH_1969 = -30 * DAY_US  # pre-epoch: 1969-12-02
+EPOCH_2100 = 4_102_444_800 * US  # 2100-01-01
+
+TOKEN_VOCAB = (
+    "the a key order sort table scan merge part window small hash join "
+    "batch stream spark dup group query row data slow filter customer "
+    "line value agg column big fast vector"
+).split()
+
+EVENT_TYPES = ["signup", "click", "purchase", "error", "view"]
+MKT_SEGMENTS = ["AUTOMOBILE", "FURNITURE", "MACHINERY", "BUILDING", "HOUSEHOLD"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+LANGS = ["en", "zh", "de", "es", "fr"]
+EMBED_DIM = 64
+
+
+def _maybe_null(rng, values, p, nulls: bool):
+    """Return values with probability-``p`` NULLs when the profile asks."""
+    if not nulls:
+        return list(values)
+    mask = rng.random(len(values)) < p
+    return [None if m else v for v, m in zip(values, mask)]
+
+
+def _ts_mix(rng, n) -> list[int]:
+    """µs timestamps: mostly 2024 window, some pre-epoch, some far future."""
+    kind = rng.random(n)
+    out = []
+    for k in kind:
+        if k < 0.70:
+            out.append(EPOCH_2024 + int(rng.integers(0, 30 * DAY_US)))
+        elif k < 0.85:
+            out.append(EPOCH_1969 + int(rng.integers(0, 10 * DAY_US)))
+        else:
+            out.append(EPOCH_2100 + int(rng.integers(0, 10 * DAY_US)))
+    return out
+
+
+def _write(outdir: str, name: str, cols: dict, types: dict) -> None:
+    arrays, fields = [], []
+    for cname, vals in cols.items():
+        t = types[cname]
+        arrays.append(pa.array(vals, type=t))
+        fields.append(pa.field(cname, t))
+    tbl = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+    pq.write_table(tbl, f"{outdir}/{name}.parquet")
+
+
+def generate(outdir: str, seed: int, nulls: bool) -> None:
+    rng = np.random.default_rng(seed)
+    os.makedirs(outdir, exist_ok=True)
+    ts_us = pa.timestamp("us")
+
+    _write(
+        outdir, "region",
+        {"r_regionkey": list(range(5)),
+         "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "中东 REGION"]},
+        {"r_regionkey": pa.int32(), "r_name": pa.string()},
+    )
+
+    n_names = [f"n{i}" for i in range(25)]
+    n_names[7] = ""  # empty group key
+    n_names[13] = "NATION WITH SPACES"
+    _write(
+        outdir, "nation",
+        {"n_nationkey": list(range(25)),
+         "n_name": n_names,
+         "n_regionkey": [int(v) for v in rng.choice(
+             5, 25, p=[0.5, 0.2, 0.1, 0.1, 0.1])]},
+        {"n_nationkey": pa.int32(), "n_name": pa.string(),
+         "n_regionkey": pa.int32()},
+    )
+
+    nc = 150
+    bal = np.round(rng.normal(1000, 2500, nc), 2)
+    bal[:10] = 777.77  # exact duplicates
+    bal[10:14] = 0.0
+    bal[14] = 9.9e11
+    bal[15] = -9.9e11
+    _write(
+        outdir, "customer",
+        {"c_custkey": list(range(1, nc + 1)),
+         "c_name": [f"Customer#{i:09d}" for i in range(1, nc + 1)],
+         "c_nationkey": [int(v) for v in rng.choice(25, nc)],
+         "c_acctbal": _maybe_null(rng, [float(b) for b in bal], 0.05, nulls),
+         "c_mktsegment": _maybe_null(
+             rng, [MKT_SEGMENTS[i] for i in rng.choice(5, nc)], 0.05, nulls)},
+        {"c_custkey": pa.int64(), "c_name": pa.string(),
+         "c_nationkey": pa.int32(), "c_acctbal": pa.float64(),
+         "c_mktsegment": pa.string()},
+    )
+
+    _write(
+        outdir, "supplier",
+        {"s_suppkey": list(range(1, 11)),
+         "s_name": [f"Supplier#{i}" for i in range(1, 11)],
+         "s_nationkey": [int(v) for v in rng.choice(25, 10)],
+         "s_acctbal": [round(float(v), 2) for v in rng.normal(5000, 2000, 10)]},
+        {"s_suppkey": pa.int64(), "s_name": pa.string(),
+         "s_nationkey": pa.int32(), "s_acctbal": pa.float64()},
+    )
+
+    npart = 200
+    _write(
+        outdir, "part",
+        {"p_partkey": list(range(1, npart + 1)),
+         "p_name": [f"part {i}" for i in range(1, npart + 1)],
+         "p_brand": [f"Brand#{int(v)}" for v in rng.integers(1, 26, npart)],
+         "p_type": [f"TYPE {int(v)}" for v in rng.integers(0, 6, npart)],
+         "p_size": [int(v) for v in rng.integers(1, 51, npart)],
+         "p_retailprice": [round(float(v), 2)
+                           for v in rng.uniform(900, 2000, npart)]},
+        {"p_partkey": pa.int64(), "p_name": pa.string(),
+         "p_brand": pa.string(), "p_type": pa.string(),
+         "p_size": pa.int32(), "p_retailprice": pa.float64()},
+    )
+
+    no = 1500
+    okeys = list(range(1, no + 1))
+    custs = []
+    for _ in range(no):
+        r = rng.random()
+        if r < 0.05:
+            custs.append(int(rng.integers(151, 161)))  # dangling FK
+        elif r < 0.25:
+            custs.append(7)  # hot customer
+        else:
+            custs.append(int(rng.integers(1, nc + 1)))
+    price = np.round(np.exp(rng.normal(9, 1, no)), 2)
+    promo = rng.random(no) < 0.30
+    price[promo] = 1000.0  # promotional collision: quantiles collide
+    price[0] = -500.25  # refund-shaped negative
+    _write(
+        outdir, "orders",
+        {"o_orderkey": okeys,
+         "o_custkey": custs,
+         "o_orderstatus": [["O", "F", "P"][i]
+                           for i in rng.choice(3, no, p=[0.5, 0.4, 0.1])],
+         "o_totalprice": [float(p) for p in price],
+         "o_orderdate": _ts_mix(rng, no),
+         "o_orderpriority": _maybe_null(
+             rng, [PRIORITIES[i] for i in rng.choice(5, no)], 0.03, nulls)},
+        {"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+         "o_orderstatus": pa.string(), "o_totalprice": pa.float64(),
+         "o_orderdate": ts_us, "o_orderpriority": pa.string()},
+    )
+
+    nl = 6000
+    _write(
+        outdir, "lineitem",
+        {"l_orderkey": [int(v) for v in rng.choice(okeys, nl)],
+         "l_partkey": [int(v) for v in rng.integers(1, npart + 1, nl)],
+         "l_suppkey": [int(v) for v in rng.integers(1, 11, nl)],
+         "l_linenumber": [int(v) for v in rng.integers(1, 8, nl)],
+         "l_quantity": [float(v) for v in rng.integers(1, 51, nl)],
+         "l_extendedprice": [round(float(v), 2)
+                             for v in rng.uniform(100, 100_000, nl)],
+         "l_discount": [round(float(v), 2) for v in rng.uniform(0, 0.1, nl)],
+         "l_tax": [round(float(v), 2) for v in rng.uniform(0, 0.08, nl)],
+         "l_returnflag": [["R", "A", "N"][i] for i in rng.choice(3, nl)],
+         "l_linestatus": [["O", "F"][i] for i in rng.choice(2, nl)],
+         "l_shipdate": _ts_mix(rng, nl)},
+        {"l_orderkey": pa.int64(), "l_partkey": pa.int64(),
+         "l_suppkey": pa.int64(), "l_linenumber": pa.int32(),
+         "l_quantity": pa.float64(), "l_extendedprice": pa.float64(),
+         "l_discount": pa.float64(), "l_tax": pa.float64(),
+         "l_returnflag": pa.string(), "l_linestatus": pa.string(),
+         "l_shipdate": ts_us},
+    )
+
+    ne = 1000
+    users = [1 if r < 0.30 else int(rng.integers(2, 101))
+             for r in rng.random(ne)]
+    ets = _ts_mix(rng, ne)
+    # forced duplicate (user_id, ts) pairs: deterministic tiebreaks
+    for i in range(0, 100, 2):
+        users[i + 1] = users[i]
+        ets[i + 1] = ets[i]
+    props = []
+    for i in range(ne):
+        r = rng.random()
+        if r < 0.80:
+            props.append('{"k": %d}' % rng.integers(0, 100))
+        elif r < 0.85:
+            props.append("not json")
+        elif r < 0.90:
+            props.append("{")
+        elif r < 0.95:
+            props.append("")
+        else:
+            props.append('{"k": {"nested": 1}}')
+    _write(
+        outdir, "events",
+        {"event_id": list(range(1, ne + 1)),
+         "ts": ets,
+         "user_id": users,
+         "event_type": _maybe_null(
+             rng, [EVENT_TYPES[i] for i in rng.choice(5, ne)], 0.05, nulls),
+         "value": _maybe_null(
+             rng, [round(float(v), 3) for v in rng.normal(50, 20, ne)],
+             0.07, nulls),
+         "props": _maybe_null(rng, props, 0.05, nulls)},
+        {"event_id": pa.int64(), "ts": ts_us, "user_id": pa.int64(),
+         "event_type": pa.string(), "value": pa.float64(),
+         "props": pa.string()},
+    )
+
+    nd = 500
+    texts: list[str | None] = []
+    for i in range(nd):
+        k = int(rng.integers(10, 120))
+        texts.append(" ".join(rng.choice(TOKEN_VOCAB, k)))
+    # exact-duplicate clusters: ids 1-40 = 10 clusters x 4 copies
+    for c in range(10):
+        base = texts[c * 4]
+        for j in range(1, 4):
+            texts[c * 4 + j] = base
+    # near-duplicates: ids 41-60 copy a cluster with 1-2 token edits
+    for i in range(40, 60):
+        toks = texts[(i - 40) * 2].split()
+        toks[min(3, len(toks) - 1)] = "edited"
+        texts[i] = " ".join(toks)
+    texts[60] = ""
+    texts[61] = "   "
+    texts[62] = "solo"
+    texts[63] = " ".join(["spam"] * 400)
+    texts[64] = "数据 表 扫描 归并 排序 数据 流 计算"
+    texts[65] = "hello!!! 😀 😀 ??? ... mixed,punct;here"
+    texts[66] = " ".join(rng.choice(TOKEN_VOCAB, 2000))
+    texts[67] = "The THE the tHe ThE"
+    texts = _maybe_null(rng, texts, 0.05, nulls)
+    _write(
+        outdir, "documents",
+        {"doc_id": list(range(1, nd + 1)),
+         "text": texts,
+         "lang": _maybe_null(
+             rng, [LANGS[i] for i in rng.choice(5, nd)], 0.10, nulls),
+         "source": [f"src{int(v)}" for v in rng.integers(0, 20, nd)],
+         "n_chars": [None if t is None else len(t) for t in texts]},
+        {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
+         "source": pa.string(), "n_chars": pa.int64()},
+    )
+
+    nv = 500
+    vecs = rng.normal(0, 1, (nv, EMBED_DIM)).astype(np.float32)
+    for i in range(10):  # exact duplicate pairs
+        vecs[100 + 2 * i + 1] = vecs[100 + 2 * i]
+    for i in range(5):  # near-duplicates
+        vecs[140 + i] = vecs[100 + i] + rng.normal(0, 1e-4, EMBED_DIM).astype(
+            np.float32
+        )
+    vecs[150:155] = 0.0  # zero-norm vectors
+    vecs[155] *= 1e4  # huge magnitude
+    _write(
+        outdir, "embeddings",
+        {"vec_id": list(range(1, nv + 1)),
+         "embedding": [v.tolist() for v in vecs],
+         "label": [int(v) for v in rng.choice(
+             5, nv, p=[0.6, 0.2, 0.1, 0.05, 0.05])]},
+        {"vec_id": pa.int64(),
+         "embedding": pa.list_(pa.float32()),
+         "label": pa.int32()},
+    )
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=606)
+    ap.add_argument("--profile", choices=["nulls", "clean"], default="nulls")
+    ap.add_argument("--keep", action="store_true",
+                    help="reuse an existing generated dir")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    outdir = f"/tmp/fuzz_sf_{args.seed}_{args.profile}"
+    if not (args.keep and os.path.isdir(outdir)):
+        generate(outdir, args.seed, nulls=args.profile == "nulls")
+    print(f"fuzz fixture: {outdir} (seed={args.seed}, {args.profile})")
+
+    import check_correctness as cc
+
+    sys.argv = ["check_correctness.py", outdir, *args.queries]
+    return cc.main()
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    raise SystemExit(main())
