@@ -32,6 +32,9 @@ from financial_big_data_exp_4_spark.functions.core import floor_div_sql
 
 NS_PER_SEC = 1_000_000_000
 SESSION_GAP_SEC = 30 * 60
+#: Max elements per generated gap-fill grid array (~128KB of longs):
+#: bounds executor memory per row however wide the event-time span is.
+_GRID_CHUNK_HOURS = 16_384
 
 
 def tumbling_counts(events: DataFrame, width_sec: int = 3600) -> DataFrame:
@@ -107,6 +110,14 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
     table is never scanned twice — and left-joined back to the counts.
     At 100 TB the grid is still only types × hours rows; everything after
     the first aggregate is dimension-sized.
+
+    The grid generates in CHUNKS of ``_GRID_CHUNK_HOURS``: a single
+    ``sequence(lo, hi)`` materializes the whole span as ONE in-memory
+    array, so a span stretched by a corrupt timestamp (the fuzz fixture's
+    1969→2100 events are 1.15M hours; a year-9999 outlier would be 70M)
+    becomes a single-row memory bomb. Two nested bounded explodes emit
+    the identical rows with every intermediate array ≤ chunk-sized, and
+    the join that follows hash-spreads the grid rows regardless.
     """
     hour = F.expr(floor_div_sql("ts", NS_PER_SEC * 3600)).cast("long")
     counts = (
@@ -117,11 +128,26 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
     spans = counts.groupBy("event_type").agg(
         F.min("hour_bucket").alias("_lo"), F.max("hour_bucket").alias("_hi")
     )
-    grid = spans.select(
+    w = _GRID_CHUNK_HOURS
+    chunks = spans.select(
         "event_type",
-        F.explode(F.sequence(F.col("_lo"), F.col("_hi"))).alias(
-            "hour_bucket"
-        ),
+        "_lo",
+        "_hi",
+        F.explode(
+            F.sequence(
+                F.expr(floor_div_sql("_lo", w)),
+                F.expr(floor_div_sql("_hi", w)),
+            )
+        ).alias("_chunk"),
+    )
+    grid = chunks.select(
+        "event_type",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("_lo"), F.col("_chunk") * w),
+                F.least(F.col("_hi"), F.col("_chunk") * w + (w - 1)),
+            )
+        ).alias("hour_bucket"),
     )
     return grid.join(counts, ["event_type", "hour_bucket"], "left").select(
         "event_type",

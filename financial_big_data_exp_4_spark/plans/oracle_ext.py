@@ -9,7 +9,14 @@ Mirroring rules (same as :mod:`.oracle`):
   ``list_reduce`` (DuckDB has no hex→int builtin) — bit-identical to
   Spark's ``conv(substring(md5(x),1,13),16,10)``;
 * all counts/sizes BIGINT on both sides; division-by-zero guarded with
-  the same CASE conditions.
+  the same CASE conditions;
+* every DECIMAL→DOUBLE conversion routes through VARCHAR
+  (``CAST(CAST(x AS VARCHAR) AS DOUBLE)``): DuckDB's direct
+  decimal/int128→double conversion is NOT correctly rounded (observed:
+  an exact 6634783729228.8365 converts to ...837 where the correctly
+  rounded double is ...836 — Spark's BigDecimal path), while its
+  string→double parse IS correctly rounded, restoring bit-identity
+  (found by tools/fuzz_correctness.py on a 17-digit moment sum).
 
 ``q_multimodal_meta`` has an oracle despite running through
 ``mapInPandas``: its pandas transform is closed-form (md5 + arithmetic on
@@ -536,7 +543,7 @@ Q_JSON_EXTRACT = """
 Q_STAR_JOIN = """
     SELECT r_name, n_name,
            count(*) AS n_orders,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                AS revenue
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -591,7 +598,7 @@ Q_ASOF_JOIN = """
 Q_ROLLUP = """
     SELECT o_orderpriority, o_orderstatus,
            count(*) AS cnt,
-           CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+           CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                AS revenue
     FROM orders
     GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
@@ -722,7 +729,7 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_cube": """
         SELECT o_orderpriority, o_orderstatus,
                count(*) AS cnt,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                    AS revenue
         FROM orders
         GROUP BY CUBE (o_orderpriority, o_orderstatus)
@@ -812,7 +819,7 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
                CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
                    AS gid,
                count(*) AS cnt,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE)
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                    AS revenue
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
@@ -1075,8 +1082,8 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
             FROM events
         )
         SELECT event_id, user_id, ts_us,
-               CAST(sum(v) OVER w AS DOUBLE) AS mov_sum,
-               CAST(sum(v) OVER w AS DOUBLE)
+               CAST(CAST(sum(v) OVER w AS VARCHAR) AS DOUBLE) AS mov_sum,
+               CAST(CAST(sum(v) OVER w AS VARCHAR) AS DOUBLE)
                    / CAST(count(v) OVER w AS DOUBLE) AS mov_avg
         FROM b
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
@@ -1123,9 +1130,8 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     # from the decimal sums with one double division each.
     "q_shipping_priority": """
         SELECT l_orderkey, o_orderdate, o_orderpriority,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * CAST(1.0 - l_discount AS DECIMAL(4,2)))
-                    AS DOUBLE) AS revenue
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -1158,11 +1164,11 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     """,
     "q_running_total": """
         SELECT o_custkey, o_orderkey, o_orderdate,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(38,2))) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DOUBLE) AS cum_spend
+               ) AS VARCHAR) AS DOUBLE) AS cum_spend
         FROM orders
     """,
     "q_correlation": """
@@ -1174,11 +1180,11 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         ), m AS (
             SELECT l_returnflag,
                    CAST(count(*) AS DOUBLE) AS n,
-                   CAST(sum(xd) AS DOUBLE) AS sx,
-                   CAST(sum(yd) AS DOUBLE) AS sy,
-                   CAST(sum(xd * yd) AS DOUBLE) AS sxy,
-                   CAST(sum(xd * xd) AS DOUBLE) AS sxx,
-                   CAST(sum(yd * yd) AS DOUBLE) AS syy,
+                   CAST(CAST(sum(xd) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(sum(yd) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(sum(xd * yd) AS VARCHAR) AS DOUBLE) AS sxy,
+                   CAST(CAST(sum(xd * xd) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(sum(yd * yd) AS VARCHAR) AS DOUBLE) AS syy,
                    count(*) AS n_rows
             FROM d GROUP BY l_returnflag
         )
@@ -1193,29 +1199,27 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_skew_join": """
         SELECT p_brand,
                count(*) AS n_items,
-               CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                    AS sum_qty
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY p_brand
     """,
     "q_lineitem_pricing": """
         SELECT l_returnflag, l_linestatus,
-               CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                    AS sum_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                    AS sum_base_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * CAST(1.0 - l_discount AS DECIMAL(4,2)))
-                    AS DOUBLE) AS sum_disc_price,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
                         * CAST(1.0 - l_discount AS DECIMAL(4,2))
-                        * CAST(1.0 + l_tax AS DECIMAL(4,2)))
-                    AS DOUBLE) AS sum_charge,
-               CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+                        * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS avg_qty,
-               CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE)
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS avg_price,
-               CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS DOUBLE)
+               CAST(CAST(sum(CAST(l_discount AS DECIMAL(8,2))) AS VARCHAR) AS DOUBLE)
                    / CAST(count(*) AS DOUBLE) AS avg_disc,
                count(*) AS cnt
         FROM lineitem
@@ -1232,7 +1236,7 @@ EXTENSION_ORACLE_SQL["q_curation_yield"] = f"""
            count(*) AS n_docs,
            CAST(sum(CASE WHEN qf.keep THEN 1 ELSE 0 END) AS BIGINT)
                AS n_keep,
-           CAST(sum(CASE WHEN qf.keep THEN 1 ELSE 0 END) AS DOUBLE)
+           CAST(CAST(sum(CASE WHEN qf.keep THEN 1 ELSE 0 END) AS VARCHAR) AS DOUBLE)
                / CAST(count(*) AS DOUBLE) AS yield_rate
     FROM documents d JOIN qf USING (doc_id)
     GROUP BY d.source
@@ -1580,14 +1584,13 @@ EXTENSION_ORACLE_SQL["q_transitions"] = """
 EXTENSION_ORACLE_SQL["q_standard_scale"] = """
     WITH m AS (
         SELECT c_nationkey AS g,
-               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
                    / CAST(count(c_acctbal) AS DOUBLE) AS mean,
                sqrt(greatest((CAST(count(c_acctbal) AS DOUBLE)
-                     * CAST(sum(CAST(c_acctbal AS DECIMAL(19,2))
-                                * CAST(c_acctbal AS DECIMAL(18,2)))
-                            AS DOUBLE)
-                     - CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
-                       * CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE))
+                     * CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(19,2))
+                                * CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+                     - CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+                       * CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE))
                     / (CAST(count(c_acctbal) AS DOUBLE)
                        * CAST(count(c_acctbal) AS DOUBLE)), 0.0)) AS std
         FROM customer GROUP BY c_nationkey
@@ -1601,9 +1604,8 @@ EXTENSION_ORACLE_SQL["q_standard_scale"] = """
 
 EXTENSION_ORACLE_SQL["q_local_supplier_volume"] = """
     SELECT n_name,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
-                    * CAST(1.0 - l_discount AS DECIMAL(4,2)))
-                AS DOUBLE) AS revenue
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -1620,10 +1622,10 @@ EXTENSION_ORACLE_SQL["q_local_supplier_volume"] = """
 EXTENSION_ORACLE_SQL["q_large_orders"] = """
     WITH big AS (
         SELECT l_orderkey,
-               CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                    AS sum_qty
         FROM lineitem GROUP BY l_orderkey
-        HAVING CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+        HAVING CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,2))) AS VARCHAR) AS DOUBLE)
                > 300.0
     )
     SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
@@ -1739,7 +1741,7 @@ EXTENSION_ORACLE_SQL["q_range_frame"] = f"""
     SELECT event_id, user_id,
            CAST({_FD_SEC} AS BIGINT) AS ts_s,
            count(*) OVER w AS hour_cnt,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS VARCHAR) AS DOUBLE)
                AS hour_sum
     FROM events
     WINDOW w AS (

@@ -353,3 +353,35 @@ def test_pack_sequences_conserves_tokens(spark, sf_dir):
     ).agg(F.sum("n")).collect()[0][0]
     assert agg["d"] == n_docs
     assert agg["t"] == n_tokens
+
+
+def test_oracle_decimal_to_double_routes_via_varchar():
+    """DuckDB's direct decimal→double conversion double-rounds on
+    >15-digit decimals (6634783729228.8365 → ...837; correctly rounded
+    is ...836, which Spark produces); its string→double parse is
+    correctly rounded. Every oracle DECIMAL sum must therefore convert
+    via VARCHAR — this pins both the DuckDB behavior and the rule."""
+    import decimal
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    [(direct, via, s)] = con.execute(
+        "SELECT CAST(CAST('6634783729228.8365' AS DECIMAL(20,4)) AS DOUBLE),"
+        "       CAST(CAST(CAST('6634783729228.8365' AS DECIMAL(20,4))"
+        "            AS VARCHAR) AS DOUBLE),"
+        "       CAST(CAST('6634783729228.8365' AS DECIMAL(20,4)) AS VARCHAR)"
+    ).fetchall()
+    correctly_rounded = float(decimal.Decimal(s))
+    assert via == correctly_rounded
+    if direct == correctly_rounded:  # a fixed DuckDB would relax the rule
+        return
+    # the rule itself: no bare decimal-sum→DOUBLE cast left in any oracle
+    from financial_big_data_exp_4_spark.plans import REFERENCE_ORACLE_SQL
+
+    bare = re.compile(r"CAST\(sum\((?:[^()]|\([^()]*\))*\)\s+AS DOUBLE\)")
+    offenders = {
+        name for name, sql in REFERENCE_ORACLE_SQL.items() if bare.search(sql)
+    }
+    assert not offenders, offenders
