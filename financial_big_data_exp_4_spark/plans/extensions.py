@@ -888,26 +888,52 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same pattern as q_approx_distinct): the oracle hashes the exact
     median plus TRUE, so the Greenwald-Khanna sketch's accuracy is the
     check. At 100 TB the sketch is the production path — one pass,
-    mergeable, bounded memory vs the exact sort-based percentile."""
+    mergeable, bounded memory vs the exact sort-based percentile.
+
+    The proof checks RANK, not value: GK guarantees the returned
+    element's rank is within ε·n of the target — it promises nothing
+    about value distance, and a ±2% *value* tolerance is data-dependent
+    (on a 45-row group the gap between the two central order statistics
+    exceeded 2%, and a negative median makes the relative bound
+    vacuously impossible — both found by tools/fuzz_correctness.py).
+    With duplicates a single value occupies a rank RUN, so the check is
+    interval overlap: [count(v < approx), count(v ≤ approx)] must
+    intersect [n/2 − tol, n/2 + tol], tol = n·0.001 + 1 (accuracy
+    10000 ⇒ ε = 1e-4; the ±1 absorbs the even/odd target split)."""
     # NOT _fact-rebalanced: the GK sketch's partial state is compact, so
     # the fan-out exchange costs more than it saves (A/B at sf0.1)
     orders = load_table(spark, sf_dir, "orders")
     p = F.col("o_totalprice")
+    g = orders.groupBy("o_orderpriority").agg(
+        F.percentile(p, F.lit(0.5)).alias("p50_exact"),
+        F.expr(
+            "approx_percentile(o_totalprice, 0.5, 10000)"
+        ).alias("_pa"),
+        F.count(p).alias("_n"),
+    )
+    # rank the sketch's answer within its own group: broadcast the tiny
+    # per-group row back over the fact scan (eqNullSafe — a NULL
+    # priority is a real group on both engines)
+    j = orders.select(
+        F.col("o_orderpriority").alias("_prio"), p.alias("_v")
+    ).join(
+        F.broadcast(g),
+        F.col("_prio").eqNullSafe(F.col("o_orderpriority")),
+    )
+    half = F.col("_n") / 2
+    tol = F.col("_n") * F.lit(0.001) + 1
     return (
-        orders.groupBy("o_orderpriority")
+        j.groupBy("o_orderpriority", "p50_exact", "_n")
         .agg(
-            F.percentile(p, F.lit(0.5)).alias("p50_exact"),
-            F.expr(
-                "approx_percentile(o_totalprice, 0.5, 10000)"
-            ).alias("_p50_approx"),
+            F.count(F.when(F.col("_v") < F.col("_pa"), 1)).alias("_lo"),
+            F.count(F.when(F.col("_v") <= F.col("_pa"), 1)).alias("_hi"),
         )
         .select(
             "o_orderpriority",
             "p50_exact",
             (
-                F.abs(F.col("_p50_approx") - F.col("p50_exact"))
-                <= F.lit(0.02) * F.col("p50_exact")
-            ).alias("within_2pct"),
+                (F.col("_lo") <= half + tol) & (F.col("_hi") >= half - tol)
+            ).alias("sketch_rank_ok"),
         )
     )
 

@@ -1118,10 +1118,12 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     """,
     # sketch-accuracy proof row (same pattern as q_approx_distinct): the
     # oracle pins the exact median and expects the tolerance flag TRUE.
+    # the engine asserts the GK sketch's RANK accuracy (its actual
+    # guarantee); the oracle expects the proof TRUE for every group
     "q_approx_percentile": """
         SELECT o_orderpriority,
                quantile_cont(o_totalprice, 0.5) AS p50_exact,
-               TRUE AS within_2pct
+               TRUE AS sketch_rank_ok
         FROM orders
         GROUP BY o_orderpriority
     """,
