@@ -530,31 +530,65 @@ def cosine_topk_ivf_kmeans(
             )
         ),
     )
-    model = KMeans(
-        k=n_cells,
-        seed=seed,
-        maxIter=max_iter,
-        featuresCol="_feat",
-        predictionCol="cell",
-    ).fit(unit)
-    assigned = _persist_scoped(
-        model.transform(unit).select(
-            "vec_id",
-            "embedding",
-            "_norm",
-            F.col("cell").cast("long").alias("cell"),
-        )
-    )
-    # centroid table: a model artifact of C×dim doubles — driver-side by
-    # nature (like any fitted model), broadcast for cell ranking
+    # clamp k to the number of DISTINCT unit vectors: KMeans.fit aborts
+    # outright when k exceeds the point count, and its k-means|| init
+    # throws ArrayIndexOutOfBounds deeper in when duplicates leave fewer
+    # distinct points than requested centers (a tiny or
+    # duplicate-saturated corpus — colinear embeddings normalize to the
+    # SAME unit vector). One cheap distinct-count action at MODEL-BUILD
+    # time — the fit right after is already an action, and the declared
+    # query memoizes the whole build per session. An empty index (every
+    # vector zero-norm) short-circuits to an empty result with the
+    # declared schema.
+    n_distinct = unit.select("_feat").distinct().count()
     spark = embeddings.sparkSession
-    cents = spark.createDataFrame(
-        [
-            (i, [float(x) for x in c])
-            for i, c in enumerate(model.clusterCenters())
-        ],
-        "cell long, cvec array<double>",
-    )
+    if n_distinct == 0:
+        return spark.createDataFrame(
+            [],
+            "probe_id long, vec_id long, cos_sim double, rank long",
+        )
+    if n_distinct < 2:
+        # one distinct direction: a fit is both impossible (Spark KMeans
+        # requires k ≥ 2) and pointless — everything lives in one cell.
+        # The zero "centroid" only feeds the single-cell ranking, where
+        # any value wins row_number 1.
+        assigned = _persist_scoped(
+            unit.select(
+                "vec_id",
+                "embedding",
+                "_norm",
+                F.lit(0).cast("long").alias("cell"),
+            )
+        )
+        cents = spark.createDataFrame(
+            [(0, [0.0])], "cell long, cvec array<double>"
+        )
+    else:
+        model = KMeans(
+            k=min(n_cells, n_distinct),
+            seed=seed,
+            maxIter=max_iter,
+            featuresCol="_feat",
+            predictionCol="cell",
+        ).fit(unit)
+        assigned = _persist_scoped(
+            model.transform(unit).select(
+                "vec_id",
+                "embedding",
+                "_norm",
+                F.col("cell").cast("long").alias("cell"),
+            )
+        )
+        # centroid table: a model artifact of C×dim doubles —
+        # driver-side by nature (like any fitted model), broadcast for
+        # cell ranking
+        cents = spark.createDataFrame(
+            [
+                (i, [float(x) for x in c])
+                for i, c in enumerate(model.clusterCenters())
+            ],
+            "cell long, cvec array<double>",
+        )
     probes = assigned.where(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),

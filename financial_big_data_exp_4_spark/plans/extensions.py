@@ -210,6 +210,16 @@ def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") == 1)
         .select("probe_id", F.col("cos_sim").alias("_exact_best"))
     )
+    # the k-results claim is bounded by what EXISTS: only vectors with a
+    # direction are indexable, and the probe itself is excluded — on a
+    # 3-vector corpus (one zero-norm) each probe has exactly ONE
+    # possible neighbor, and demanding k of them would fail the proof on
+    # perfectly correct output (found by the fuzz tiny profile). The
+    # bound rides the plan as a broadcast 1-row aggregate — no driver
+    # action.
+    navail = emb.where(F.exists("embedding", lambda x: x != 0)).agg(
+        F.count(F.lit(1)).alias("_navail")
+    )
     per = (
         topk.groupBy("probe_id")
         .agg(
@@ -219,10 +229,14 @@ def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cos_sim").alias("_best_sim"),
         )
         .join(exact1, "probe_id")
+        .crossJoin(F.broadcast(navail))
     )
     return per.select(
         "probe_id",
-        (F.col("_n") == IVF_TOPK).alias("has_k"),
+        (
+            F.col("_n")
+            == F.least(F.lit(IVF_TOPK), F.col("_navail") - 1)
+        ).alias("has_k"),
         (F.col("_max_rank") == F.col("_n")).alias("ranks_contiguous"),
         (
             (F.col("_min_sim") >= -1.0000001)
@@ -1028,8 +1042,18 @@ def q_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count("*").cast("double")
     sx, sy = dsum(x), dsum(y)
     sxy, sxx, syy = dsum(x * y), dsum(x * x), dsum(y * y)
-    corr = (n * sxy - sx * sy) / (
-        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    # try_divide + greatest(·, 0): a zero-variance group (every quantity
+    # identical) makes Pearson correlation undefined — NULL, exactly
+    # DuckDB's x/0.0, never an ANSI abort. The greatest() guards the
+    # same constant-group rounding hazard standard_scale documents
+    # (n·Σx² − (Σx)² can round to a tiny NEGATIVE; Spark's sqrt would
+    # give NaN and DuckDB's would ERROR — both wrong for the gate).
+    # Singleton/constant groups are routine at scale; found by the fuzz
+    # tiny profile.
+    corr = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0)))
+        * F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0))),
     )
     return li.groupBy("l_returnflag").agg(
         corr.alias("corr_qty_price"),

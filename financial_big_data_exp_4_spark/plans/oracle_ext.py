@@ -1192,7 +1192,8 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         )
         SELECT l_returnflag,
                (n * sxy - sx * sy)
-                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                   / (sqrt(greatest(n * sxx - sx * sx, 0.0))
+                      * sqrt(greatest(n * syy - sy * sy, 0.0)))
                    AS corr_qty_price,
                n_rows
         FROM m

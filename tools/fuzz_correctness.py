@@ -320,10 +320,133 @@ def generate(outdir: str, seed: int, nulls: bool) -> None:
     )
 
 
+def generate_tiny(outdir: str, seed: int) -> None:
+    """Degenerate-size fixture: every table at its smallest meaningful
+    cardinality (singleton groups, one-pair dedup, a 3-vector index,
+    empty-text docs). Exercises the failure class the other profiles
+    can't: std of a singleton, percentile of one value, LSH with no
+    candidate pairs, a quantizer fit with fewer points than cells."""
+    rng = np.random.default_rng(seed)
+    os.makedirs(outdir, exist_ok=True)
+    ts_us = pa.timestamp("us")
+
+    _write(
+        outdir, "region",
+        {"r_regionkey": list(range(5)),
+         "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]},
+        {"r_regionkey": pa.int32(), "r_name": pa.string()},
+    )
+    _write(
+        outdir, "nation",
+        {"n_nationkey": list(range(25)),
+         "n_name": [f"n{i}" for i in range(25)],
+         "n_regionkey": [int(v) for v in rng.choice(5, 25)]},
+        {"n_nationkey": pa.int32(), "n_name": pa.string(),
+         "n_regionkey": pa.int32()},
+    )
+    _write(
+        outdir, "customer",
+        {"c_custkey": [1, 2, 3],
+         "c_name": ["Customer#1", "Customer#2", "Customer#3"],
+         "c_nationkey": [0, 0, 7],
+         "c_acctbal": [100.0, 100.0, -5.5],
+         "c_mktsegment": ["BUILDING", "BUILDING", "MACHINERY"]},
+        {"c_custkey": pa.int64(), "c_name": pa.string(),
+         "c_nationkey": pa.int32(), "c_acctbal": pa.float64(),
+         "c_mktsegment": pa.string()},
+    )
+    _write(
+        outdir, "supplier",
+        {"s_suppkey": [1], "s_name": ["Supplier#1"], "s_nationkey": [0],
+         "s_acctbal": [0.0]},
+        {"s_suppkey": pa.int64(), "s_name": pa.string(),
+         "s_nationkey": pa.int32(), "s_acctbal": pa.float64()},
+    )
+    _write(
+        outdir, "part",
+        {"p_partkey": [1, 2], "p_name": ["part 1", "part 2"],
+         "p_brand": ["Brand#1", "Brand#2"], "p_type": ["TYPE 0", "TYPE 1"],
+         "p_size": [1, 50], "p_retailprice": [900.0, 2000.0]},
+        {"p_partkey": pa.int64(), "p_name": pa.string(),
+         "p_brand": pa.string(), "p_type": pa.string(),
+         "p_size": pa.int32(), "p_retailprice": pa.float64()},
+    )
+    _write(
+        outdir, "orders",
+        {"o_orderkey": [1, 2, 3, 97 * 3],  # 97*3: exercises the CDC mod classes
+         "o_custkey": [1, 1, 3, 9],  # 9: dangling FK
+         "o_orderstatus": ["O", "F", "O", "P"],
+         "o_totalprice": [1000.0, 1000.0, -500.0, 250.5],
+         "o_orderdate": [EPOCH_2024, EPOCH_2024 + DAY_US, EPOCH_1969, EPOCH_2024],
+         "o_orderpriority": ["1-URGENT", "1-URGENT", "5-LOW", "3-MEDIUM"]},
+        {"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+         "o_orderstatus": pa.string(), "o_totalprice": pa.float64(),
+         "o_orderdate": ts_us, "o_orderpriority": pa.string()},
+    )
+    _write(
+        outdir, "lineitem",
+        {"l_orderkey": [1, 1, 2, 3, 4],
+         "l_partkey": [1, 2, 1, 2, 1],
+         "l_suppkey": [1, 1, 1, 1, 1],
+         "l_linenumber": [1, 2, 1, 1, 1],
+         "l_quantity": [1.0, 50.0, 7.0, 7.0, 3.0],
+         "l_extendedprice": [100.0, 99999.99, 500.0, 500.0, 42.0],
+         "l_discount": [0.0, 0.1, 0.05, 0.05, 0.0],
+         "l_tax": [0.0, 0.08, 0.02, 0.02, 0.0],
+         "l_returnflag": ["N", "R", "A", "A", "N"],
+         "l_linestatus": ["O", "F", "O", "F", "O"],
+         "l_shipdate": [EPOCH_2024, EPOCH_1969, EPOCH_2024, EPOCH_2100,
+                        EPOCH_2024]},
+        {"l_orderkey": pa.int64(), "l_partkey": pa.int64(),
+         "l_suppkey": pa.int64(), "l_linenumber": pa.int32(),
+         "l_quantity": pa.float64(), "l_extendedprice": pa.float64(),
+         "l_discount": pa.float64(), "l_tax": pa.float64(),
+         "l_returnflag": pa.string(), "l_linestatus": pa.string(),
+         "l_shipdate": ts_us},
+    )
+    _write(
+        outdir, "events",
+        {"event_id": [1, 2, 3, 4, 5],
+         "ts": [EPOCH_2024, EPOCH_2024 + 10 * US, EPOCH_2024 + 10 * US,
+                EPOCH_1969, EPOCH_2100],
+         "user_id": [1, 1, 1, 2, 2],  # duplicate ts for user 1: tiebreaks
+         "event_type": ["purchase", "error", "error", "view", "view"],
+         "value": [10.0, 0.0, 0.0, -1.5, 99.9],
+         "props": ['{"k": 1}', "", '{"k": 2}', "not json", '{"k": 3}']},
+        {"event_id": pa.int64(), "ts": ts_us, "user_id": pa.int64(),
+         "event_type": pa.string(), "value": pa.float64(),
+         "props": pa.string()},
+    )
+    _write(
+        outdir, "documents",
+        {"doc_id": [1, 2, 3],
+         "text": ["the fast key order sort table scan merge",
+                  "the fast key order sort table scan merge",  # exact dup
+                  ""],
+         "lang": ["en", "en", "zh"],
+         "source": ["src0", "src0", "src1"],
+         "n_chars": [40, 40, 0]},
+        {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
+         "source": pa.string(), "n_chars": pa.int64()},
+    )
+    v = rng.normal(0, 1, EMBED_DIM).astype(np.float32)
+    _write(
+        outdir, "embeddings",
+        {"vec_id": [1, 2, 3],
+         "embedding": [v.tolist(), (v * 2).tolist(),  # colinear pair
+                       [0.0] * EMBED_DIM],  # zero vector
+         "label": [0, 0, 1]},
+        {"vec_id": pa.int64(),
+         "embedding": pa.list_(pa.float32()),
+         "label": pa.int32()},
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=606)
-    ap.add_argument("--profile", choices=["nulls", "clean"], default="nulls")
+    ap.add_argument("--profile", choices=["nulls", "clean", "tiny"],
+                    default="nulls")
     ap.add_argument("--keep", action="store_true",
                     help="reuse an existing generated dir")
     ap.add_argument("queries", nargs="*")
@@ -331,7 +454,10 @@ def main() -> int:
 
     outdir = f"/tmp/fuzz_sf_{args.seed}_{args.profile}"
     if not (args.keep and os.path.isdir(outdir)):
-        generate(outdir, args.seed, nulls=args.profile == "nulls")
+        if args.profile == "tiny":
+            generate_tiny(outdir, args.seed)
+        else:
+            generate(outdir, args.seed, nulls=args.profile == "nulls")
     print(f"fuzz fixture: {outdir} (seed={args.seed}, {args.profile})")
 
     import check_correctness as cc
