@@ -103,6 +103,25 @@ def _write(outdir: str, name: str, cols: dict, types: dict) -> None:
     pq.write_table(tbl, f"{outdir}/{name}.parquet")
 
 
+def reencode_events_ns(outdir: str) -> None:
+    """Rewrite events.parquet with ``ts`` as TIMESTAMP(NANOS) — same
+    instants, different physical encoding. The driver fixture has
+    shipped events.ts as BOTH MICROS and NANOS across generations
+    (TESTDATA/SURVEY: the engine loader normalizes either via the
+    retrofitted ``nanosAsLong`` conf, DuckDB reads TIMESTAMP_NS
+    natively), so ``--ts-encoding ns`` pre-verifies the flip instead of
+    discovering it on a future round. Only events flips — the driver
+    has never shipped nanos order/ship dates."""
+    path = f"{outdir}/events.parquet"
+    tbl = pq.read_table(path)
+    idx = tbl.column_names.index("ts")
+    tbl = tbl.set_column(
+        idx, pa.field("ts", pa.timestamp("ns")),
+        tbl.column("ts").cast(pa.timestamp("ns")),
+    )
+    pq.write_table(tbl, path)
+
+
 def generate(outdir: str, seed: int, nulls: bool) -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=True)
@@ -447,17 +466,24 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=606)
     ap.add_argument("--profile", choices=["nulls", "clean", "tiny"],
                     default="nulls")
+    ap.add_argument("--ts-encoding", choices=["us", "ns"], default="us",
+                    help="physical encoding of events.ts (see "
+                         "reencode_events_ns)")
     ap.add_argument("--keep", action="store_true",
                     help="reuse an existing generated dir")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
     outdir = f"/tmp/fuzz_sf_{args.seed}_{args.profile}"
+    if args.ts_encoding == "ns":
+        outdir += "_ns"
     if not (args.keep and os.path.isdir(outdir)):
         if args.profile == "tiny":
             generate_tiny(outdir, args.seed)
         else:
             generate(outdir, args.seed, nulls=args.profile == "nulls")
+        if args.ts_encoding == "ns":
+            reencode_events_ns(outdir)
     print(f"fuzz fixture: {outdir} (seed={args.seed}, {args.profile})")
 
     import check_correctness as cc
