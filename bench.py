@@ -172,6 +172,10 @@ def main() -> None:
     top_spark = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
+    # Consumers of the session-memoized family stages (the memo_df call
+    # sites in plans/extensions.py own this knowledge — update BOTH when
+    # adding a family). A renamed/removed consumer fails loudly below
+    # instead of silently dropping out of the cold section.
     memo_consumers = [
         "q_neardup_minhash", "q_neardup_verified", "q_neardup_edit",
         "q_dedup_clusters", "q_dedup_incremental", "q_embed_cosine_topk",
@@ -179,6 +183,11 @@ def main() -> None:
         "q_embed_lsh_pairs", "q_triangle_count", "q_merge_upsert",
         "q_table_diff",
     ]
+    missing = [q for q in memo_consumers if q not in cold]
+    if missing:
+        raise RuntimeError(
+            f"bench memo_consumers out of sync with queries(): {missing}"
+        )
     print(
         json.dumps(
             {
@@ -187,9 +196,7 @@ def main() -> None:
                 "oracle_ratio": ratio,
                 "sf": sf,
                 "top_spark": top_spark,
-                "cold": {
-                    q: cold[q] for q in memo_consumers if q in cold
-                },
+                "cold": {q: cold[q] for q in memo_consumers},
             }
         )
     )

@@ -216,8 +216,15 @@ def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # possible neighbor, and demanding k of them would fail the proof on
     # perfectly correct output (found by the fuzz tiny profile). The
     # bound rides the plan as a broadcast 1-row aggregate — no driver
-    # action.
-    navail = emb.where(F.exists("embedding", lambda x: x != 0)).agg(
+    # action. The filter is the SAME norm > 0 predicate the index uses
+    # (cosine_topk_ivf_kmeans's `unit`), not an element-wise
+    # exists(x != 0): the two differ on NULL/NaN-element vectors (norm
+    # folds to NULL/NaN → unindexable; exists still sees a nonzero) and
+    # a bound computed on a different predicate could demand neighbors
+    # the index cannot contain.
+    from financial_big_data_exp_4_spark.operators.similarity import norm
+
+    navail = emb.where(norm(F.col("embedding")) > 0).agg(
         F.count(F.lit(1)).alias("_navail")
     )
     per = (
@@ -912,8 +919,10 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuously impossible — both found by tools/fuzz_correctness.py).
     With duplicates a single value occupies a rank RUN, so the check is
     interval overlap: [count(v < approx), count(v ≤ approx)] must
-    intersect [n/2 − tol, n/2 + tol], tol = n·0.001 + 1 (accuracy
-    10000 ⇒ ε = 1e-4; the ±1 absorbs the even/odd target split)."""
+    intersect [n/2 − tol, n/2 + tol], tol = n·1e-4 + 1 — exactly the
+    sketch's ε = 1/accuracy rank guarantee at accuracy 10000, with the
+    ±1 absorbing the even/odd target split. A sketch whose rank error
+    regressed past its own contract fails the gate."""
     # NOT _fact-rebalanced: the GK sketch's partial state is compact, so
     # the fan-out exchange costs more than it saves (A/B at sf0.1)
     orders = load_table(spark, sf_dir, "orders")
@@ -935,7 +944,7 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_prio").eqNullSafe(F.col("o_orderpriority")),
     )
     half = F.col("_n") / 2
-    tol = F.col("_n") * F.lit(0.001) + 1
+    tol = F.col("_n") * F.lit(1e-4) + 1
     return (
         j.groupBy("o_orderpriority", "p50_exact", "_n")
         .agg(

@@ -688,7 +688,12 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     # one all-TRUE proof row per probe that EXISTS in the data (and has a
     # direction): derived from the table, not range(5) — a fixture whose
     # vec_ids don't start at 0 (or whose probe rows are zero vectors)
-    # changes the probe set, and the structural contract must follow it
+    # changes the probe set, and the structural contract must follow it.
+    # "has a direction" = some nonzero element, which equals the
+    # engine's norm > 0 under the embedding contract (array<float>,
+    # elements non-NULL and finite); a NULL/NaN element would break the
+    # equivalence, and the engine side guards that by using norm > 0 for
+    # BOTH its index and its has_k bound.
     "q_embed_ann_kmeans": """
         SELECT vec_id AS probe_id,
                TRUE AS has_k,

@@ -362,7 +362,6 @@ def test_oracle_decimal_to_double_routes_via_varchar():
     correctly rounded. Every oracle DECIMAL sum must therefore convert
     via VARCHAR — this pins both the DuckDB behavior and the rule."""
     import decimal
-    import re
 
     import duckdb
 
@@ -377,11 +376,45 @@ def test_oracle_decimal_to_double_routes_via_varchar():
     assert via == correctly_rounded
     if direct == correctly_rounded:  # a fixed DuckDB would relax the rule
         return
-    # the rule itself: no bare decimal-sum→DOUBLE cast left in any oracle
+    # the rule itself: no bare sum(...)→DOUBLE cast left in any oracle.
+    # Paren-AWARE scan, not a fixed-nesting regex: the dominant offender
+    # shapes are 2+ levels deep (CAST(sum(CAST(x AS DECIMAL(38,2))) AS
+    # DOUBLE)) and window forms (CAST(sum(..) OVER w AS DOUBLE)), which
+    # a one-level regex silently misses.
     from financial_big_data_exp_4_spark.plans import REFERENCE_ORACLE_SQL
 
-    bare = re.compile(r"CAST\(sum\((?:[^()]|\([^()]*\))*\)\s+AS DOUBLE\)")
+    def has_bare_sum_double_cast(sql: str) -> bool:
+        i = 0
+        while True:
+            j = sql.find("CAST(sum(", i)
+            if j < 0:
+                return False
+            k = j + len("CAST(")
+            depth = 1
+            while k < len(sql):
+                c = sql[k]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break  # CAST closed some other way (e.g. BIGINT)
+                if depth == 1 and sql.startswith("AS DOUBLE)", k):
+                    return True
+                k += 1
+            i = k + 1
+
     offenders = {
-        name for name, sql in REFERENCE_ORACLE_SQL.items() if bare.search(sql)
+        name
+        for name, sql in REFERENCE_ORACLE_SQL.items()
+        if has_bare_sum_double_cast(sql)
     }
     assert not offenders, offenders
+    # self-check: the scanner DOES catch the shapes the old regex missed
+    assert has_bare_sum_double_cast(
+        "CAST(sum(CAST(x AS DECIMAL(38,2))) AS DOUBLE)"
+    )
+    assert has_bare_sum_double_cast("CAST(sum(v) OVER w AS DOUBLE)")
+    assert not has_bare_sum_double_cast(
+        "CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE)"
+    )

@@ -47,12 +47,19 @@ def main() -> int:
     # by get_spark with all engine confs), which would defeat the whole
     # point of simulating the driver's bare-session shape — refuse to run
     # under one rather than produce a false "green under plain confs"
-    # (round-6 ADVICE).
-    active = SparkSession.getActiveSession()
-    if active is not None:
+    # (round-6 ADVICE). Check the PROCESS-global SparkContext, not just
+    # getActiveSession(): the active session is thread-local, while
+    # getOrCreate falls back to the process-wide instantiated session —
+    # a session built on another thread (or after clearActiveSession)
+    # would slip past an active-session-only check.
+    from pyspark import SparkContext
+
+    live_sc = SparkContext._active_spark_context
+    if SparkSession.getActiveSession() is not None or live_sc is not None:
+        name = live_sc.appName if live_sc is not None else "?"
         raise RuntimeError(
-            "driver_sim must own its SparkSession; found an active one "
-            f"({active.sparkContext.appName!r}) whose confs would leak "
+            "driver_sim must own its SparkSession; found a live "
+            f"SparkContext/session ({name!r}) whose confs would leak "
             "into the simulation. Run driver_sim in a fresh process."
         )
     spark = builder.getOrCreate()
