@@ -505,11 +505,18 @@ def cosine_topk_ivf_kmeans(
     scoring then uses the exact prenormed cosine on the ORIGINAL
     embeddings — identical expression to every other similarity path.
 
-    Output: (probe_id, vec_id, cos_sim, rank), rank 1..k, self excluded,
-    ties broken by vec_id asc. Cell contents depend on the fitted
-    centroids (float-reduction order), so the declared query exposes
-    structural/bounds proofs rather than raw ids — see
-    ``q_embed_ann_kmeans``.
+    Output: (probe_id, vec_id, cos_sim, rank, n_cand), rank 1..k, self
+    excluded, ties broken by vec_id asc. ``n_cand`` is the number of
+    candidates actually REACHABLE from the probe's ``nprobe`` probed
+    cells (before the top-k cut) — the honest denominator for any
+    "got k results" claim: with nprobe < n_cells the probed cells may
+    legitimately hold fewer than k candidates even when the corpus has
+    plenty (round-6 ADVICE), and a proof bounded by corpus-wide counts
+    would fail on correct output. Computed over the same probe_id
+    partition the rank window already shuffles — no extra exchange.
+    Cell contents depend on the fitted centroids (float-reduction
+    order), so the declared query exposes structural/bounds proofs
+    rather than raw ids — see ``q_embed_ann_kmeans``.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -545,7 +552,8 @@ def cosine_topk_ivf_kmeans(
     if n_distinct == 0:
         return spark.createDataFrame(
             [],
-            "probe_id long, vec_id long, cos_sim double, rank long",
+            "probe_id long, vec_id long, cos_sim double, rank long, "
+            "n_cand long",
         )
     if n_distinct < 2:
         # one distinct direction: a fit is both impossible (Spark KMeans
@@ -627,8 +635,10 @@ def cosine_topk_ivf_kmeans(
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("cos_sim"), F.asc("vec_id")
     )
+    w_cnt = Window.partitionBy("probe_id")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("n_cand", F.count(F.lit(1)).over(w_cnt).cast("long"))
         .where(F.col("rank") <= k)
-        .select("probe_id", "vec_id", "cos_sim", "rank")
+        .select("probe_id", "vec_id", "cos_sim", "rank", "n_cand")
     )

@@ -694,6 +694,11 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     # elements non-NULL and finite); a NULL/NaN element would break the
     # equivalence, and the engine side guards that by using norm > 0 for
     # BOTH its index and its has_k bound.
+    # one all-TRUE row per INDEXABLE probe. Indexable = the engine
+    # index's own predicate, norm > 0 ⟺ sum of squares > 0 (NOT an
+    # element-wise x <> 0 exists-check: the two differ on NULL/NaN
+    # elements, where norm folds to NULL/NaN and the vector is
+    # unindexable).
     "q_embed_ann_kmeans": """
         SELECT vec_id AS probe_id,
                TRUE AS has_k,
@@ -702,7 +707,8 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
                TRUE AS best_le_exact
         FROM embeddings
         WHERE vec_id < 5
-          AND len(list_filter(embedding, x -> x <> 0)) > 0
+          AND list_sum(list_transform(
+                embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
     """,
     "q_embed_neardup": Q_EMBED_NEARDUP,
     "q_token_count": Q_TOKEN_COUNT,

@@ -310,3 +310,39 @@ def test_cosine_zero_norm_yields_null_not_abort(spark):
     # index and still answers
     out = cosine_topk_ivf_kmeans(emb, n_probes=2, k=3, n_cells=2, nprobe=2)
     assert all(r["vec_id"] != 8 for r in out.collect())
+
+
+def test_kmeans_ann_proof_single_indexable_probe(spark, tmp_path):
+    """q_embed_ann_kmeans's proof on the nastiest in-contract corpus: ONE
+    indexable vector (which is itself a probe) among zero-norm rows. The
+    candidate set is empty, the brute-force baseline is empty, and the
+    oracle still expects one all-TRUE proof row for the indexable probe
+    (round-6 ADVICE: the old corpus-wide navail bound emitted zero rows
+    here). Also pins the nprobe<cells reachable bound: has_k must judge
+    against the candidates the PROBED cells can reach, via the
+    operator's n_cand column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from financial_big_data_exp_4_spark.plans.extensions import (
+        q_embed_ann_kmeans,
+    )
+
+    dim = 8
+    tbl = pa.Table.from_pydict(
+        {
+            "vec_id": pa.array([1, 2, 3], pa.int64()),
+            "embedding": pa.array(
+                [[1.0] + [0.0] * (dim - 1), [0.0] * dim, [0.0] * dim],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0, 0, 1], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    rows = q_embed_ann_kmeans(spark, str(tmp_path)).collect()
+    assert [r["probe_id"] for r in rows] == [1]
+    [r] = rows
+    assert r["has_k"] and r["ranks_contiguous"]
+    assert r["sims_bounded"] and r["best_le_exact"]
