@@ -120,6 +120,24 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
 
     qs = entry_mod.queries()
+    # Consumers of the session-memoized family stages, derived from the
+    # registry the memo_df call sites own (plans/extensions.py — round-6
+    # VERDICT #6: a new family cannot ship without a cold-cost entry).
+    # Validated BEFORE any Spark work so drift fails in milliseconds, not
+    # after the full warmup+timed+oracle run (round-6 ADVICE).
+    from financial_big_data_exp_4_spark.plans.extensions import (
+        MEMO_FAMILY_CONSUMERS,
+    )
+
+    memo_consumers = sorted(
+        {q for fam in MEMO_FAMILY_CONSUMERS.values() for q in fam}
+    )
+    missing = [q for q in memo_consumers if q not in qs]
+    if missing:
+        raise RuntimeError(
+            f"MEMO_FAMILY_CONSUMERS out of sync with queries(): {missing}"
+        )
+
     # Warmup pass: absorbs codegen + footer cache AND populates every
     # memoized family stage. Timed per query so the artifact records the
     # from-scratch (cold) cost the memoization hides from the timed
@@ -172,22 +190,6 @@ def main() -> None:
     top_spark = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
-    # Consumers of the session-memoized family stages (the memo_df call
-    # sites in plans/extensions.py own this knowledge — update BOTH when
-    # adding a family). A renamed/removed consumer fails loudly below
-    # instead of silently dropping out of the cold section.
-    memo_consumers = [
-        "q_neardup_minhash", "q_neardup_verified", "q_neardup_edit",
-        "q_dedup_clusters", "q_dedup_incremental", "q_embed_cosine_topk",
-        "q_embed_ann_kmeans", "q_embed_neardup", "q_semantic_dedup",
-        "q_embed_lsh_pairs", "q_triangle_count", "q_merge_upsert",
-        "q_table_diff",
-    ]
-    missing = [q for q in memo_consumers if q not in cold]
-    if missing:
-        raise RuntimeError(
-            f"bench memo_consumers out of sync with queries(): {missing}"
-        )
     print(
         json.dumps(
             {

@@ -73,6 +73,29 @@ from financial_big_data_exp_4_spark.operators.corpus import EVENT_SAMPLE_RATES
 from financial_big_data_exp_4_spark.session import rebalance_for_cpu
 from financial_big_data_exp_4_spark.sources import load_table
 
+#: Session-memoized family stages (the ``memo_df`` call sites in THIS
+#: module) → the declared queries that consume each materialization.
+#: Single source of truth for bench.py's cold-cost accounting (round-6
+#: VERDICT #6: the old hand-maintained copy in bench.py could silently
+#: miss a newly added family): bench derives its consumer list from this
+#: dict, and ``tests/test_rotation.py`` asserts the keys match the
+#: ``memo_df(... ("<key>", sf_dir) ...)`` call sites scraped from this
+#: module's source, so a new family cannot ship without a registry entry.
+MEMO_FAMILY_CONSUMERS: dict[str, tuple[str, ...]] = {
+    "minhash_pairs": (
+        "q_neardup_minhash",
+        "q_neardup_verified",
+        "q_neardup_edit",
+        "q_dedup_clusters",
+    ),
+    "minhash_signed": ("q_dedup_incremental",),
+    "bruteforce_topk": ("q_embed_cosine_topk", "q_embed_ann_kmeans"),
+    "ivf_kmeans": ("q_embed_ann_kmeans",),
+    "embed_neardup_pairs": ("q_embed_neardup", "q_semantic_dedup"),
+    "hyperplane_pairs": ("q_embed_lsh_pairs", "q_triangle_count"),
+    "orders_changes": ("q_merge_upsert", "q_table_diff"),
+}
+
 
 def _fact(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     """Load a fact table with the scan fanned across cores when it is

@@ -127,6 +127,26 @@ def rebalance_for_cpu(df, key: str, target: int | None = None):
 _LIVE_CACHE: list = []
 
 
+def _stopped_context_error(exc: BaseException) -> bool:
+    """True iff ``exc`` carries one of the KNOWN stopped-session
+    signatures (classic PySpark tearing down the py4j gateway mid-call).
+    Anything else — a Connect-style session raising on ``sparkContext``,
+    a transient RPC hiccup — is NOT proof of death, and treating it as
+    such would silently skip unpersist on live sessions and leak the
+    executor-memory slot (round-6 ADVICE)."""
+    s = str(exc)
+    return any(
+        p in s
+        for p in (
+            "stopped SparkContext",
+            "Py4JNetworkError",
+            "Answer from Java side is empty",
+            "Java gateway process",
+            "JavaPackage",  # _jvm gone: gateway already torn down
+        )
+    )
+
+
 def persist_scoped(df, slots: int = 2):
     """Persist ``df``, evicting the oldest scoped-persisted plan beyond
     ``slots`` live entries.
@@ -158,10 +178,26 @@ def persist_scoped(df, slots: int = 2):
         try:
             sc = victim.sparkSession.sparkContext
             dead = sc._jsc is None or sc._jsc.sc().isStopped()
-        except Exception:
-            dead = True  # can't even reach the context: session is gone
+        except Exception as exc:
+            # A failing probe does NOT prove the session is dead: on a
+            # Connect-style session `sparkContext` itself raises while
+            # unpersist works fine, and classifying that as dead would
+            # leak the slot on every eviction (round-6 ADVICE). Only the
+            # known stopped-context signatures count as dead; anything
+            # else falls through to the unpersist below, which either
+            # succeeds or reports a real failure.
+            dead = _stopped_context_error(exc)
         if not dead:
-            victim.unpersist()
+            try:
+                victim.unpersist()
+            except Exception as exc:
+                # self-correcting misclassification: a session that died
+                # between probe and unpersist raises the same stopped-
+                # context signature here — its cache is already gone.
+                # Any other failure propagates (a swallowed live-session
+                # failure would leak the slot with no signal).
+                if not _stopped_context_error(exc):
+                    raise
     df = df.persist()
     _LIVE_CACHE.append(df)
     return df

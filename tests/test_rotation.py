@@ -80,3 +80,28 @@ def test_prev_round_sample_still_declared() -> None:
     assert not missing, (
         f"queries verified in {path.name} no longer declared: {sorted(missing)}"
     )
+
+
+def test_memo_registry_matches_call_sites() -> None:
+    """MEMO_FAMILY_CONSUMERS is bench.py's single source of truth for
+    cold-cost accounting; a memo_df call site without a registry entry
+    would silently hide a family's build cost from the bench artifact."""
+    import inspect
+    import re
+
+    from financial_big_data_exp_4_spark.plans import extensions
+
+    src = inspect.getsource(extensions)
+    # memo_df keys are the ("<name>", sf_dir) tuples in this module
+    call_site_keys = set(re.findall(r'\(\s*"([a-z0-9_]+)",\s*sf_dir\s*\)', src))
+    assert call_site_keys == set(extensions.MEMO_FAMILY_CONSUMERS), (
+        "memo_df call sites and MEMO_FAMILY_CONSUMERS diverged: "
+        f"sites-only={sorted(call_site_keys - set(extensions.MEMO_FAMILY_CONSUMERS))} "
+        f"registry-only={sorted(set(extensions.MEMO_FAMILY_CONSUMERS) - call_site_keys)}"
+    )
+    consumers = {
+        q for fam in extensions.MEMO_FAMILY_CONSUMERS.values() for q in fam
+    }
+    assert consumers <= set(REFERENCE_QUERIES), (
+        sorted(consumers - set(REFERENCE_QUERIES))
+    )

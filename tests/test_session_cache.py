@@ -1,0 +1,98 @@
+"""Unit tests for the scoped-persist eviction guard (no Spark needed).
+
+The eviction path must unpersist live victims and silently drop dead
+ones — and a FAILING liveness probe must not be read as death: on a
+Connect-style session ``sparkContext`` itself raises while unpersist
+works fine, and classifying that as dead leaks the executor-memory slot
+on every eviction (round-6 ADVICE).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from financial_big_data_exp_4_spark import session as sess
+
+
+class _FakeVictim:
+    """Stands in for a persisted DataFrame being evicted."""
+
+    def __init__(self, probe_exc=None, unpersist_exc=None):
+        self._probe_exc = probe_exc
+        self._unpersist_exc = unpersist_exc
+        self.unpersist_called = False
+
+    @property
+    def sparkSession(self):  # noqa: N802 - PySpark attribute name
+        if self._probe_exc is not None:
+            raise self._probe_exc
+        raise AttributeError("no real session on a fake")
+
+    def unpersist(self):
+        self.unpersist_called = True
+        if self._unpersist_exc is not None:
+            raise self._unpersist_exc
+
+    def persist(self):
+        return self
+
+
+@pytest.fixture
+def clean_cache():
+    old = list(sess._LIVE_CACHE)
+    sess._LIVE_CACHE.clear()
+    yield sess._LIVE_CACHE
+    sess._LIVE_CACHE.clear()
+    sess._LIVE_CACHE.extend(old)
+
+
+def test_unexpected_probe_failure_still_unpersists(clean_cache):
+    victim = _FakeVictim(
+        probe_exc=RuntimeError("sparkContext is not supported in Connect")
+    )
+    clean_cache.append(victim)
+    sess.persist_scoped(_FakeVictim(), slots=1)
+    assert victim.unpersist_called  # probe failure != dead session
+
+
+def test_stopped_context_probe_skips_unpersist(clean_cache):
+    victim = _FakeVictim(
+        probe_exc=RuntimeError(
+            "Cannot call methods on a stopped SparkContext"
+        )
+    )
+    clean_cache.append(victim)
+    sess.persist_scoped(_FakeVictim(), slots=1)
+    assert not victim.unpersist_called  # known dead signature: drop ref
+
+
+def test_unpersist_dead_signature_swallowed(clean_cache):
+    """Session died between probe and unpersist: same signature raised by
+    unpersist itself is swallowed (the cache is already gone)."""
+    victim = _FakeVictim(
+        probe_exc=RuntimeError("weird transient"),
+        unpersist_exc=RuntimeError("Answer from Java side is empty"),
+    )
+    clean_cache.append(victim)
+    sess.persist_scoped(_FakeVictim(), slots=1)
+    assert victim.unpersist_called
+
+
+def test_unpersist_live_failure_propagates(clean_cache):
+    victim = _FakeVictim(
+        probe_exc=RuntimeError("weird transient"),
+        unpersist_exc=RuntimeError("executor OOM during unpersist"),
+    )
+    clean_cache.append(victim)
+    with pytest.raises(RuntimeError, match="executor OOM"):
+        sess.persist_scoped(_FakeVictim(), slots=1)
+
+
+def test_stopped_context_error_classifier():
+    assert sess._stopped_context_error(
+        RuntimeError("Cannot call methods on a stopped SparkContext")
+    )
+    assert sess._stopped_context_error(
+        Exception("py4j.protocol.Py4JNetworkError: ...")
+    )
+    assert not sess._stopped_context_error(RuntimeError("anything else"))
