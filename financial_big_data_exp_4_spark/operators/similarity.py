@@ -38,10 +38,19 @@ TOPK = 10
 IVF_CENTROID_STRIDE = 50  # every 50th vector is a "centroid" (det. sample)
 
 #: Signed-random-projection (hyperplane) LSH: number of planes = signature
-#: bits. 16 bits → 65k buckets; collision probability for two vectors is
-#: (1 − θ/π)^16 (Charikar 2002), the cosine sibling of the MinHash band
-#: trade-off.
-LSH_PLANES = 16
+#: bits; collision probability for two vectors is (1 − θ/π)^planes
+#: (Charikar 2002), the cosine sibling of the MinHash band trade-off.
+#: 32 planes (2 bands × 16 bits), not 16 (2 × 8): the round-7 scale
+#: measurement (tools/scale_bench.py, 1× vs 10× an sf0.1-shaped corpus)
+#: showed the 8-bit band join growing QUADRATICALLY — 256 possible keys
+#: per band means bucket sizes grow linearly with the corpus and the
+#: band self-join as its square (q_triangle_count warm slope 20.8× at
+#: 10× data). 16-bit bands give a 65k keyspace per band, so random
+#: collisions drop ~2⁸× per band and the quadratic onset defers ~256×
+#: in corpus size; genuinely near-duplicate vectors still agree on all
+#: planes and keep colliding. For corpora past that onset, cap buckets
+#: via ``hyperplane_neardup_pairs(max_bucket_size=...)``.
+LSH_PLANES = 32
 #: Fixture embedding dimensionality — used only by tests/docs; the
 #: signature expression reads ``size(embedding)`` at runtime, so a
 #: regenerated fixture with a different dim keeps working (the weight
@@ -289,7 +298,7 @@ def embedding_neardup_pairs(
     )
 
 
-#: Per-plane dot sign folded into a 16-bit signature, all inside ONE
+#: Per-plane dot sign folded into an LSH_PLANES-bit signature, inside ONE
 #: native expression tree (nested ``aggregate`` — the SimHash pattern):
 #: weight(p, d) = ((p·D + d)·knuth mod P) mod 2001 − 1000, an integer in
 #: [−1000, 1000] derived from the plane/dim index (max intermediate
@@ -313,7 +322,7 @@ _LSH_SIG_EXPR = f"""aggregate(
 
 def hyperplane_signatures(embeddings: DataFrame) -> DataFrame:
     """Signed-random-projection LSH signature per vector — the
-    cosine-space sibling of SimHash: vectors on the same side of all 16
+    cosine-space sibling of SimHash: vectors on the same side of all
     derived hyperplanes share a bucket, so near-duplicate mining becomes
     a bucket equi-join (Σ bucket², never N²), exactly like the MinHash
     band join and the IVF cell join.
@@ -338,7 +347,9 @@ def hyperplane_signatures(embeddings: DataFrame) -> DataFrame:
 LSH_BANDS = 2
 
 
-def hyperplane_neardup_pairs(embeddings: DataFrame) -> DataFrame:
+def hyperplane_neardup_pairs(
+    embeddings: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Near-duplicate candidate pairs from banded hyperplane-LSH buckets,
     scored with signature Hamming distance and exact cosine — the
     embedding-space twin of the SimHash Hamming pairing: recall from the
@@ -346,14 +357,25 @@ def hyperplane_neardup_pairs(embeddings: DataFrame) -> DataFrame:
     from the exact verify, never an all-pairs comparison (Σ bucket² per
     band, buckets concentrate near 1 for non-duplicate corpora).
 
+    ``max_bucket_size`` is the corpus-scale escape hatch: past the
+    16-bit bands' quadratic onset (see ``LSH_PLANES``), over-full
+    ``(band_id, band_key)`` buckets are dropped before pairing — the
+    same ``_cap_band_buckets`` guard (and recall semantics: a vector in
+    a degenerate bucket can still pair through its other band) as the
+    MinHash band join. Default ``None`` = exact declared semantics.
+
     The signature+norm projection is persisted (scoped): both self-join
-    branches read it, and the 16-plane fold is the expensive map stage.
+    branches read it, and the plane fold is the expensive map stage.
     Duplicate candidates across bands collapse via DISTINCT (hamming and
     cosine are pair-functions, so the duplicate rows are value-identical).
     Output: (vec_a, vec_b, hamming, cos_sim).
     """
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        _cap_band_buckets,
+    )
+
     band_w = LSH_PLANES // LSH_BANDS
-    # fan the 16-plane fold across cores before persisting (same
+    # fan the plane fold across cores before persisting (same
     # rationale as hyperplane_signatures; no-op at real split counts)
     sigs = _persist_scoped(
         _rebalance(embeddings, "vec_id").select(
@@ -382,6 +404,7 @@ def hyperplane_neardup_pairs(embeddings: DataFrame) -> DataFrame:
             )
         ).alias("_b"),
     ).select("vec_id", "embedding", "_norm", "sig", "_b.band_id", "_b.band_key")
+    bands = _cap_band_buckets(bands, max_bucket_size)
     a = bands.select(
         "band_id",
         "band_key",

@@ -1242,7 +1242,7 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit signed-random-projection LSH signature per embedding —
+    """32-bit signed-random-projection LSH signature per embedding —
     map-only, derived hyperplanes, zero shuffle."""
     return hyperplane_signatures(load_table(spark, sf_dir, "embeddings"))
 

@@ -654,3 +654,34 @@ def test_merge_changes_seq_matches_ordered_model(
         ).collect()
     }
     assert got == model
+
+
+def test_hyperplane_pairs_bucket_cap(spark):
+    """The corpus-scale escape hatch: a degenerate corpus where many
+    vectors share one band bucket must stop pairing once the bucket
+    exceeds max_bucket_size, while small buckets keep their pairs
+    (round-7 scale measurement: fixed-width bands grow quadratically
+    without it)."""
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        hyperplane_neardup_pairs,
+    )
+
+    # 40 near-identical vectors: one giant bucket in every band
+    base = [float((i * 37) % 19 - 9) for i in range(64)]
+    rows = [(i, [v + i * 1e-6 for v in base]) for i in range(1, 41)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    uncapped = hyperplane_neardup_pairs(emb).count()
+    capped = hyperplane_neardup_pairs(emb, max_bucket_size=10).count()
+    assert uncapped == 40 * 39 // 2  # clique
+    assert capped == 0  # every band bucket over-full → dropped
+
+    # mixed corpus: the giant cluster is capped away, the small pair
+    # (negated direction → its own bucket) survives
+    neg = [(100, [-v for v in base]), (101, [-v - 1e-6 for v in base])]
+    emb2 = spark.createDataFrame(
+        rows + neg, "vec_id long, embedding array<float>"
+    )
+    kept = hyperplane_neardup_pairs(emb2, max_bucket_size=10).collect()
+    assert {(r["vec_a"], r["vec_b"]) for r in kept} == {(100, 101)}

@@ -461,6 +461,191 @@ def generate_tiny(outdir: str, seed: int) -> None:
     )
 
 
+def generate_scaled(outdir: str, seed: int, mult: int) -> None:
+    """sf0.1-SHAPED fixture at ``mult``× the row counts — the scale-trend
+    fixture (round-6 VERDICT #3: /root/testdata tops out at sf0.1, so
+    every claim above that was design-argument; this turns it into a
+    measured slope via tools/scale_bench.py).
+
+    Unlike :func:`generate` (adversarial distributions, small), this is
+    VECTORIZED and distribution-faithful to the driver fixture: same
+    schemas and dtypes, same 2024-01 event window, 1995-2001 order/ship
+    dates, ~55-token docs with a fixed exact-dup/near-dup fraction,
+    unit-scale gaussian embeddings with duplicate/near-duplicate pairs,
+    zipf-ish hot keys. Row counts per table = sf0.1 counts × mult, so
+    mult=1 reproduces the driver fixture's scale and mult=10 is the 10×
+    point of the trend.
+    """
+    rng = np.random.default_rng(seed)
+    os.makedirs(outdir, exist_ok=True)
+    ts_us = pa.timestamp("us")
+    D1995 = 789_048_000 * US  # 1995-01-02
+    DSPAN = 6 * 365 * DAY_US  # ~2001
+
+    _write(
+        outdir, "region",
+        {"r_regionkey": list(range(5)),
+         "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]},
+        {"r_regionkey": pa.int32(), "r_name": pa.string()},
+    )
+    _write(
+        outdir, "nation",
+        {"n_nationkey": list(range(25)),
+         "n_name": [f"nation{i}" for i in range(25)],
+         "n_regionkey": [int(v) for v in rng.integers(0, 5, 25)]},
+        {"n_nationkey": pa.int32(), "n_name": pa.string(),
+         "n_regionkey": pa.int32()},
+    )
+
+    nc = 15_000 * mult
+    _write(
+        outdir, "customer",
+        {"c_custkey": np.arange(1, nc + 1),
+         "c_name": [f"Customer#{i:09d}" for i in range(1, nc + 1)],
+         "c_nationkey": rng.integers(0, 25, nc).astype(np.int32),
+         "c_acctbal": np.round(rng.normal(1000, 2500, nc), 2),
+         "c_mktsegment": np.array(MKT_SEGMENTS)[rng.integers(0, 5, nc)]},
+        {"c_custkey": pa.int64(), "c_name": pa.string(),
+         "c_nationkey": pa.int32(), "c_acctbal": pa.float64(),
+         "c_mktsegment": pa.string()},
+    )
+
+    ns = 1_000 * mult
+    _write(
+        outdir, "supplier",
+        {"s_suppkey": np.arange(1, ns + 1),
+         "s_name": [f"Supplier#{i:09d}" for i in range(1, ns + 1)],
+         "s_nationkey": rng.integers(0, 25, ns).astype(np.int32),
+         "s_acctbal": np.round(rng.normal(5000, 2000, ns), 2)},
+        {"s_suppkey": pa.int64(), "s_name": pa.string(),
+         "s_nationkey": pa.int32(), "s_acctbal": pa.float64()},
+    )
+
+    npart = 20_000 * mult
+    _write(
+        outdir, "part",
+        {"p_partkey": np.arange(1, npart + 1),
+         "p_name": [f"part {i}" for i in range(1, npart + 1)],
+         "p_brand": [f"Brand#{v}" for v in rng.integers(1, 26, npart)],
+         "p_type": [f"TYPE {v}" for v in rng.integers(0, 6, npart)],
+         "p_size": rng.integers(1, 51, npart).astype(np.int32),
+         "p_retailprice": np.round(rng.uniform(900, 2000, npart), 2)},
+        {"p_partkey": pa.int64(), "p_name": pa.string(),
+         "p_brand": pa.string(), "p_type": pa.string(),
+         "p_size": pa.int32(), "p_retailprice": pa.float64()},
+    )
+
+    no = 150_000 * mult
+    custs = rng.integers(1, nc + 1, no)
+    hot = rng.random(no) < 0.05  # hot-key skew, sf0.1-ish
+    custs[hot] = rng.integers(1, 8, int(hot.sum()))
+    _write(
+        outdir, "orders",
+        {"o_orderkey": np.arange(1, no + 1),
+         "o_custkey": custs,
+         "o_orderstatus": np.array(["O", "F", "P"])[
+             rng.choice(3, no, p=[0.5, 0.4, 0.1])],
+         "o_totalprice": np.round(np.exp(rng.normal(9, 1, no)), 2),
+         "o_orderdate": D1995 + rng.integers(0, DSPAN, no),
+         "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, no)]},
+        {"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
+         "o_orderstatus": pa.string(), "o_totalprice": pa.float64(),
+         "o_orderdate": ts_us, "o_orderpriority": pa.string()},
+    )
+
+    nl = 600_000 * mult
+    _write(
+        outdir, "lineitem",
+        {"l_orderkey": rng.integers(1, no + 1, nl),
+         "l_partkey": rng.integers(1, npart + 1, nl),
+         "l_suppkey": rng.integers(1, ns + 1, nl),
+         "l_linenumber": rng.integers(1, 8, nl).astype(np.int32),
+         "l_quantity": rng.integers(1, 51, nl).astype(np.float64),
+         "l_extendedprice": np.round(rng.uniform(100, 100_000, nl), 2),
+         "l_discount": np.round(rng.uniform(0, 0.1, nl), 2),
+         "l_tax": np.round(rng.uniform(0, 0.08, nl), 2),
+         "l_returnflag": np.array(["R", "A", "N"])[rng.integers(0, 3, nl)],
+         "l_linestatus": np.array(["O", "F"])[rng.integers(0, 2, nl)],
+         "l_shipdate": D1995 + rng.integers(0, DSPAN, nl)},
+        {"l_orderkey": pa.int64(), "l_partkey": pa.int64(),
+         "l_suppkey": pa.int64(), "l_linenumber": pa.int32(),
+         "l_quantity": pa.float64(), "l_extendedprice": pa.float64(),
+         "l_discount": pa.float64(), "l_tax": pa.float64(),
+         "l_returnflag": pa.string(), "l_linestatus": pa.string(),
+         "l_shipdate": ts_us},
+    )
+
+    ne = 100_000 * mult
+    nusers = 1_500 * mult
+    users = rng.integers(1, nusers + 1, ne)
+    hot_ev = rng.random(ne) < 0.10
+    users[hot_ev] = rng.integers(1, 16, int(hot_ev.sum()))
+    _write(
+        outdir, "events",
+        {"event_id": np.arange(1, ne + 1),
+         "ts": EPOCH_2024 + rng.integers(0, 30 * DAY_US, ne),
+         "user_id": users,
+         "event_type": np.array(EVENT_TYPES)[rng.integers(0, 5, ne)],
+         "value": np.round(rng.normal(50, 20, ne), 2),
+         "props": ['{"k": %d}' % v for v in rng.integers(0, 100, ne)]},
+        {"event_id": pa.int64(), "ts": ts_us, "user_id": pa.int64(),
+         "event_type": pa.string(), "value": pa.float64(),
+         "props": pa.string()},
+    )
+
+    nd = 5_000 * mult
+    lens = rng.integers(10, 101, nd)
+    vocab = np.array(TOKEN_VOCAB)
+    toks = vocab[rng.integers(0, len(vocab), int(lens.sum()))]
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    texts = [
+        " ".join(toks[bounds[i]: bounds[i + 1]]) for i in range(nd)
+    ]
+    # fixed dup structure, scale-invariant FRACTIONS: 8% of docs sit in
+    # exact-dup clusters of 4; 2% are near-dups (one token edited)
+    n_clusters = nd // 50
+    for c in range(n_clusters):
+        base = texts[c * 4]
+        for j in range(1, 4):
+            texts[c * 4 + j] = base
+    n_near = nd // 50
+    for i in range(n_near):
+        t = texts[4 * n_clusters + i].split()
+        t[min(3, len(t) - 1)] = "edited"
+        texts[4 * n_clusters + n_near + i] = " ".join(t)
+    _write(
+        outdir, "documents",
+        {"doc_id": np.arange(1, nd + 1),
+         "text": texts,
+         "lang": np.array(LANGS)[rng.choice(5, nd, p=[0.6, 0.2, 0.1, 0.05,
+                                                      0.05])],
+         "source": [f"src{v}" for v in rng.integers(0, 20, nd)],
+         "n_chars": [len(t) for t in texts]},
+        {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
+         "source": pa.string(), "n_chars": pa.int64()},
+    )
+
+    nv = 2_000 * mult
+    vecs = rng.normal(0, 0.125, (nv, EMBED_DIM)).astype(np.float32)
+    n_pairs = nv // 100  # 1% duplicate pairs + 0.5% near-dups
+    for i in range(n_pairs):
+        vecs[2 * i + 1] = vecs[2 * i]
+    for i in range(nv // 200):
+        vecs[2 * n_pairs + i] += rng.normal(0, 1e-4, EMBED_DIM).astype(
+            np.float32
+        )
+    _write(
+        outdir, "embeddings",
+        {"vec_id": np.arange(1, nv + 1),
+         "embedding": [v.tolist() for v in vecs],
+         "label": rng.choice(5, nv, p=[0.6, 0.2, 0.1, 0.05, 0.05]).astype(
+             np.int32)},
+        {"vec_id": pa.int64(),
+         "embedding": pa.list_(pa.float32()),
+         "label": pa.int32()},
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=606)
