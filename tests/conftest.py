@@ -22,3 +22,11 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return "/root/testdata/sf0.001"
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "ml_fuzz: adversarial trainingset variants for the ML surface "
+        "(run alone with `pytest -m ml_fuzz`)",
+    )
