@@ -208,11 +208,34 @@ def cosine_topk_bruteforce(
     )
 
 
-def _assign_cells(embeddings: DataFrame, stride: int) -> DataFrame:
+def _sqrt_stride(embeddings: DataFrame) -> int:
+    """Adaptive stride ≈ √N for the stride-sampled IVF paths.
+
+    With a FIXED stride the centroid count C = N/stride grows linearly
+    with the corpus, so the N×C assignment is N²/stride — fine for the
+    oracle-checkable declared queries at fixture scale (the round-7
+    scale bench measured it sub-linear at 10× because other costs still
+    dominate), fatal at 10⁹ vectors. stride = ⌈√N⌉ gives C ≈ √N:
+    assignment N^1.5, cell size ≈ √N, per-probe search ≈ √N, in-cell
+    pair join Σcell² ≈ N^1.5 — the standard IVF compromise, uniform
+    across every consumer. One count() action at plan-build time, the
+    same model-build-time cost class as the kmeans variant's fit (and
+    like it, the declared queries avoid it: they pin the constant stride
+    so the DuckDB oracle stays closed-form)."""
+    import math
+
+    n = embeddings.count()
+    return max(1, math.isqrt(max(n - 1, 0)) + 1) if n else 1
+
+
+def _assign_cells(embeddings: DataFrame, stride: int | None) -> DataFrame:
     """Nearest-centroid cell id per vector (centroids = every ``stride``-th
     vector, broadcast; argmax via struct-max partial aggregation). Output
     carries the vector's precomputed L2 norm (``_norm``) so downstream
-    pair scoring costs one fold per pair."""
+    pair scoring costs one fold per pair. ``stride=None`` → ⌈√N⌉ (see
+    :func:`_sqrt_stride`), the scale path."""
+    if stride is None:
+        stride = _sqrt_stride(embeddings)
     cents = embeddings.where(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("embedding").alias("cent_vec"),
@@ -255,7 +278,7 @@ def _assign_cells(embeddings: DataFrame, stride: int) -> DataFrame:
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = NEARDUP_COS_THRESHOLD,
-    stride: int = IVF_CENTROID_STRIDE,
+    stride: int | None = IVF_CENTROID_STRIDE,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, cell-bucketed (never
     all-pairs): vectors are assigned to IVF cells, candidate pairs are
@@ -266,6 +289,9 @@ def embedding_neardup_pairs(
     Σ cell² instead of N², with recall bounded by the quantizer (a true
     near-dup pair split across cells is missed — the standard IVF
     trade-off, tuned via stride/nprobe). Output: (vec_a, vec_b, cos_sim).
+    ``stride=None`` → ⌈√N⌉ cells-and-cell-size balance (the corpus-scale
+    path; see :func:`_sqrt_stride`) — the declared query pins the
+    constant so the oracle stays closed-form.
 
     The assignment is persisted (scoped — see :func:`_persist_scoped`):
     both sides of the self-join read it, and without persistence Spark
@@ -444,11 +470,14 @@ def cosine_topk_ivf(
     embeddings: DataFrame,
     n_probes: int = 5,
     k: int = IVF_TOPK,
-    stride: int = IVF_CENTROID_STRIDE,
+    stride: int | None = IVF_CENTROID_STRIDE,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: assign every vector to its nearest
     centroid (map-side vs broadcast centroids), search only the probe's
     cell. nprobe=1 (single cell) — the standard IVF recall/cost knob.
+    ``stride=None`` → ⌈√N⌉ (the corpus-scale path; see
+    :func:`_sqrt_stride`); the declared query pins the constant stride
+    so the oracle stays closed-form.
 
     Output: (probe_id, vec_id, cos_sim, rank) within the probe's cell.
     """

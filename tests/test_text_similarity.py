@@ -346,3 +346,51 @@ def test_kmeans_ann_proof_single_indexable_probe(spark, tmp_path):
     [r] = rows
     assert r["has_k"] and r["ranks_contiguous"]
     assert r["sims_bounded"] and r["best_le_exact"]
+
+
+def test_adaptive_sqrt_stride_ivf(spark):
+    """stride=None picks ⌈√N⌉ — C ≈ √N centroids balance assignment
+    (N^1.5) against cell size (√N), the corpus-scale configuration the
+    fixed-stride declared queries can't use (their oracle needs the
+    closed-form constant). Correctness must be unchanged in kind: on
+    blob-structured data the probe's own cell still recovers its
+    blob-mates."""
+    import random
+
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        _sqrt_stride,
+        cosine_topk_ivf,
+        embedding_neardup_pairs,
+    )
+
+    rng = random.Random(11)
+    dim, per_blob = 16, 30
+    rows = []
+    for blob in range(3):
+        center = [0.0] * dim
+        center[blob * 5] = 10.0
+        for j in range(per_blob):
+            rows.append(
+                (blob * per_blob + j,
+                 [c + rng.uniform(-0.4, 0.4) for c in center])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    assert _sqrt_stride(emb) == 10  # ceil(sqrt(90))
+
+    out = cosine_topk_ivf(emb, n_probes=2, k=5, stride=None).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append(r["vec_id"])
+    # probes 0 and 1 are blob-0 members; intra-blob cosine ≈ 1 dominates
+    for p, vids in by_probe.items():
+        assert vids, p
+        assert all(v < per_blob for v in vids), (p, vids)
+
+    # pair mining with the adaptive stride: intra-blob near-dups found,
+    # never a cross-blob pair at a high threshold
+    pairs = embedding_neardup_pairs(emb, threshold=0.9, stride=None).collect()
+    assert pairs
+    assert all(
+        r["vec_a"] // per_blob == r["vec_b"] // per_blob for r in pairs
+    )
