@@ -35,7 +35,14 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 TOPK = 10
-IVF_CENTROID_STRIDE = 50  # every 50th vector is a "centroid" (det. sample)
+#: Fixed fallback stride for the stride-sampled IVF paths (every 50th
+#: vector is a "centroid", deterministic sample). The DECLARED queries
+#: use the adaptive ⌈√N⌉ stride instead (``stride=None`` →
+#: :func:`_sqrt_stride`; oracle computes the same via scalar subquery):
+#: a constant stride means C = N/stride centroids and an N²/stride
+#: assignment — measured slope ~102× at 30× data before the round-7
+#: switch. Keep the constant only for tests that pin a specific layout.
+IVF_CENTROID_STRIDE = 50
 
 #: Signed-random-projection (hyperplane) LSH: number of planes = signature
 #: bits; collision probability for two vectors is (1 − θ/π)^planes

@@ -305,7 +305,9 @@ Q_EMBED_COSINE_TOPK = f"""
 Q_EMBED_ANN_IVF = f"""
     WITH cents AS (
         SELECT vec_id AS cent_id, embedding AS cv
-        FROM embeddings WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+        FROM embeddings
+        WHERE vec_id % (SELECT greatest(1,
+            CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings) = 0
     ), assigned AS (
         SELECT vec_id, embedding, cell FROM (
             SELECT e.vec_id, e.embedding, c.cent_id AS cell,
@@ -337,7 +339,9 @@ Q_EMBED_ANN_IVF = f"""
 Q_EMBED_NEARDUP = f"""
     WITH cents AS (
         SELECT vec_id AS cent_id, embedding AS cv
-        FROM embeddings WHERE vec_id % {IVF_CENTROID_STRIDE} = 0
+        FROM embeddings
+        WHERE vec_id % (SELECT greatest(1,
+            CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM embeddings) = 0
     ), assigned AS (
         SELECT vec_id, embedding, cell FROM (
             SELECT e.vec_id, e.embedding, c.cent_id AS cell,
