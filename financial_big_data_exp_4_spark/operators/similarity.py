@@ -374,7 +374,8 @@ def hyperplane_signatures(embeddings: DataFrame) -> DataFrame:
     )
 
 
-#: Hyperplane-LSH banding: 2 bands × 8 bits. Pigeonhole: two signatures
+#: Hyperplane-LSH banding: 2 bands × 16 bits (LSH_PLANES/LSH_BANDS —
+#: 8-bit bands were the round-7 quadratic blowup). Pigeonhole: two signatures
 #: within Hamming 1 agree on at least one whole band, so candidate
 #: generation is complete for radius ≤ (bands − 1).
 LSH_BANDS = 2
@@ -564,18 +565,29 @@ def cosine_topk_ivf_kmeans(
     scoring then uses the exact prenormed cosine on the ORIGINAL
     embeddings — identical expression to every other similarity path.
 
-    Output: (probe_id, vec_id, cos_sim, rank, n_cand), rank 1..k, self
-    excluded, ties broken by vec_id asc. ``n_cand`` is the number of
-    candidates actually REACHABLE from the probe's ``nprobe`` probed
-    cells (before the top-k cut) — the honest denominator for any
-    "got k results" claim: with nprobe < n_cells the probed cells may
-    legitimately hold fewer than k candidates even when the corpus has
-    plenty (round-6 ADVICE), and a proof bounded by corpus-wide counts
-    would fail on correct output. Computed over the same probe_id
-    partition the rank window already shuffles — no extra exchange.
-    Cell contents depend on the fitted centroids (float-reduction
-    order), so the declared query exposes structural/bounds proofs
-    rather than raw ids — see ``q_embed_ann_kmeans``.
+    Output: (probe_id, vec_id, cos_sim, rank, n_cand, n_home_cand) —
+    rank 1..k, self excluded, ties broken by vec_id asc — plus ONE STUB
+    row (NULL vec_id/cos_sim/rank, n_cand 0) for any indexable probe
+    whose probed cells hold no candidates, so every indexable probe is
+    represented in the output. ``n_cand`` is the number of candidates
+    actually REACHABLE from the probe's ``nprobe`` probed cells (before
+    the top-k cut) — the honest denominator for any "got k results"
+    claim: with nprobe < n_cells the probed cells may legitimately hold
+    fewer than k candidates even when the corpus has plenty (round-6
+    ADVICE). ``n_home_cand`` is the occupancy of the probe's HOME cell
+    minus the probe itself, computed from the assignment UPSTREAM of
+    probe-cell selection and scoring — the falsifiable lower bound for
+    the proof: the home cell is probed by construction, so
+    ``n_cand ≥ n_home_cand`` must hold, and a broken cell ranking or
+    scoring stage that silently empties the candidate set fails it
+    (round-7 review: without this, the got-k claim compared the output
+    only to its own byproducts and was true by construction). n_cand
+    rides the rank window's own partition (no extra exchange); cell
+    occupancy is one ≤ n_cells-row aggregate over the persisted
+    assignment, broadcast onto the probes. Cell contents depend on the
+    fitted centroids (float-reduction order), so the declared query
+    exposes structural/bounds proofs rather than raw ids — see
+    ``q_embed_ann_kmeans``.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -612,7 +624,7 @@ def cosine_topk_ivf_kmeans(
         return spark.createDataFrame(
             [],
             "probe_id long, vec_id long, cos_sim double, rank long, "
-            "n_cand long",
+            "n_cand long, n_home_cand long",
         )
     if n_distinct < 2:
         # one distinct direction: a fit is both impossible (Spark KMeans
@@ -656,10 +668,21 @@ def cosine_topk_ivf_kmeans(
             ],
             "cell long, cvec array<double>",
         )
-    probes = assigned.where(F.col("vec_id") < n_probes).select(
-        F.col("vec_id").alias("probe_id"),
-        F.col("embedding").alias("probe_vec"),
-        F.col("_norm").alias("_pnorm"),
+    # home-cell occupancy: ≤ n_cells rows, computed from the persisted
+    # assignment BEFORE probe-cell selection — the proof's independent
+    # lower bound (see docstring)
+    cell_sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("_cell_n")
+    )
+    probes = (
+        assigned.where(F.col("vec_id") < n_probes)
+        .join(F.broadcast(cell_sizes), "cell")
+        .select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("embedding").alias("probe_vec"),
+            F.col("_norm").alias("_pnorm"),
+            (F.col("_cell_n") - 1).cast("long").alias("_home_cand"),
+        )
     )
     # assignment metric: |c|^2 - 2 (e/|e|)·c, smaller = closer
     cdist = dot(F.col("cvec"), F.col("cvec")) - 2.0 * dot(
@@ -695,9 +718,25 @@ def cosine_topk_ivf_kmeans(
         F.desc("cos_sim"), F.asc("vec_id")
     )
     w_cnt = Window.partitionBy("probe_id")
-    return (
+    ranked = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .withColumn("n_cand", F.count(F.lit(1)).over(w_cnt).cast("long"))
         .where(F.col("rank") <= k)
-        .select("probe_id", "vec_id", "cos_sim", "rank", "n_cand")
+    )
+    # left join from the probe set: an indexable probe with an empty
+    # candidate pool still emits one stub row (NULL vec_id/rank,
+    # n_cand 0) carrying its independent home-cell bound
+    return (
+        probes.select("probe_id", "_home_cand")
+        .join(ranked, "probe_id", "left")
+        .select(
+            "probe_id",
+            "vec_id",
+            "cos_sim",
+            "rank",
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias(
+                "n_cand"
+            ),
+            F.col("_home_cand").alias("n_home_cand"),
+        )
     )

@@ -37,7 +37,6 @@ from financial_big_data_exp_4_spark.operators.dedup import (
     SIMHASH_BITS,
 )
 from financial_big_data_exp_4_spark.operators.similarity import (
-    IVF_CENTROID_STRIDE,
     IVF_TOPK,
     NEARDUP_COS_THRESHOLD,
     TOPK,
@@ -699,10 +698,14 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     # equivalence, and the engine side guards that by using norm > 0 for
     # BOTH its index and its has_k bound.
     # one all-TRUE row per INDEXABLE probe. Indexable = the engine
-    # index's own predicate, norm > 0 ⟺ sum of squares > 0 (NOT an
-    # element-wise x <> 0 exists-check: the two differ on NULL/NaN
-    # elements, where norm folds to NULL/NaN and the vector is
-    # unindexable).
+    # index's own predicate, norm > 0, where norm is a NULL-PROPAGATING
+    # sequential fold of squares (a NULL element poisons the whole sum →
+    # the vector is unindexable). DuckDB's list_sum SKIPS NULL elements
+    # like SQL SUM — NOT equivalent — so the oracle folds with
+    # list_reduce, whose a + NULL = NULL matches the engine's aggregate
+    # lambda exactly; the empty-list case (engine: init 0.0 → norm 0 →
+    # unindexable) is guarded explicitly because list_reduce errors on
+    # empty input.
     "q_embed_ann_kmeans": """
         SELECT vec_id AS probe_id,
                TRUE AS has_k,
@@ -711,8 +714,11 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
                TRUE AS best_le_exact
         FROM embeddings
         WHERE vec_id < 5
-          AND list_sum(list_transform(
-                embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) > 0
+          AND CASE WHEN len(embedding) = 0 THEN FALSE
+              ELSE list_reduce(
+                  list_transform(embedding,
+                                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                  (a, v) -> a + v) > 0 END
     """,
     "q_embed_neardup": Q_EMBED_NEARDUP,
     "q_token_count": Q_TOKEN_COUNT,

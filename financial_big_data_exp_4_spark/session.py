@@ -134,6 +134,13 @@ def _stopped_context_error(exc: BaseException) -> bool:
     a transient RPC hiccup — is NOT proof of death, and treating it as
     such would silently skip unpersist on live sessions and leak the
     executor-memory slot (round-6 ADVICE)."""
+    # py4j does NOT embed the class name in str(exc) — a dead gateway
+    # raises Py4JNetworkError("Error while sending or receiving" / "An
+    # error occurred while trying to connect to the Java server") — so a
+    # network-dead gateway is recognized by TYPE, and the message
+    # patterns cover the JVM-side signatures that arrive as other types.
+    if type(exc).__name__ == "Py4JNetworkError":
+        return True
     s = str(exc)
     return any(
         p in s
@@ -143,6 +150,8 @@ def _stopped_context_error(exc: BaseException) -> bool:
             "Answer from Java side is empty",
             "Java gateway process",
             "JavaPackage",  # _jvm gone: gateway already torn down
+            "Error while sending or receiving",
+            "trying to connect to the Java server",
         )
     )
 

@@ -96,3 +96,26 @@ def test_stopped_context_error_classifier():
         Exception("py4j.protocol.Py4JNetworkError: ...")
     )
     assert not sess._stopped_context_error(RuntimeError("anything else"))
+
+
+def test_real_py4j_network_error_recognized_by_type():
+    """py4j does not put the class name in str(exc): a dead gateway's
+    Py4JNetworkError says only 'Error while sending or receiving'.
+    Recognize it by type and by its real message texts (round-7 review:
+    the first classifier only matched messages that artificially baked
+    the class name in)."""
+
+    class Py4JNetworkError(Exception):
+        pass
+
+    assert sess._stopped_context_error(
+        Py4JNetworkError("Error while sending or receiving")
+    )
+    assert sess._stopped_context_error(
+        Py4JNetworkError("whatever message")  # type alone suffices
+    )
+    assert sess._stopped_context_error(
+        RuntimeError(
+            "An error occurred while trying to connect to the Java server"
+        )
+    )

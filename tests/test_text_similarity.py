@@ -394,3 +394,37 @@ def test_adaptive_sqrt_stride_ivf(spark):
     assert all(
         r["vec_a"] // per_blob == r["vec_b"] // per_blob for r in pairs
     )
+
+
+def test_kmeans_ann_candidate_bounds_are_nonvacuous(spark):
+    """The proof's lower bound must have teeth on structured data:
+    every probe's home cell holds its blob-mates, so n_home_cand ≥ 1 and
+    n_cand ≥ n_home_cand — a search regression that empties or starves
+    the candidate pool breaks the inequality instead of sailing through
+    trivially-true claims (round-7 review)."""
+    import random
+
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        cosine_topk_ivf_kmeans,
+    )
+
+    rng = random.Random(5)
+    dim, per_blob = 16, 25
+    rows = []
+    for blob in range(4):
+        center = [0.0] * dim
+        center[blob * 4] = 10.0
+        for j in range(per_blob):
+            rows.append(
+                (blob * per_blob + j,
+                 [c + rng.uniform(-0.5, 0.5) for c in center])
+            )
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cosine_topk_ivf_kmeans(
+        emb, n_probes=3, k=5, n_cells=4, nprobe=1
+    ).collect()
+    assert out
+    for r in out:
+        assert r["n_home_cand"] >= 1, r  # blob-mates share the home cell
+        assert r["n_cand"] >= r["n_home_cand"], r
+        assert r["vec_id"] is not None  # no stub rows on this corpus

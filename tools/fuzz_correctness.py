@@ -631,9 +631,11 @@ def generate_scaled(outdir: str, seed: int, mult: int) -> None:
     for i in range(n_pairs):
         vecs[2 * i + 1] = vecs[2 * i]
     for i in range(nv // 200):
-        vecs[2 * n_pairs + i] += rng.normal(0, 1e-4, EMBED_DIM).astype(
-            np.float32
-        )
+        # near-dup OF AN EXISTING vector (copy + noise) — += alone would
+        # just perturb an independent gaussian in place, creating no pair
+        vecs[2 * n_pairs + i] = vecs[i] + rng.normal(
+            0, 1e-4, EMBED_DIM
+        ).astype(np.float32)
     _write(
         outdir, "embeddings",
         {"vec_id": np.arange(1, nv + 1),
