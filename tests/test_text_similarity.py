@@ -428,3 +428,29 @@ def test_kmeans_ann_candidate_bounds_are_nonvacuous(spark):
         assert r["n_home_cand"] >= 1, r  # blob-mates share the home cell
         assert r["n_cand"] >= r["n_home_cand"], r
         assert r["vec_id"] is not None  # no stub rows on this corpus
+
+
+def test_sqrt_stride_formula_matches_duckdb():
+    """The adaptive stride must be IDENTICAL on both engines: Python's
+    integer-exact isqrt(n-1)+1 vs DuckDB's greatest(1, ceil(sqrt(n))).
+    Double sqrt is correctly rounded, so the two can only diverge for
+    n = k²+1 with k > 2^26 — far beyond any gate corpus; pin the full
+    plausible range plus perfect-square boundaries."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+
+    def py_stride(n: int) -> int:
+        return max(1, math.isqrt(max(n - 1, 0)) + 1) if n else 1
+
+    samples = [0, 1, 2, 3, 4, 5, 90, 100, 499, 500, 2000, 2001]
+    samples += [k * k for k in (7, 45, 316, 1000)]
+    samples += [k * k + 1 for k in (7, 45, 316, 1000)]
+    samples += [10**6, 10**6 + 1, 10**7]
+    for n in samples:
+        [(duck,)] = con.execute(
+            f"SELECT greatest(1, CAST(ceil(sqrt({n})) AS BIGINT))"
+        ).fetchall()
+        assert duck == py_stride(n), (n, duck, py_stride(n))
