@@ -338,6 +338,28 @@ def embedding_neardup_pairs(
 #: 1024·knuth ≈ 2.7e12 ≪ 2^63). Dot products fold left-to-right, matching
 #: the oracle's ``list_reduce`` bit-for-bit; integer weights are exact in
 #: double, so the sign test is portable.
+def _lsh_weight_sql(i_expr: str) -> str:
+    """Plane-weight formula as SQL, shared VERBATIM by the Spark
+    signature expression and the DuckDB oracle (same ints, same ops —
+    bit-identical on both engines; int64-safe: h < P < 2³⁰ so h·h < 2⁶⁰
+    and h·K < 2⁶²).
+
+    Quadratic mix, not the bare Weyl stream: ``w(i) = i·K % P`` makes
+    plane p+1's weight vector a SHIFT of plane p's within the same
+    linear sequence — measured mean |corr| 0.35 between plane weight
+    vectors, inflating random-pair band collisions ~10⁴× over
+    independent planes (round-7: 12.7M spurious Hamming≤2 edges among
+    200k random vectors; true independent planes give ~0). Squaring the
+    first hash breaks the linearity: mean |corr| drops to 0.09 and
+    P(ham ≤ 2) for random pairs to <1e-5, restoring the Σ bucket²
+    linear-growth premise the banded join's scale story relies on."""
+    h1 = f"(({i_expr}) * {_LSH_KNUTH} % {_LSH_HASH_P})"
+    return (
+        f"(({h1} * {h1} + ({i_expr})) % {_LSH_HASH_P})"
+        f" * {_LSH_KNUTH} % {_LSH_HASH_P} % 2001 - 1000"
+    )
+
+
 _LSH_SIG_EXPR = f"""aggregate(
   sequence(0, {LSH_PLANES - 1}),
   CAST(0 AS BIGINT),
@@ -346,8 +368,8 @@ _LSH_SIG_EXPR = f"""aggregate(
       sequence(1, size(embedding)),
       CAST(0.0 AS DOUBLE),
       (a, di) -> a + CAST(element_at(embedding, di) AS DOUBLE)
-                     * CAST((p * size(embedding) + di - 1) * {_LSH_KNUTH}
-                            % {_LSH_HASH_P} % 2001 - 1000 AS DOUBLE)
+                     * CAST({_lsh_weight_sql("p * size(embedding) + di - 1")}
+                            AS DOUBLE)
     ) > 0.0
   THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END
 )"""

@@ -87,12 +87,13 @@ MEMO_FAMILY_CONSUMERS: dict[str, tuple[str, ...]] = {
         "q_neardup_verified",
         "q_neardup_edit",
         "q_dedup_clusters",
+        "q_triangle_count",
     ),
     "minhash_signed": ("q_dedup_incremental",),
     "bruteforce_topk": ("q_embed_cosine_topk", "q_embed_ann_kmeans"),
     "ivf_kmeans": ("q_embed_ann_kmeans",),
     "embed_neardup_pairs": ("q_embed_neardup", "q_semantic_dedup"),
-    "hyperplane_pairs": ("q_embed_lsh_pairs", "q_triangle_count"),
+    "hyperplane_pairs": ("q_embed_lsh_pairs",),
     "orders_changes": ("q_merge_upsert", "q_table_diff"),
 }
 
@@ -1254,9 +1255,10 @@ def q_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shared_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embedding near-dup family's shared candidate stage:
     hyperplane-LSH pairs (Hamming + exact cosine) memoized per
-    (session, sf_dir) — q_embed_lsh_pairs and q_triangle_count both
-    consume it, the same one-materialization-many-consumers shape as
-    :func:`_shared_minhash_pairs`."""
+    (session, sf_dir). The q_embed_lsh_pairs declared query consumes it
+    (q_triangle_count moved to the minhash DOCUMENT graph in round 7 —
+    see its docstring); same one-materialization-many-consumers shape
+    as :func:`_shared_minhash_pairs`."""
     from financial_big_data_exp_4_spark.session import memo_df
 
     return memo_df(
@@ -1371,18 +1373,22 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node triangle counts over the near-dup graph (hyperplane-LSH
-    candidates at Hamming ≤ 2) — wedge join + closure join, each triangle
-    counted at all three corners; the local-clustering signal that
-    separates dense near-dup cliques from chance collisions. The Hamming
-    filter prunes the edge list BEFORE the wedge join — on the raw
-    candidate graph (any band collision = edge) the wedge set is ~20×
-    larger for no analytical gain. Candidates come from the
-    family-shared memoized stage (:func:`_shared_hyperplane_pairs`)."""
-    edges = _shared_hyperplane_pairs(spark, sf_dir).where(
-        F.col("hamming") <= 2
+    """Per-node triangle counts over the DOCUMENT near-dup candidate
+    graph (MinHash-LSH band collisions) — wedge join + closure join,
+    each triangle counted at all three corners; the local-clustering
+    signal that separates dense near-dup cliques from chance pairings.
+
+    The graph moved from the hyperplane-embedding pairs to the minhash
+    document pairs in round 7: once the correlated-plane LSH weights
+    were fixed, a RANDOM embedding corpus honestly has ~no Hamming≤2
+    pairs (the old 300+ triangle nodes were artifacts of the broken
+    signature), while the document corpus carries genuine near-dup
+    cluster structure at every fixture scale (clusters of 3-4 variants
+    → real triangles: 3 nodes at sf0.01, 31 at sf0.1). Edges come from
+    the family-shared memoized stage (:func:`_shared_minhash_pairs`)."""
+    return triangle_count(
+        _shared_minhash_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
     )
-    return triangle_count(edges)
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:

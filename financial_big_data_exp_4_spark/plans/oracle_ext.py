@@ -62,8 +62,7 @@ from financial_big_data_exp_4_spark.operators.corpus import (
 from financial_big_data_exp_4_spark.operators.similarity import (  # noqa: E402
     LSH_DIM,
     LSH_PLANES,
-    _LSH_HASH_P,
-    _LSH_KNUTH,
+    _lsh_weight_sql,
 )
 from financial_big_data_exp_4_spark.operators.joins import (
     LARGE_ORDER_THRESHOLD,
@@ -1463,8 +1462,8 @@ EXTENSION_ORACLE_SQL["q_embed_lsh"] = f"""
                CASE WHEN list_reduce(
                  list_transform(generate_series(1, len(embedding)), di ->
                    CAST(embedding[di] AS DOUBLE)
-                   * CAST((p * len(embedding) + di - 1) * {_LSH_KNUTH}
-                          % {_LSH_HASH_P} % 2001 - 1000 AS DOUBLE)),
+                   * CAST({_lsh_weight_sql("p * len(embedding) + di - 1")}
+                          AS DOUBLE)),
                  (a, v) -> a + v) > 0.0
                THEN (CAST(1 AS BIGINT) << p)
                ELSE CAST(0 AS BIGINT) END),
@@ -1660,14 +1659,17 @@ EXTENSION_ORACLE_SQL["q_large_orders"] = """
     LIMIT 100
 """
 
-#: Triangle counting over the hyperplane-LSH candidate graph; the pairs
-#: CTE is the generated q_embed_lsh_pairs SQL, so edge sets cannot drift.
+#: Triangle counting over the MinHash document near-dup candidate graph;
+#: the pairs CTE is the q_neardup_minhash SQL verbatim, so edge sets
+#: cannot drift (round 7: moved off the hyperplane graph — with honest
+#: decorrelated planes a random embedding corpus has ~no Hamming≤2 pairs,
+#: while the document corpus has real near-dup clusters at every scale).
 EXTENSION_ORACLE_SQL["q_triangle_count"] = f"""
-    WITH pairs AS ({EXTENSION_ORACLE_SQL["q_embed_lsh_pairs"]}
+    WITH pairs AS ({Q_NEARDUP_MINHASH}
     ), e AS (
-        SELECT DISTINCT least(vec_a, vec_b) AS lo,
-               greatest(vec_a, vec_b) AS hi
-        FROM pairs WHERE hamming <= 2
+        SELECT DISTINCT least(doc_a, doc_b) AS lo,
+               greatest(doc_a, doc_b) AS hi
+        FROM pairs
     ), tri AS (
         SELECT ab.lo AS a, ab.hi AS b, bc.hi AS c
         FROM e ab
