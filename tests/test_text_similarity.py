@@ -454,3 +454,54 @@ def test_sqrt_stride_formula_matches_duckdb():
             f"SELECT greatest(1, CAST(ceil(sqrt({n})) AS BIGINT))"
         ).fetchall()
         assert duck == py_stride(n), (n, duck, py_stride(n))
+
+
+def test_lsh_plane_weights_decorrelated():
+    """The plane weight vectors must be near-independent: the original
+    bare Weyl stream (i·K % P) made plane p+1 a shift of plane p
+    (mean |corr| 0.35), inflating random-pair band collisions ~10⁴× and
+    turning the banded join quadratic in disguise (round 7: 12.7M
+    spurious Hamming≤2 edges among 200k random vectors). Recompute the
+    weight matrix from the same SQL formula and pin the correlation
+    budget — a future constant or formula change that reintroduces
+    structure fails here without any Spark session."""
+    import numpy as np
+
+    from financial_big_data_exp_4_spark.functions.core import (
+        HASH_MODULUS as P,
+        HASH_MULTIPLIER as K,
+    )
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        LSH_DIM,
+        LSH_PLANES,
+    )
+
+    def weight(i: int) -> int:
+        h1 = (i * K) % P
+        return ((h1 * h1 + i) % P) * K % P % 2001 - 1000
+
+    W = np.array(
+        [
+            [weight(p * LSH_DIM + d) for d in range(LSH_DIM)]
+            for p in range(LSH_PLANES)
+        ],
+        dtype=np.float64,
+    )
+    C = np.corrcoef(W)
+    off = np.abs(C[np.triu_indices(LSH_PLANES, 1)])
+    assert off.mean() < 0.15, off.mean()
+    assert off.max() < 0.6, off.max()
+
+    # and the formula here must BE the shipped formula (no silent drift)
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        _lsh_weight_sql,
+    )
+
+    import duckdb
+
+    con = duckdb.connect()
+    for i in (0, 1, 63, 64, 2047):
+        [(sql_w,)] = con.execute(
+            f"SELECT {_lsh_weight_sql(str(i))}"
+        ).fetchall()
+        assert sql_w == weight(i), (i, sql_w, weight(i))
