@@ -226,9 +226,10 @@ def _sqrt_stride(embeddings: DataFrame) -> int:
     assignment N^1.5, cell size ≈ √N, per-probe search ≈ √N, in-cell
     pair join Σcell² ≈ N^1.5 — the standard IVF compromise, uniform
     across every consumer. One count() action at plan-build time, the
-    same model-build-time cost class as the kmeans variant's fit (and
-    like it, the declared queries avoid it: they pin the constant stride
-    so the DuckDB oracle stays closed-form)."""
+    same model-build-time cost class as the kmeans variant's fit. The
+    declared IVF/near-dup queries USE this path (``stride=None`` in
+    `plans/extensions.py`); the DuckDB oracle stays in lockstep by
+    computing the identical ⌈√N⌉ via a scalar subquery."""
     import math
 
     n = embeddings.count()
@@ -297,8 +298,9 @@ def embedding_neardup_pairs(
     near-dup pair split across cells is missed — the standard IVF
     trade-off, tuned via stride/nprobe). Output: (vec_a, vec_b, cos_sim).
     ``stride=None`` → ⌈√N⌉ cells-and-cell-size balance (the corpus-scale
-    path; see :func:`_sqrt_stride`) — the declared query pins the
-    constant so the oracle stays closed-form.
+    path; see :func:`_sqrt_stride`) — the declared query passes
+    ``stride=None`` and the oracle computes the same ⌈√N⌉ via a scalar
+    subquery.
 
     The assignment is persisted (scoped — see :func:`_persist_scoped`):
     both sides of the self-join read it, and without persistence Spark
@@ -506,8 +508,8 @@ def cosine_topk_ivf(
     centroid (map-side vs broadcast centroids), search only the probe's
     cell. nprobe=1 (single cell) — the standard IVF recall/cost knob.
     ``stride=None`` → ⌈√N⌉ (the corpus-scale path; see
-    :func:`_sqrt_stride`); the declared query pins the constant stride
-    so the oracle stays closed-form.
+    :func:`_sqrt_stride`); the declared query passes ``stride=None``
+    and the oracle computes the same ⌈√N⌉ via a scalar subquery.
 
     Output: (probe_id, vec_id, cos_sim, rank) within the probe's cell.
     """
@@ -582,8 +584,11 @@ def cosine_topk_ivf_kmeans(
 
     Cell selection ranks centroids by the SAME metric the assignment
     minimizes (squared Euclidean to the unit probe:
-    ``|c|^2 - 2 p·c`` up to a constant), so the probe's own home cell is
-    always among its ``nprobe`` probed cells by construction. Candidate
+    ``|c|^2 - 2 p·c`` up to a constant), and the probe's own ASSIGNED
+    cell is additionally force-included in its probed set — the ranking
+    recomputes distances in a different float-reduction order than
+    ``model.transform``, so a tie exactly on the nprobe boundary could
+    otherwise drop the home cell (round-8 ADVICE). Candidate
     scoring then uses the exact prenormed cosine on the ORIGINAL
     embeddings — identical expression to every other similarity path.
 
@@ -703,6 +708,7 @@ def cosine_topk_ivf_kmeans(
             F.col("vec_id").alias("probe_id"),
             F.col("embedding").alias("probe_vec"),
             F.col("_norm").alias("_pnorm"),
+            F.col("cell").alias("_home_cell"),
             (F.col("_cell_n") - 1).cast("long").alias("_home_cand"),
         )
     )
@@ -713,13 +719,25 @@ def cosine_topk_ivf_kmeans(
     w_cells = Window.partitionBy("probe_id").orderBy(
         F.asc("_cdist"), F.asc("cell")
     )
+    # The probe's ASSIGNED cell is force-included regardless of its
+    # recomputed-distance rank: the ranking re-derives distances in a
+    # different float-reduction order than model.transform, so at an
+    # exact tie on the nprobe boundary the home cell could otherwise be
+    # cut — which would falsify the n_cand ≥ n_home_cand contract the
+    # docstring proves (round-8 ADVICE). Worst case this probes
+    # nprobe+1 cells for a tied probe; recall only improves.
     probe_cells = (
         probes.crossJoin(F.broadcast(cents))
         .select(
-            "probe_id", "probe_vec", "_pnorm", "cell", cdist.alias("_cdist")
+            "probe_id",
+            "probe_vec",
+            "_pnorm",
+            "cell",
+            cdist.alias("_cdist"),
+            (F.col("cell") == F.col("_home_cell")).alias("_is_home"),
         )
         .withColumn("_cr", F.row_number().over(w_cells))
-        .where(F.col("_cr") <= nprobe)
+        .where((F.col("_cr") <= nprobe) | F.col("_is_home"))
         .select("probe_id", "probe_vec", "_pnorm", "cell")
     )
     scored = (

@@ -142,18 +142,31 @@ def _stopped_context_error(exc: BaseException) -> bool:
     if type(exc).__name__ == "Py4JNetworkError":
         return True
     s = str(exc)
-    return any(
+    if any(
         p in s
         for p in (
             "stopped SparkContext",
             "Py4JNetworkError",
             "Answer from Java side is empty",
             "Java gateway process",
-            "JavaPackage",  # _jvm gone: gateway already torn down
             "Error while sending or receiving",
             "trying to connect to the Java server",
         )
-    )
+    ):
+        return True
+    # "'JavaPackage' object is not callable" arrives as a plain TypeError
+    # both when the gateway is torn down (jvm views degrade to JavaPackage
+    # placeholders) AND on a perfectly live session that merely references
+    # a JVM class missing from the classpath — the message alone cannot
+    # tell them apart, and classifying the live case as dead would leak
+    # the persisted slot (round-8 ADVICE: match on exception class, not
+    # bare substring). Require independent evidence of death: no active
+    # SparkContext left in this process.
+    if isinstance(exc, TypeError) and "JavaPackage" in s:
+        from pyspark import SparkContext
+
+        return SparkContext._active_spark_context is None
+    return False
 
 
 def persist_scoped(df, slots: int = 2):

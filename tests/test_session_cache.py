@@ -119,3 +119,22 @@ def test_real_py4j_network_error_recognized_by_type():
             "An error occurred while trying to connect to the Java server"
         )
     )
+
+
+def test_javapackage_typeerror_requires_dead_process(monkeypatch):
+    """"'JavaPackage' object is not callable" is a plain TypeError both
+    when the gateway is torn down AND on a live session missing a JVM
+    class; the message alone must not classify as dead (round-8 ADVICE —
+    the old substring match leaked a persisted slot on live sessions).
+    Death requires the independent no-active-SparkContext evidence."""
+    from pyspark import SparkContext
+
+    err = TypeError("'JavaPackage' object is not callable")
+    monkeypatch.setattr(SparkContext, "_active_spark_context", None)
+    assert sess._stopped_context_error(err)
+    monkeypatch.setattr(SparkContext, "_active_spark_context", object())
+    assert not sess._stopped_context_error(err)
+    # the substring on a non-TypeError is not gateway evidence at all
+    assert not sess._stopped_context_error(
+        RuntimeError("JavaPackage mention in an unrelated error")
+    )
