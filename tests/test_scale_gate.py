@@ -1,0 +1,115 @@
+"""Artifact gates for the scale-slope and recall measurements.
+
+The measurements themselves are too heavy for pytest (minutes of fixture
+generation + Spark time at 10×/100× data), so the per-round runners
+(``tools/scale_bench.py --families all --assert-budgets`` and
+``tools/recall_bench.py``) write committed artifacts and THESE tests
+hold the committed numbers to their budgets/floors. The contract:
+
+* a reintroduced quadratic shows up as a budget violation the next time
+  the runner executes — and the runner's artifact is committed, so the
+  violation is also red HERE for every round after, until fixed;
+* the artifact cannot silently go stale: the newest committed scale
+  artifact must cover every query in every family list (so adding a
+  heavy query without measuring it is loud), and floors are asserted on
+  the newest artifact only.
+
+Round-1-style skip semantics: no new-format artifact yet → skip (the
+r07 artifacts predate the family format and are historical records,
+not gates).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT / "tools"))
+
+from scale_bench import (  # noqa: E402
+    FAMILIES,
+    budget_violations,
+)
+
+#: Recall floors asserted on the newest committed RECALL_r{N}.json.
+#: Exact-dup pairs hash to identical signatures/cells, so their recall
+#: is a correctness property (1.0, no slack). Near-dup and ANN floors
+#: are pinned ~0.05 under the measured round-9 values — they fire on a
+#: mechanism change (fewer bands, broken verify prune, quantizer
+#: regression), not on host noise (recall is deterministic given the
+#: fixture seed; the slack covers fixture regeneration drift only).
+RECALL_FLOORS = {
+    "ann_ivf_recall_at_3": 0.55,
+    "ann_kmeans_recall_at_3": 0.55,
+    "hyperplane_exact_pair_recall": 1.0,
+    "hyperplane_neardup_pair_recall": 0.95,
+    "minhash_exact_pair_recall": 1.0,
+    "minhash_neardup_pair_recall": 0.30,
+}
+
+
+def _newest(pattern: str) -> tuple[str, dict] | None:
+    best: tuple[int, Path] | None = None
+    for p in REPO_ROOT.glob(pattern.replace("{N}", "*")):
+        m = re.fullmatch(pattern.replace("{N}", r"(\d+)"), p.name)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), p)
+    if best is None:
+        return None
+    return best[1].name, json.load(best[1].open())
+
+
+def test_scale_artifact_within_budgets() -> None:
+    found = _newest("SCALE_r{N}.json")
+    if found is None or "families" not in found[1]:
+        pytest.skip("no family-format SCALE_r{N}.json committed yet")
+    name, art = found
+    viols = budget_violations(art["families"])
+    assert not viols, (
+        f"{name} records slope-budget violations: {viols} — a scale "
+        f"regression shipped; fix the operator (or document a budget "
+        f"override in tools/scale_bench.py:SLOPE_BUDGETS) and re-run "
+        f"tools/scale_bench.py --families all --assert-budgets"
+    )
+    # the artifact ALSO persists the violations the runner saw at run
+    # time; they must agree with the recomputation above
+    assert art.get("violations") == [], art.get("violations")
+
+
+def test_scale_artifact_covers_every_family_query() -> None:
+    found = _newest("SCALE_r{N}.json")
+    if found is None or "families" not in found[1]:
+        pytest.skip("no family-format SCALE_r{N}.json committed yet")
+    name, art = found
+    for fam, (mult, queries) in FAMILIES.items():
+        fdata = art["families"].get(fam)
+        assert fdata is not None, f"{name} missing family {fam}"
+        missing = [q for q in queries if q not in fdata["warm_slope"]]
+        assert not missing, (
+            f"{name} family {fam} missing slopes for {missing} — the "
+            f"family list grew without a re-measurement; re-run the "
+            f"scale gate"
+        )
+        assert fdata["mult"] == mult, (fam, fdata["mult"], mult)
+
+
+def test_recall_artifact_floors() -> None:
+    found = _newest("RECALL_r{N}.json")
+    if found is None:
+        pytest.skip("no RECALL_r{N}.json committed yet")
+    name, art = found
+    for scale, vals in art["per_scale"].items():
+        for key, floor in RECALL_FLOORS.items():
+            got = vals.get(key)
+            assert got is not None, f"{name} x{scale} missing {key}"
+            assert got >= floor, (
+                f"{name} x{scale} {key} = {got} below floor {floor} — "
+                f"an approximate-search recall regression; re-run "
+                f"tools/recall_bench.py and fix the mechanism before "
+                f"lowering any floor"
+            )

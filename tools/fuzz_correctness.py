@@ -475,6 +475,23 @@ def generate_scaled(outdir: str, seed: int, mult: int) -> None:
     zipf-ish hot keys. Row counts per table = sf0.1 counts × mult, so
     mult=1 reproduces the driver fixture's scale and mult=10 is the 10×
     point of the trend.
+
+    Document text draws from a LARGE zipf-weighted vocabulary (8,192
+    tokens), not the 31-word ``TOKEN_VOCAB`` the adversarial profiles
+    use. This is a round-9 fix to a fixture-degeneracy bug, not a
+    cosmetic choice: with 31 possible tokens, long documents contain the
+    ENTIRE vocabulary with high probability, so their distinct-token
+    sets — the only input SimHash sees — collide en masse and produce
+    identical 52-bit signatures. Measured at this fixture's own scale:
+    hamming-0 pair count grew 91× for 10× documents (36.6k → 3.35M, max
+    identical-signature clique 248 → 2,375), i.e. the TRUE radius-3
+    output was quadratic in the corpus and no banding strategy could
+    make the operator sub-quadratic. A large-vocab corpus is also the
+    honest model of the 100 TB target (real corpora have ~1M-term
+    vocabularies; 31 is degenerate), while the zipf weights keep the
+    stopword-like head that BM25/TF-IDF/inverted-index slopes care
+    about. The planted dup structure (8% exact clusters of 4, 2%
+    one-token-edit near-dups) is unchanged.
     """
     rng = np.random.default_rng(seed)
     os.makedirs(outdir, exist_ok=True)
@@ -595,8 +612,17 @@ def generate_scaled(outdir: str, seed: int, mult: int) -> None:
 
     nd = 5_000 * mult
     lens = rng.integers(10, 101, nd)
-    vocab = np.array(TOKEN_VOCAB)
-    toks = vocab[rng.integers(0, len(vocab), int(lens.sum()))]
+    # large zipf-weighted vocab (see docstring): 8,192 tokens derived
+    # from the 31 base words, weight ∝ 1/(rank+30) — a stopword-like
+    # head over a long tail, so distinct-token sets (SimHash's input)
+    # are effectively unique per document instead of colliding en masse
+    base = TOKEN_VOCAB
+    vocab = np.array(
+        [f"{base[i % len(base)]}{i // len(base)}" for i in range(8192)]
+    )
+    w = 1.0 / (np.arange(len(vocab)) + 30.0)
+    w /= w.sum()
+    toks = vocab[rng.choice(len(vocab), int(lens.sum()), p=w)]
     bounds = np.concatenate(([0], np.cumsum(lens)))
     texts = [
         " ".join(toks[bounds[i]: bounds[i + 1]]) for i in range(nd)
