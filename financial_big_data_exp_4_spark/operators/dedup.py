@@ -227,15 +227,28 @@ def minhash_candidate_pairs(
     # which would clique EVERY short doc pair at est_jaccard 1.0 — an
     # O(n_short²) blowup and false merges downstream (exact dedup is the
     # operator that covers identical short docs). Oracle in lockstep.
+    #
+    # The filter sits ABOVE the persist, not below it: Catalyst's
+    # predicate pushdown substitutes aliased expressions into predicates
+    # regardless of cost (unlike CollapseProject, see SPARK-36718 note
+    # in with_minhash_signature), so a `where(mh_0 < P)` below the cache
+    # boundary is rewritten to the full md5-shingle minhash expression
+    # and pushed beneath the CPU-rebalance Exchange — onto the
+    # single-row-group scan task, serializing the dominant signature
+    # stage onto ONE core and then recomputing it post-exchange. The
+    # round-9 scale gate measured the simhash twin of this at 190s vs
+    # 9.5s for 500k docs. An InMemoryRelation is a pushdown barrier, so
+    # filtering the cached rows costs one cheap column compare, and the
+    # few sentinel rows persisted alongside are noise.
     bands = persist_scoped(
-        sig.where(F.col("mh_0") < MINHASH_P).select(
+        sig.select(
             "doc",
             *[F.col(f"mh_{i}") for i in range(k)],
             F.posexplode(
                 F.array(*[_band_key(b) for b in range(MINHASH_BANDS)])
             ).alias("band_id", "band_key"),
         )
-    )
+    ).where(F.col("mh_0") < MINHASH_P)
     bands = _cap_band_buckets(bands, max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     agree = sum(
@@ -570,43 +583,64 @@ def neardup_edit_distance(
     )
 
 
-#: SimHash band count for Hamming-banded pairing: by pigeonhole, any two
-#: signatures within Hamming distance ``SIMHASH_NEARDUP_BANDS - 1`` agree
-#: exactly on at least one of the bands, so the banded equi-join is
-#: *complete* (not approximate) for that radius. 4 bands × 13 bits covers
-#: the full 52-bit signature.
-SIMHASH_NEARDUP_BANDS = 4
+#: SimHash band scheme for Hamming-banded pairing: 2 bands × 26 bits
+#: with 1-bit MULTIPROBE. By pigeonhole, ≤ ``2·(flips+1) − 1 = 3`` bit
+#: flips split across 2 bands leave some band with ≤ 1 flip, so probing
+#: each band key plus its 26 one-bit neighbours makes the banded
+#: equi-join *complete* (not approximate) for Hamming ≤ 3 — the same
+#: radius the previous 4 × 13-bit exact-key scheme guaranteed.
+#:
+#: Why multiprobe (round-9 scale gate): 13-bit keys give only 8,192
+#: buckets per band, and at the 100× fixture (500k docs) the key space
+#: SATURATED — measured Σ bucket² grew 50× for 10× docs (46k → 2.33M
+#: joined rows; ≈ 765M projected at 100×, 222s warm), the classic
+#: linear-buckets → quadratic-join onset the round-7 hyperplane bug
+#: showed. 26-bit keys give 67M buckets per band, so bucket occupancy —
+#: and the join — stays linear in the corpus until ~10⁸ docs per
+#: partition-disjoint shard; the probe-side explode is a fixed ×27 per
+#: band, a constant that buys away the quadratic term.
+SIMHASH_PAIR_BANDS = 2
+SIMHASH_PROBE_FLIPS = 1
+#: Kept name: the completeness radius of the default scheme (= 3).
+SIMHASH_NEARDUP_RADIUS = SIMHASH_PAIR_BANDS * (SIMHASH_PROBE_FLIPS + 1) - 1
 
 
 def simhash_neardup_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_hamming: int = SIMHASH_NEARDUP_BANDS - 1,
+    max_hamming: int = SIMHASH_NEARDUP_RADIUS,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs within ``max_hamming`` bit flips.
 
     Pipeline: 52-bit SimHash per doc (map-only, :func:`simhash_docs`) →
-    explode into ``SIMHASH_NEARDUP_BANDS`` 13-bit band keys, the full
-    signature riding along → self-equi-join inside band buckets (never
-    all-pairs) → exact Hamming distance via ``bit_count(xor)`` read off
-    the joined row → filter ≤ ``max_hamming`` → distinct pairs. Output:
-    (doc_a, doc_b, hamming), doc_a < doc_b.
+    explode into ``SIMHASH_PAIR_BANDS`` 26-bit band keys, the full
+    signature riding along → self-equi-join inside band buckets, with
+    the SMALLER-id side additionally probing each band key's 26 one-bit
+    neighbours (multiprobe) → exact Hamming via ``bit_count(xor)`` read
+    off the joined row → filter ≤ ``max_hamming`` → distinct pairs.
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b.
 
-    **Completeness**: with the default ``max_hamming = bands - 1`` the
-    pigeonhole guarantee makes this the *exact* set of pairs within the
-    radius — banding is a pruning strategy, not an approximation (unlike
-    MinHash banding, which is probabilistic in the signature itself).
+    **Completeness**: for the default ``max_hamming = 3``, any qualifying
+    pair has ≤ 3 flips split across 2 bands, so some band carries ≤ 1
+    flip — and the 1-flip probe set covers it exactly. Banding is a
+    pruning strategy, not an approximation (unlike MinHash banding,
+    which is probabilistic in the signature itself). A larger
+    ``max_hamming`` filters correctly but is no longer complete (same
+    contract as the previous 4-band scheme beyond its radius).
 
-    100 TB: same shape as :func:`minhash_candidate_pairs` — cost is
-    O(docs × bands + Σ bucket²) with 13-bit keys spreading the join;
-    ``max_bucket_size`` caps pathological buckets (same window-count
-    guard, no extra exchange). The Hamming filter runs *inside* the join
+    100 TB: cost is O(docs × 54 probe rows + Σ bucket_a·bucket_b) with
+    26-bit keys (67M per band) keeping buckets near-singleton until
+    ~10⁸ docs — the round-9 scale gate measured the previous 13-bit
+    scheme going quadratic at 500k docs (see ``SIMHASH_PAIR_BANDS``).
+    ``max_bucket_size`` still caps pathological buckets on the exact
+    side (boilerplate-heavy corpora); a capped doc can still pair
+    through its other band. The Hamming filter runs *inside* the join
     before the distinct, so the dedup shuffle carries only surviving
     pairs.
     """
-    bands_n = SIMHASH_NEARDUP_BANDS
+    bands_n = SIMHASH_PAIR_BANDS
     width = SIMHASH_BITS // bands_n
     mask = (1 << width) - 1
     sh = simhash_docs(docs, text_col, id_col).select(
@@ -620,8 +654,17 @@ def simhash_neardup_pairs(
     # (-1): contentless docs must not clique with each other at hamming
     # 0, while a contentful doc with a legitimate all-zero signature
     # still participates. Oracle in lockstep.
+    #
+    # The sentinel filter sits ABOVE the persist (round-9): predicate
+    # pushdown substitutes the alias into the predicate and pushes the
+    # ENTIRE tokenize + 52-bit fold beneath the rebalance Exchange, onto
+    # the single-row-group scan task — measured 190s single-core vs 9.5s
+    # parallel for 500k docs, and it re-evaluated the fold again above
+    # the exchange. The cache boundary blocks the pushdown; the filter
+    # then costs one column compare over cached rows (see the minhash
+    # twin in minhash_candidate_pairs for the full mechanism note).
     bands = persist_scoped(
-        sh.where(F.col("simhash") >= 0).select(
+        sh.select(
             "doc",
             "simhash",
             F.posexplode(
@@ -635,9 +678,28 @@ def simhash_neardup_pairs(
                 )
             ).alias("band_id", "band_key"),
         )
+    ).where(F.col("simhash") >= 0)
+    exact = _cap_band_buckets(bands, max_bucket_size)
+    # probe side: the band key itself plus its `width` one-bit flips.
+    # Flips are symmetric (xor), so probing only one join side suffices;
+    # anchoring the probe side as the smaller doc id (the a.doc < b.doc
+    # join bound) keeps every qualifying pair reachable exactly once per
+    # matching band, and DISTINCT collapses the ≤ bands_n multiplicity.
+    probes = bands.select(
+        "doc",
+        "simhash",
+        "band_id",
+        F.explode(
+            F.array(
+                F.col("band_key"),
+                *[
+                    F.col("band_key").bitwiseXOR(F.lit(1 << j))
+                    for j in range(width)
+                ],
+            )
+        ).alias("band_key"),
     )
-    bands = _cap_band_buckets(bands, max_bucket_size)
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = probes.alias("a"), exact.alias("b")
     ham = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     ).cast("long")

@@ -619,8 +619,18 @@ def cosine_topk_ivf_kmeans(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    base = _rebalance(embeddings, "vec_id").select(
-        "vec_id", "embedding", norm(F.col("embedding")).alias("_norm")
+    # persisted so the zero-norm filter below sits above a cache
+    # boundary: predicate pushdown would otherwise substitute the norm
+    # fold into the predicate and push it beneath the rebalance Exchange
+    # onto the single-row-group scan task — the model-build actions
+    # (distinct count, fit) would each pay a single-core norm pass (the
+    # round-9 simhash finding, see minhash_candidate_pairs). The slot is
+    # churn-safe: this whole build is memoized per (session, sf_dir) and
+    # the FIFO eviction retires `base` before the assignment cache.
+    base = _persist_scoped(
+        _rebalance(embeddings, "vec_id").select(
+            "vec_id", "embedding", norm(F.col("embedding")).alias("_norm")
+        )
     )
     # zero-norm vectors have no direction, so they can live in no angular
     # cell: exclude them from the fit AND the index (array_to_vector

@@ -44,12 +44,16 @@ from scale_bench import (  # noqa: E402
 #: regression), not on host noise (recall is deterministic given the
 #: fixture seed; the slack covers fixture regeneration drift only).
 RECALL_FLOORS = {
-    "ann_ivf_recall_at_3": 0.55,
-    "ann_kmeans_recall_at_3": 0.55,
+    # both ANN paths measured 1.0 at 1x and 10x (round 9)
+    "ann_ivf_recall_at_3": 0.90,
+    "ann_kmeans_recall_at_3": 0.90,
     "hyperplane_exact_pair_recall": 1.0,
     "hyperplane_neardup_pair_recall": 0.95,
     "minhash_exact_pair_recall": 1.0,
-    "minhash_neardup_pair_recall": 0.30,
+    # measured 0.42/0.447 — the 2-band x 4-row banding's honest
+    # P(candidate) = 1-(1-s^4)^2 on one-token-edit Jaccard; a mechanism
+    # regression (fewer bands, broken signature) roughly halves it
+    "minhash_neardup_pair_recall": 0.35,
 }
 
 
