@@ -52,6 +52,11 @@ def token_counts(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     ``regexp_extract_all`` (not ``split``) so leading/trailing whitespace
     cannot create empty tokens — the same regex drives the oracle.
     """
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    # single-row-group guard (see module docstring); measured 1.40s →
+    # 0.58s at 50k docs (round 9)
+    docs = rebalance_for_cpu(docs, id_col)
     t = F.col(text_col)
     ws = F.size(F.regexp_extract_all(t, F.lit(r"\S+"), 0))
     bpe = F.size(F.regexp_extract_all(F.lower(t), F.lit(BPE_TOKEN_RE), 0))
@@ -133,6 +138,10 @@ def language_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     normal case for a language *identifier* — gets ``lang = NULL``, so
     results union cleanly across labeled and unlabeled corpora.
     """
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    # single-row-group guard; measured 1.59s → 0.38s at 50k docs (r9)
+    docs = rebalance_for_cpu(docs, id_col)
     # materialized once — every per-language intersection reads it
     docs = docs.withColumn(
         "_dtoks", F.array_distinct(tokenize(F.col(text_col)))
@@ -170,6 +179,10 @@ def normalize_text(docs: DataFrame, text_col: str = "text", id_col: str = "doc_i
     monitoring hook in an ingestion pipeline). ASCII-explicit character
     classes so the Java-regex and RE2 (oracle) behaviors are identical.
     """
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    # single-row-group guard; measured 0.57s → 0.29s at 50k docs (r9)
+    docs = rebalance_for_cpu(docs, id_col)
     t = F.col(text_col)
     norm = F.trim(
         F.regexp_replace(
@@ -247,6 +260,11 @@ def scrub_pii(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     token — counting it from the original text would claim a redaction
     that did not happen. Oracle in lockstep.
     """
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    # single-row-group guard; the five regex passes are the dominant
+    # cost — measured 4.81s → 0.56s at 50k docs (r9)
+    docs = rebalance_for_cpu(docs, id_col)
     t = F.col(text_col)
     after_email = F.regexp_replace(t, PII_EMAIL, "[EMAIL]")
     n_email = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), 0))

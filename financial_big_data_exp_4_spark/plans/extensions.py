@@ -263,9 +263,21 @@ def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a broken cell ranking/scoring stage fails the lower bound), with
     # navail counted under the index's own norm > 0 predicate.
     from financial_big_data_exp_4_spark.operators.similarity import norm
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
 
-    navail = emb.where(norm(F.col("embedding")) > 0).agg(
-        F.count(F.lit(1)).alias("_navail")
+    # conditional-sum instead of filter-then-count: a where() over the
+    # norm fold would be pushed beneath the rebalance exchange onto the
+    # single-row-group scan task (the round-9 pushdown finding — see
+    # operators/dedup.py minhash_candidate_pairs); an aggregate's partial
+    # phase sits ABOVE the repartition, so the fold runs parallel. NULL
+    # norms fall to otherwise(0), matching the filter's semantics.
+    # coalesce: sum over an EMPTY table is NULL where the old
+    # filter-count was 0 (degenerate corpus, fuzz tiny profile)
+    navail = rebalance_for_cpu(emb, "vec_id").agg(
+        F.coalesce(
+            F.sum(F.when(norm(F.col("embedding")) > 0, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("_navail")
     )
     per = (
         topk.groupBy("probe_id")

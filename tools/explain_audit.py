@@ -23,14 +23,8 @@ MAP_ONLY = {
     "q_project",
     "q_workyear_filter",
     "q_fillna",
-    "q_token_count",
-    "q_lang_id",
     "q_hash_sample",
-    "q_text_normalize",
-    "q_quality_filter",
     "q_stratified_sample",
-    "q_pii_scrub",
-    "q_doc_chunks",
 }
 
 #: map-only except for the scale-up-only CPU rebalance
@@ -38,11 +32,21 @@ MAP_ONLY = {
 #: single-file fixtures — the plan carries exactly one keyed Exchange that
 #: fans the hash-heavy projection across all cores; at production split
 #: counts the rebalance is a no-op and these plans are Exchange-free too.
+#: Round 9 moved the regex-heavy text/corpus map queries here: measured
+#: on the 50k-doc scale fixture, their regex stacks ran on the ONE scan
+#: task (pii_scrub 4.81s → 0.56s rebalanced; lang_id 4.2×, token_count
+#: 2.4×, doc_chunks 2.6×, normalize 2×).
 MAP_REBALANCED = {
     "q_text_quality",
     "q_doc_fingerprint",
     "q_dedup_simhash",
     "q_embed_lsh",
+    "q_token_count",
+    "q_lang_id",
+    "q_text_normalize",
+    "q_quality_filter",
+    "q_pii_scrub",
+    "q_doc_chunks",
 }
 
 #: queries whose plan legitimately contains an Arrow/pandas boundary
