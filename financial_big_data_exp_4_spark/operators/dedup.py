@@ -207,7 +207,13 @@ def minhash_candidate_pairs(
     semantics).
     """
     k = len(MINHASH_COEFFS)
-    sig = with_minhash_signature(docs, text_col, id_col).select(
+    # sentinel exclusion happens HERE, on the raw text, as the cheap
+    # equivalent of mh_0 < P — see the comment on `bands` below
+    sig = with_minhash_signature(
+        docs.where(F.length(F.col(text_col)) >= SHINGLE_K),
+        text_col,
+        id_col,
+    ).select(
         F.col(id_col).alias("doc"), *[F.col(f"mh_{i}") for i in range(k)]
     )
     # The signature columns RIDE the band explode (8 longs ≈ 64 bytes per
@@ -222,24 +228,28 @@ def minhash_candidate_pairs(
     # persist the exploded band rows: both self-join branches read them,
     # and Spark does not share scans between branches — unpersisted, the
     # dominant md5-shingle signature expression would compute twice.
-    # mh_0 < P excludes shingle-less (shorter than SHINGLE_K) documents
-    # from banding: they all carry the identical all-sentinel signature,
-    # which would clique EVERY short doc pair at est_jaccard 1.0 — an
+    # Shingle-less (shorter than SHINGLE_K) documents are excluded from
+    # banding: they all carry the identical all-sentinel signature, which
+    # would clique EVERY short doc pair at est_jaccard 1.0 — an
     # O(n_short²) blowup and false merges downstream (exact dedup is the
     # operator that covers identical short docs). Oracle in lockstep.
     #
-    # The filter sits ABOVE the persist, not below it: Catalyst's
-    # predicate pushdown substitutes aliased expressions into predicates
-    # regardless of cost (unlike CollapseProject, see SPARK-36718 note
-    # in with_minhash_signature), so a `where(mh_0 < P)` below the cache
-    # boundary is rewritten to the full md5-shingle minhash expression
-    # and pushed beneath the CPU-rebalance Exchange — onto the
+    # The sentinel exclusion is the CHEAP EQUIVALENT predicate
+    # `length(text) >= SHINGLE_K`, applied to the raw docs BEFORE the
+    # signature — never `where(mh_0 < P)` over the computed column.
+    # Catalyst's predicate pushdown substitutes aliased expressions into
+    # predicates regardless of cost (unlike CollapseProject, see
+    # SPARK-36718 note in with_minhash_signature), so a filter over
+    # mh_0 is rewritten to the full md5-shingle minhash expression and
+    # pushed beneath the CPU-rebalance Exchange — onto the
     # single-row-group scan task, serializing the dominant signature
-    # stage onto ONE core and then recomputing it post-exchange. The
-    # round-9 scale gate measured the simhash twin of this at 190s vs
-    # 9.5s for 500k docs. An InMemoryRelation is a pushdown barrier, so
-    # filtering the cached rows costs one cheap column compare, and the
-    # few sentinel rows persisted alongside are noise.
+    # stage onto ONE core and recomputing it again post-exchange (the
+    # round-9 scale gate measured the simhash twin at 190s vs 9.5s for
+    # 500k docs). The length predicate is exactly `shingle set
+    # non-empty` (shingle_hash_set emits [] iff length < k, and NULL
+    # text fails the comparison like it fails banding), pushes down
+    # harmlessly, and unlike a filter-above-cache formulation it cannot
+    # regress to the expensive form when the persist slot is evicted.
     bands = persist_scoped(
         sig.select(
             "doc",
@@ -248,7 +258,7 @@ def minhash_candidate_pairs(
                 F.array(*[_band_key(b) for b in range(MINHASH_BANDS)])
             ).alias("band_id", "band_key"),
         )
-    ).where(F.col("mh_0") < MINHASH_P)
+    )
     bands = _cap_band_buckets(bands, max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     agree = sum(
@@ -643,26 +653,29 @@ def simhash_neardup_pairs(
     bands_n = SIMHASH_PAIR_BANDS
     width = SIMHASH_BITS // bands_n
     mask = (1 << width) - 1
-    sh = simhash_docs(docs, text_col, id_col).select(
-        F.col("doc_id").alias("doc"), "simhash"
-    )
+    # The no-token sentinel (-1) exclusion is the CHEAP EQUIVALENT
+    # predicate on the raw text — `lower(text) rlike '[a-z0-9]'` is
+    # exactly "token set non-empty" under the [a-z0-9]+ tokenizer (NULL
+    # text fails it like it fails banding) — applied BEFORE the
+    # signature, never `where(simhash >= 0)` over the computed column:
+    # predicate pushdown substitutes the alias into the predicate and
+    # pushes the ENTIRE tokenize + 52-bit fold beneath the rebalance
+    # Exchange, onto the single-row-group scan task — measured 190s
+    # single-core vs 9.5s parallel for 500k docs, evaluated AGAIN above
+    # the exchange (round-9 scale-gate finding; same fix as the minhash
+    # twin in minhash_candidate_pairs). Semantics unchanged: contentless
+    # docs must not clique with each other at hamming 0, while a
+    # contentful doc with a legitimate all-zero signature still
+    # participates. Oracle in lockstep.
+    sh = simhash_docs(
+        docs.where(F.lower(F.col(text_col)).rlike("[a-z0-9]")),
+        text_col,
+        id_col,
+    ).select(F.col("doc_id").alias("doc"), "simhash")
     from financial_big_data_exp_4_spark.session import persist_scoped
 
     # persisted for the same reason as the minhash band rows: the 52-bit
     # HOF fold would otherwise run once per self-join branch.
-    # simhash >= 0 excludes only the out-of-domain no-token sentinel
-    # (-1): contentless docs must not clique with each other at hamming
-    # 0, while a contentful doc with a legitimate all-zero signature
-    # still participates. Oracle in lockstep.
-    #
-    # The sentinel filter sits ABOVE the persist (round-9): predicate
-    # pushdown substitutes the alias into the predicate and pushes the
-    # ENTIRE tokenize + 52-bit fold beneath the rebalance Exchange, onto
-    # the single-row-group scan task — measured 190s single-core vs 9.5s
-    # parallel for 500k docs, and it re-evaluated the fold again above
-    # the exchange. The cache boundary blocks the pushdown; the filter
-    # then costs one column compare over cached rows (see the minhash
-    # twin in minhash_candidate_pairs for the full mechanism note).
     bands = persist_scoped(
         sh.select(
             "doc",
@@ -678,7 +691,7 @@ def simhash_neardup_pairs(
                 )
             ).alias("band_id", "band_key"),
         )
-    ).where(F.col("simhash") >= 0)
+    )
     exact = _cap_band_buckets(bands, max_bucket_size)
     # probe side: the band key itself plus its `width` one-bit flips.
     # Flips are symmetric (xor), so probing only one join side suffices;

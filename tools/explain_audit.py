@@ -49,6 +49,30 @@ MAP_REBALANCED = {
     "q_doc_chunks",
 }
 
+#: Expression markers that are EXPENSIVE per row (corpus-wide hash /
+#: HOF-fold / regex stages). A Filter node containing one means
+#: predicate pushdown substituted an aliased expensive expression into
+#: the predicate and (typically) pushed it beneath the CPU-rebalance
+#: Exchange onto the single-row-group scan task — the round-9 finding
+#: that serialized the minhash/simhash signature stages onto ONE core
+#: (190s vs 9.5s at 500k docs) and evaluated them twice. The fix is a
+#: cheap EQUIVALENT predicate on the raw column (length(text) >= k,
+#: rlike '[a-z0-9]') applied before the expensive projection.
+EXPENSIVE_FILTER_MARKERS = (
+    "regexp_extract_all(",
+    "zip_with(",
+    "levenshtein(",
+    "sha2(",
+    "conv(",  # md5_hash64: conv(substring(md5(...)))
+)
+
+#: Queries allowed to carry ONE cheap hash inside a Filter: Spark
+#: auto-inserts IsNotNull(<join key>) guards, and q_dedup_apply joins on
+#: md5(text) — a single per-row hash next to the join-key computation,
+#: not a corpus-wide fold. bare "md5(" is therefore checked separately
+#: from the markers above, with this allowlist.
+MD5_FILTER_OK = {"q_dedup_apply"}
+
 #: queries whose plan legitimately contains an Arrow/pandas boundary
 #: (multimodal decode stages); anywhere else a Python node is a hot-path
 #: regression
@@ -106,6 +130,22 @@ def main() -> int:
         problems = []
         if "BatchEvalPython" in plan:
             problems.append("row-at-a-time Python UDF in plan")
+        for line in plan.splitlines():
+            node = line.lstrip(" +-:*")
+            if not node.startswith("Filter "):
+                continue
+            if any(m in node for m in EXPENSIVE_FILTER_MARKERS):
+                problems.append(
+                    "expensive expression inside a Filter (pushdown "
+                    "substituted an alias — use a cheap equivalent "
+                    f"predicate): {node[:90]}"
+                )
+                break
+            if "md5(" in node and name not in MD5_FILTER_OK:
+                problems.append(
+                    f"md5 inside a Filter (see MD5_FILTER_OK): {node[:90]}"
+                )
+                break
         if name not in PANDAS_OK and (
             "MapInPandas" in plan
             or "ArrowEvalPython" in plan
