@@ -392,9 +392,11 @@ def chunk_documents(
     ``overlap`` characters, every character is covered, and no chunk
     starts inside the final overlap (which would emit a redundant
     tail ⊂ the previous chunk). Map-only row expansion:
-    ``sequence``+``explode`` inside whole-stage codegen, no shuffle, no
-    Python — the output is immediately partition-parallel for the
-    downstream embedder. Emits the md5 of each chunk (the id a
+    ``sequence``+``explode`` inside whole-stage codegen, no Python, and
+    no shuffle beyond the single-row-group CPU rebalance below (a no-op
+    at real split counts) — the output is immediately
+    partition-parallel for the downstream embedder. Emits the md5 of
+    each chunk (the id a
     chunk-level exact-dedup keys on) rather than the chunk text, keeping
     the declared output narrow; production would carry the text.
     """

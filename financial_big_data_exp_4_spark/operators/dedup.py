@@ -644,9 +644,11 @@ def simhash_neardup_pairs(
     26-bit keys (67M per band) keeping buckets near-singleton until
     ~10⁸ docs — the round-9 scale gate measured the previous 13-bit
     scheme going quadratic at 500k docs (see ``SIMHASH_PAIR_BANDS``).
-    ``max_bucket_size`` still caps pathological buckets on the exact
-    side (boilerplate-heavy corpora); a capped doc can still pair
-    through its other band. The Hamming filter runs *inside* the join
+    ``max_bucket_size`` still caps pathological buckets
+    (boilerplate-heavy corpora), applied to the band rows before BOTH
+    join sides derive from them; a capped doc loses that band entirely
+    (membership and probes) and can still pair through its other band.
+    The Hamming filter runs *inside* the join
     before the distinct, so the dedup shuffle carries only surviving
     pairs.
     """
@@ -692,7 +694,18 @@ def simhash_neardup_pairs(
             ).alias("band_id", "band_key"),
         )
     )
-    exact = _cap_band_buckets(bands, max_bucket_size)
+    # the bucket cap applies to the base band rows BEFORE either join
+    # side derives from them: capping only the exact side would leave
+    # the ×27 probe explode of an over-full bucket's members uncapped —
+    # a 100k-doc degenerate bucket with cap 1000 would still push 100k
+    # identity probes into the 1000 surviving exact rows (~1e8 joined
+    # rows THROUGH the guard), and a capped doc could sneak back into
+    # pairing through the same band as the probe side (round-9 review).
+    # Capping the base keeps the previous semantics: a doc in an
+    # over-full bucket loses that band entirely — membership AND probes —
+    # and can still pair through its other band.
+    bands = _cap_band_buckets(bands, max_bucket_size)
+    exact = bands
     # probe side: the band key itself plus its `width` one-bit flips.
     # Flips are symmetric (xor), so probing only one join side suffices;
     # anchoring the probe side as the smaller doc id (the a.doc < b.doc

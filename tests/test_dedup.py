@@ -268,3 +268,32 @@ def test_simhash_zero_signature_is_contentful_not_sentinel(spark):
     }
     assert (1, 2, 0) in got  # zero-signature docs still pair
     assert all(a not in (3, 4) and b not in (3, 4) for a, b, _ in got)
+
+
+def test_simhash_bucket_cap_drops_degenerate_bucket_both_sides(spark):
+    """The cap must apply to the band rows BEFORE both join sides derive
+    from them: capping only the exact side leaves the ×27 multiprobe
+    explode of an over-full bucket's members uncapped — the identity
+    probes of the dropped docs would join the surviving exact rows and
+    the degenerate bucket's pairs would flow straight through the guard
+    (round-9 review finding)."""
+    from financial_big_data_exp_4_spark.operators import (
+        simhash_neardup_pairs,
+    )
+
+    n = 12
+    boiler = _docs(
+        spark,
+        ["identical boilerplate body shared by every crawl document"] * n,
+    )
+    assert simhash_neardup_pairs(boiler).count() == n * (n - 1) // 2
+    assert simhash_neardup_pairs(boiler, max_bucket_size=5).count() == 0
+
+    # inert on a corpus whose buckets are small
+    varied = _docs(
+        spark,
+        [f"unique document {i} on its own subject {i * 13}" for i in range(8)],
+    )
+    assert sorted(
+        map(tuple, simhash_neardup_pairs(varied, max_bucket_size=5).collect())
+    ) == sorted(map(tuple, simhash_neardup_pairs(varied).collect()))

@@ -34,10 +34,12 @@ from financial_big_data_exp_4_spark.plans import REFERENCE_QUERIES
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 #: Overlap budget between consecutive rounds' 50-query driver samples.
-#: The two standing anchors (q_scan, q_feature_pipeline) give overlap 2,
-#: and a 50-of-98 sample forces at least 2 more repeats; 5 leaves one
-#: query of slack beyond the structural minimum (round-8 ADVICE: the old
-#: budget of 12 would have let ten silently repeated queries pass).
+#: The structural minimum is 2: two 50-of-98 samples must share at least
+#: 50+50−98 = 2 queries, and the two standing anchors (q_scan,
+#: q_feature_pipeline) ARE that overlap under the exact-complement
+#: rotation. 5 leaves three queries of slack over the minimum (round-8
+#: ADVICE: the old budget of 12 would have let ten silently repeated
+#: queries pass).
 MAX_OVERLAP = 5
 
 

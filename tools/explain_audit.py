@@ -14,6 +14,7 @@ Exit 1 if any property fails.
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -131,7 +132,12 @@ def main() -> int:
         if "BatchEvalPython" in plan:
             problems.append("row-at-a-time Python UDF in plan")
         for line in plan.splitlines():
-            node = line.lstrip(" +-:*")
+            # strip tree glyphs AND the whole-stage-codegen stage tag:
+            # a codegen'd node renders as "+- *(1) Filter ...", and a
+            # plain lstrip of " +-:*" leaves "(1) " behind — the guard
+            # would silently skip every exchange-free plan's filters
+            # (round-9 review finding, verified empirically)
+            node = re.sub(r"^[\s+\-:*]*(\(\d+\)\s*)?", "", line)
             if not node.startswith("Filter "):
                 continue
             if any(m in node for m in EXPENSIVE_FILTER_MARKERS):

@@ -5,7 +5,7 @@ The ANN and candidate-generation operators carry structural proofs
 but none of that pins a NUMBER on what the approximate paths actually
 recover. This tool measures it against two ground truths and writes a
 committed artifact (``RECALL_r{N}.json``) whose floors
-``tests/test_recall_gate.py`` re-asserts every round:
+``tests/test_scale_gate.py`` (RECALL_FLOORS) re-asserts every round:
 
 * **ANN recall@k vs exact brute force** — for the two top-k searches
   (``q_embed_ann_ivf``'s fit-free ⌈√N⌉-stride IVF and
@@ -184,7 +184,9 @@ def main() -> int:
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
-    from fuzz_correctness import generate_scaled
+    # shared fixture-dir convention (path format + --keep reuse) lives in
+    # scale_bench so both gates keep sharing the generated 10× data
+    from scale_bench import _ensure_dir
 
     from financial_big_data_exp_4_spark.session import get_spark
 
@@ -193,9 +195,7 @@ def main() -> int:
 
     per_scale = {}
     for mult in (1, args.mult):
-        d = f"/tmp/scale_sf_{args.seed}_x{mult}"
-        if not (args.keep and os.path.isdir(d)):
-            generate_scaled(d, args.seed, mult)
+        d = _ensure_dir(args.seed, mult, args.keep)
         t0 = time.perf_counter()
         per_scale[str(mult)] = {
             **_ann_recall(spark, d),

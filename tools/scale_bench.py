@@ -295,11 +295,7 @@ def main() -> int:
                              "mutually exclusive")
         plan = {f: FAMILIES[f] for f in fam_names}
     else:
-        names = args.queries or HEAVY_QUERIES
-        unknown = [n for n in names if n not in qs]
-        if unknown:
-            raise SystemExit(f"unknown queries: {unknown}")
-        plan = {"adhoc": (args.mult, names)}
+        plan = {"adhoc": (args.mult, args.queries or HEAVY_QUERIES)}
 
     for _, (_, names) in plan.items():
         unknown = [n for n in names if n not in qs]
