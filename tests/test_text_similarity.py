@@ -505,3 +505,17 @@ def test_lsh_plane_weights_decorrelated():
             f"SELECT {_lsh_weight_sql(str(i))}"
         ).fetchall()
         assert sql_w == weight(i), (i, sql_w, weight(i))
+
+    # the literal weight array the hot path ships (round-9: weights are
+    # precomputed once, not re-derived per row) must be the same formula
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        _LSH_DIM_CAP,
+        _lsh_weight_py,
+    )
+
+    for i in (0, 1, 63, 64, 2047, LSH_PLANES * _LSH_DIM_CAP - 1):
+        assert _lsh_weight_py(i) == weight(i), i
+        [(sql_w,)] = con.execute(
+            f"SELECT {_lsh_weight_sql(str(i))}"
+        ).fetchall()
+        assert _lsh_weight_py(i) == sql_w, i
