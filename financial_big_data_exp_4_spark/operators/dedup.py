@@ -42,8 +42,10 @@ from financial_big_data_exp_4_spark.functions.core import md5_hash64
 #: intermediate (h * a + b) below 2^63 with the multipliers used here.
 MINHASH_P = 1_000_000_007
 
-#: (a, b) pairs for the 8 affine "permutations" h -> (a*h + b) mod P.
-#: Fixed small primes — deterministic across engines and runs.
+#: (a, b) pairs for the 16 affine "permutations" h -> (a*h + b) mod P.
+#: Fixed small primes — deterministic across engines and runs. The first
+#: 8 pairs are the historical round-2 set (LEGACY_MINHASH_* below), so
+#: legacy signatures are a prefix of the current ones.
 MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
     (131, 17),
     (137, 89),
@@ -53,24 +55,64 @@ MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
     (157, 661),
     (163, 811),
     (167, 947),
+    (173, 1087),
+    (179, 1229),
+    (181, 1381),
+    (191, 1523),
+    (193, 1663),
+    (197, 1823),
+    (199, 1979),
+    (211, 2129),
 )
 
-#: 2 bands × 4 rows: candidate threshold ≈ (1/B)^(1/R) ≈ 0.84 Jaccard.
+#: 4 bands × 4 rows: candidate threshold ≈ (1/B)^(1/R) ≈ 0.71 Jaccard,
+#: P(candidate) = 1 − (1 − s⁴)⁴ ≈ 0.94 at s = 0.875 (a one-token edit
+#: on a 30-token doc) and ≈ 0.98+ for longer docs. RECALL_r09 measured
+#: the legacy 2 bands × 4 rows at 0.42 planted-near-dup recall; the
+#: diagnosis was NOT the banding math but the positional shingle stride
+#: (see SHINGLE_SELECT_MOD) collapsing half the planted pairs to
+#: Jaccard ≈ 0.02. With the shift-robust selection restoring planted
+#: Jaccard to 0.63-0.97 (median 0.93 on the recall fixture), doubling
+#: the bands at the SAME 4-row width lifts measured recall ≥ 0.95 while
+#: keeping false candidates ∝ Σ_pairs s⁴ — background corpus pairs sit
+#: at s ≈ 0.01-0.04, so s⁴ ≈ 10⁻⁸ and candidate volume stays linear in
+#: N (an 8 bands × 2 rows variant was measured too: recall 1.0 but
+#: B·s² background admission ⇒ 181k candidates at the 10× fixture vs
+#: ~7k here — a quadratic onset no bucket cap should be asked to hide).
+#: Recall-vs-cost for current AND legacy settings is measured per round
+#: by tools/recall_bench.py into RECALL_r{N}.json.
 #: (Shingle sets, not word sets, drive the signature — see SHINGLE_K — so
 #: thematically-similar-but-different documents don't collide.)
-MINHASH_BANDS = 2
+MINHASH_BANDS = 4
 MINHASH_ROWS_PER_BAND = 4
+
+#: The historical round-2..9 parameterization (8 perms, 2 bands × 4 rows,
+#: threshold ≈ 0.84): kept addressable so tools/recall_bench.py can
+#: record the recall-vs-cost curve of both settings in the committed
+#: artifact. Not used by any declared query.
+LEGACY_MINHASH_COEFFS = MINHASH_COEFFS[:8]
+LEGACY_MINHASH_BANDS = 2
+LEGACY_MINHASH_ROWS_PER_BAND = 4
 
 #: Character-shingle width for minhash. Shingles capture word *order*;
 #: word-token sets do not (any two docs over a shared small vocabulary
 #: have near-identical token sets — observed on the fixture corpus, where
 #: token-set LSH degenerated to ~all-pairs).
 SHINGLE_K = 8
-#: Shingle position stride: hash every 2nd position. Overlapping 8-char
-#: shingles at stride 2 still cover every character 4×; Jaccard estimates
-#: are statistically indistinguishable for near-dup detection and the
-#: dominant md5 cost halves.
-SHINGLE_STRIDE = 2
+#: Content-anchored shingle selection: hash only shingles whose FIRST
+#: character has an even code point (~half of all positions on real
+#: text, so the dominant md5 cost halves — same saving the round-2..9
+#: positional stride bought). Selection is a function of the shingle's
+#: own content, never its position: the old ``every 2nd position``
+#: stride was shift-FRAGILE — a single-character length change moves
+#: every downstream position's parity, so an odd-length one-token edit
+#: destroyed the entire downstream sample (measured: 53/100 planted
+#: one-token-edit pairs at Jaccard ≈ 0.02 instead of ≈ 0.9; THAT — not
+#: banding probability — was the real cause of RECALL_r09's 0.42
+#: near-dup recall). An even-code-anchored shingle survives any edit
+#: outside its own 8 chars, so planted-pair Jaccard is ≥ 0.63 and
+#: recall is governed by the banding math again.
+SHINGLE_SELECT_MOD = 2
 
 SIMHASH_BITS = 52  # md5_hash64 yields 52 usable bits
 
@@ -87,16 +129,29 @@ def token_hash_set(text: Column | str) -> Column:
     return F.array_distinct(F.transform(tokenize(text), md5_hash64))
 
 
-def shingle_hash_set(
-    text: Column | str, k: int = SHINGLE_K, stride: int = SHINGLE_STRIDE
-) -> Column:
-    """Distinct 52-bit md5 hashes of k-char shingles at every ``stride``-th
-    position; [] if len < k."""
+def shingle_hash_set(text: Column | str, k: int = SHINGLE_K) -> Column:
+    """Distinct 52-bit md5 hashes of content-anchored k-char shingles;
+    [] iff len < k.
+
+    Selection (see ``SHINGLE_SELECT_MOD``): a shingle is hashed iff its
+    first character's code point is even — shift-robust ~½ sampling, so
+    the md5 stage costs half of exhaustive shingling. Degenerate texts
+    whose candidate positions ALL start on odd code points fall back to
+    exhaustive positions, which keeps the invariant ``shingle set
+    non-empty ⟺ len(text) ≥ k`` EXACT — minhash_candidate_pairs'
+    cheap sentinel-exclusion predicate (`length(text) >= SHINGLE_K`)
+    and the oracle's ``mh_0 < P`` band filter depend on it; without the
+    fallback an anchor-less long doc would carry the all-sentinel
+    signature into banding on the engine side only and clique with
+    every other such doc."""
     c = F.col(text) if isinstance(text, str) else text
-    hashes = F.transform(
-        F.sequence(F.lit(1), F.length(c) - F.lit(k - 1), F.lit(stride)),
-        lambda i: md5_hash64(c.substr(i, F.lit(k))),
+    pos = F.sequence(F.lit(1), F.length(c) - F.lit(k - 1))
+    sel = F.filter(
+        pos,
+        lambda i: F.ascii(c.substr(i, F.lit(1))) % SHINGLE_SELECT_MOD == 0,
     )
+    anchored = F.when(F.size(sel) > 0, sel).otherwise(pos)
+    hashes = F.transform(anchored, lambda i: md5_hash64(c.substr(i, F.lit(k))))
     return F.when(F.length(c) >= k, F.array_distinct(hashes)).otherwise(
         F.array().cast("array<long>")
     )
@@ -118,7 +173,10 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 
 
 def with_minhash_signature(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    coeffs: Sequence[tuple[int, int]] = MINHASH_COEFFS,
 ) -> DataFrame:
     """Append ``mh_0..mh_{K-1}`` minhash columns (map-only, codegen'd).
 
@@ -148,7 +206,7 @@ def with_minhash_signature(
         # 3-parameter signature to Spark's higher-order-function binder
         return lambda h: (h * a + b) % MINHASH_P
 
-    for i, (a, b) in enumerate(MINHASH_COEFFS):
+    for i, (a, b) in enumerate(coeffs):
         mh = F.array_min(F.transform(F.col("_th"), perm(a, b)))
         df = df.withColumn(f"mh_{i}", F.coalesce(mh, F.lit(MINHASH_P)))
     return df.drop("_th")
@@ -173,8 +231,8 @@ def _cap_band_buckets(bands: DataFrame, max_bucket_size: int | None) -> DataFram
     )
 
 
-def _band_key(band: int) -> Column:
-    r = MINHASH_ROWS_PER_BAND
+def _band_key(band: int, rows_per_band: int = MINHASH_ROWS_PER_BAND) -> Column:
+    r = rows_per_band
     parts = []
     for j in range(band * r, band * r + r):
         parts.append(F.col(f"mh_{j}").cast("string"))
@@ -186,6 +244,9 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    coeffs: Sequence[tuple[int, int]] = MINHASH_COEFFS,
+    n_bands: int = MINHASH_BANDS,
+    rows_per_band: int = MINHASH_ROWS_PER_BAND,
 ) -> DataFrame:
     """Banded-LSH near-duplicate candidates with estimated similarity.
 
@@ -205,19 +266,29 @@ def minhash_candidate_pairs(
     pair through their other, non-degenerate bands — standard LSH recall
     semantics. Default ``None`` = no cap (the declared closed-form oracle
     semantics).
+
+    ``coeffs`` / ``n_bands`` / ``rows_per_band`` select the banding
+    parameterization (len(coeffs) must equal n_bands × rows_per_band).
+    Every declared query uses the module defaults; the knob exists so
+    tools/recall_bench.py can measure the recall-vs-cost curve of the
+    legacy LEGACY_MINHASH_* setting against the current one in the
+    committed per-round artifact.
     """
-    k = len(MINHASH_COEFFS)
+    k = len(coeffs)
+    assert k == n_bands * rows_per_band, (k, n_bands, rows_per_band)
     # sentinel exclusion happens HERE, on the raw text, as the cheap
     # equivalent of mh_0 < P — see the comment on `bands` below
     sig = with_minhash_signature(
         docs.where(F.length(F.col(text_col)) >= SHINGLE_K),
         text_col,
         id_col,
+        coeffs=coeffs,
     ).select(
         F.col(id_col).alias("doc"), *[F.col(f"mh_{i}") for i in range(k)]
     )
-    # The signature columns RIDE the band explode (8 longs ≈ 64 bytes per
-    # band row) so agreement counts fall straight out of the band join —
+    # The signature columns RIDE the band explode (K longs ≈ 128 bytes
+    # per band row at the 16-perm default) so agreement counts fall
+    # straight out of the band join —
     # the alternative (join signatures back onto the pair list) reads the
     # corpus and recomputes every md5 shingle twice more: the signature
     # expression is the dominant cost and Spark does not share scans
@@ -255,7 +326,9 @@ def minhash_candidate_pairs(
             "doc",
             *[F.col(f"mh_{i}") for i in range(k)],
             F.posexplode(
-                F.array(*[_band_key(b) for b in range(MINHASH_BANDS)])
+                F.array(
+                    *[_band_key(b, rows_per_band) for b in range(n_bands)]
+                )
             ).alias("band_id", "band_key"),
         )
     )
@@ -579,14 +652,22 @@ def neardup_edit_distance(
     # Spark's 3-arg levenshtein returns -1 when distance > threshold;
     # folding -1 back to `cap` yields exactly least(distance, cap).
     lev = F.levenshtein(F.col("_ta"), F.col("_tb"), cap)
+    # Length-difference prefilter (round-9 VERDICT #3): edit distance is
+    # bounded below by abs(len_a − len_b) — insertions alone must bridge
+    # the gap — so when the gap exceeds `cap` the declared output is
+    # exactly `cap` and the O(len × cap) DP is skipped entirely. CaseWhen
+    # evaluates branches lazily (codegen emits if/else), so levenshtein
+    # never runs for gap-pruned pairs. Engine-side pruning only: output
+    # values are bit-identical and the DuckDB oracle is unchanged.
+    len_gap = F.abs(F.length(F.col("_ta")) - F.length(F.col("_tb")))
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            F.when(lev < 0, F.lit(cap))
-            .otherwise(lev)
+            F.when(len_gap > cap, F.lit(cap))
+            .otherwise(F.when(lev < 0, F.lit(cap)).otherwise(lev))
             .cast("long")
             .alias("edit_dist"),
         )

@@ -37,7 +37,7 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 QUALITY_STOPWORDS: tuple[str, ...] = ("the", "a", "and", "of", "to", "in", "is", "it")
 
 FINGERPRINT_K = 8  # char-shingle width for the rolling fingerprint
-FINGERPRINT_STRIDE = 2  # shingle sampling stride (matches SHINGLE_STRIDE)
+FINGERPRINT_STRIDE = 2  # positional shingle sampling stride (see docstring)
 
 #: The BPE-ish tokenizer regex (word runs + single punctuation) — the ONE
 #: definition shared by :func:`token_counts`, ``corpus.pack_sequences``,
@@ -205,11 +205,14 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     Hashes K-char shingles at stride ``FINGERPRINT_STRIDE`` (md5 → 52-bit
     int, oracle-identical), then reports the minimum hash and the count
     of "selected" hashes (h ≡ 0 mod 16 — the 1/16 systematic sample
-    winnowing keeps). Stride 2, matching the dedup shingle path's
-    ``SHINGLE_STRIDE``: adjacent K-char windows overlap in K-1 chars, so
-    consecutive hashes are near-redundant for fingerprinting — sampling
-    every other position halves the dominant md5 cost with no loss of
-    discrimination (round-3 VERDICT next-round #4). Map-only; per-row
+    winnowing keeps). Stride 2: adjacent K-char windows overlap in K-1
+    chars, so consecutive hashes are near-redundant for fingerprinting —
+    sampling every other position halves the dominant md5 cost with no
+    loss of discrimination (round-3 VERDICT next-round #4). A POSITIONAL
+    stride is fine here, unlike the dedup shingle path (which round 10
+    moved to content-anchored selection, see dedup.SHINGLE_SELECT_MOD):
+    this is a per-doc digest, never a pairwise-similarity input, so
+    shift-fragility of the sample costs nothing. Map-only; per-row
     cost is O(len/stride). Documents shorter than K get fingerprint NULL
     and 0 selected.
     """

@@ -33,7 +33,7 @@ from financial_big_data_exp_4_spark.operators.dedup import (
     MINHASH_P,
     MINHASH_ROWS_PER_BAND,
     SHINGLE_K,
-    SHINGLE_STRIDE,
+    SHINGLE_SELECT_MOD,
     SIMHASH_BITS,
 )
 from financial_big_data_exp_4_spark.operators.similarity import (
@@ -112,14 +112,25 @@ def _hex13int(mexpr: str) -> str:
     )
 
 
-def _shingle_hashes(k: int = SHINGLE_K, stride: int = SHINGLE_STRIDE) -> str:
-    """Distinct 52-bit hashes of k-char shingles (every ``stride``-th
-    position) of ``text`` — md5 computed once per shingle, parsed from the
-    cached string."""
+def _shingle_hashes(k: int = SHINGLE_K, mod: int = SHINGLE_SELECT_MOD) -> str:
+    """Distinct 52-bit hashes of content-anchored k-char shingles of
+    ``text`` — md5 computed once per selected shingle, parsed from the
+    cached string. Selection mirrors operators.dedup.shingle_hash_set
+    exactly: positions whose first character has an even code point,
+    falling back to ALL positions when no position anchors (keeps
+    ``shingle set non-empty ⟺ len(text) ≥ k`` exact on both engines)."""
+    sel = (
+        f"list_filter(generate_series(1, len(text) - {k - 1}), "
+        f"si -> ascii(substr(text, si, 1)) % {mod} = 0)"
+    )
+    anchored = (
+        f"CASE WHEN len({sel}) > 0 THEN {sel} "
+        f"ELSE generate_series(1, len(text) - {k - 1}) END"
+    )
     return (
         f"CASE WHEN len(text) >= {k} THEN "
         "list_distinct(list_transform("
-        f"list_transform(generate_series(1, len(text) - {k - 1}, {stride}), "
+        f"list_transform({anchored}, "
         f"si -> md5(substr(text, si, {k}))), m -> {_hex13int('m')})) "
         "ELSE [] END"
     )

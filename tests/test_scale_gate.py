@@ -50,10 +50,18 @@ RECALL_FLOORS = {
     "hyperplane_exact_pair_recall": 1.0,
     "hyperplane_neardup_pair_recall": 0.95,
     "minhash_exact_pair_recall": 1.0,
-    # measured 0.42/0.447 — the 2-band x 4-row banding's honest
-    # P(candidate) = 1-(1-s^4)^2 on one-token-edit Jaccard; a mechanism
-    # regression (fewer bands, broken signature) roughly halves it
-    "minhash_neardup_pair_recall": 0.35,
+    # round 10 fixed the shift-fragile positional shingle stride (the
+    # REAL cause of r9's 0.42 — see dedup.SHINGLE_SELECT_MOD) and moved
+    # the declared banding to 4 bands x 4 rows: planted-pair Jaccard is
+    # back at 0.63-0.97 and P(candidate) = 1-(1-s^4)^4 ≥ 0.94 there,
+    # while background pairs (s ≈ 0.01-0.04) stay suppressed by s^4 so
+    # candidate volume remains linear in N
+    "minhash_neardup_pair_recall": 0.90,
+    # the legacy 2-band x 4-row setting is still measured per round for
+    # the recall-vs-cost curve; it shares the shingle fix, so its honest
+    # floor rises from the r9-era 0.35 to 1-(1-s^4)^2 at planted s
+    "minhash_legacy_neardup_pair_recall": 0.60,
+    "minhash_legacy_exact_pair_recall": 1.0,
 }
 
 

@@ -9,10 +9,15 @@ committed artifact (``RECALL_r{N}.json``) whose floors
 
 * **ANN recall@k vs exact brute force** — for the two top-k searches
   (``q_embed_ann_ivf``'s fit-free ⌈√N⌉-stride IVF and
-  ``q_embed_ann_kmeans``'s learned-quantizer IVF), recall@k is the mean
-  over probes of |ANN top-k ∩ exact top-k| / k at k = ``IVF_TOPK``,
-  with the exact set from :func:`cosine_topk_bruteforce` (the same
-  probes by construction: ``vec_id < n_probes``).
+  ``q_embed_ann_kmeans``'s learned-quantizer IVF), the metric is the
+  mean over probes of |ANN top-k ∩ exact top-k| / |exact top-k| at
+  k = ``IVF_TOPK`` — i.e. the fraction of the exact top-k set
+  recovered, with the denominator clamped to the candidates that
+  actually exist (|exact top-k| < k only when the table itself has
+  fewer than k scorable vectors, in which case a perfect ANN should
+  still read 1.0; round-9 ADVICE pinned this definition). The exact
+  set comes from :func:`cosine_topk_bruteforce` (the same probes by
+  construction: ``vec_id < n_probes``).
 
 * **candidate-generation recall vs planted pairs** — ``generate_scaled``
   (tools/fuzz_correctness.py) plants known duplicate structure:
@@ -27,9 +32,15 @@ committed artifact (``RECALL_r{N}.json``) whose floors
   join (:func:`minhash_candidate_pairs`) respectively. Exact-dup pairs
   hash to identical signatures, so their recall is a correctness check
   (must be 1.0); near-dup recall is the honest probabilistic number the
-  banding scheme actually delivers (MinHash with 2 bands × 4 rows has
-  P(candidate) = 1−(1−s⁴)² — materially below 1 for moderate Jaccard,
-  which is the point of RECORDING it rather than proving around it).
+  banding scheme actually delivers. Round 10 traced RECALL_r09's 0.42
+  near-dup recall to the shift-fragile positional shingle stride (fixed:
+  content-anchored selection, dedup.SHINGLE_SELECT_MOD), then moved the
+  declared banding to 4 bands × 4 rows. The MinHash band join is
+  measured under BOTH parameterizations — declared 4 × 4
+  (P(candidate) = 1−(1−s⁴)⁴) and the legacy round-2..9 2 × 4
+  (P = 1−(1−s⁴)²) — each with its candidate count and wall-clock, so
+  the recall-vs-cost trade is IN the committed artifact, not prose
+  (round-9 VERDICT #1).
 
 Both scales (1× and 10× the sf0.1-shaped fixture) run in one session;
 pair membership is checked with a semi-join against the planted-pair
@@ -55,8 +66,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def _ann_recall(spark, sf_dir: str) -> dict:
-    """recall@IVF_TOPK of both ANN paths vs exact brute force, averaged
-    over the shared probe set (vec_id < 5, the declared default)."""
+    """Fraction of the exact top-IVF_TOPK set recovered by each ANN path
+    (denominator = |exact set|, clamped to available candidates — see
+    module docstring), averaged over the shared probe set (vec_id < 5,
+    the declared default)."""
     from pyspark.sql import functions as F
 
     from financial_big_data_exp_4_spark.operators.similarity import (
@@ -152,7 +165,38 @@ def _candidate_recall(spark, sf_dir: str, mult: int) -> dict:
                       4 * n_clusters + n_near + i + 1)))
         for i in range(n_near)
     ]
-    mh = minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+
+    # recall-vs-cost for BOTH minhash parameterizations: the declared
+    # 8×2 setting and the legacy 2×4 one (constants kept addressable in
+    # operators.dedup exactly for this measurement). Candidate count and
+    # wall-clock are the cost axis; the count() also materializes the
+    # candidate set once so the recall semi-joins below are warm.
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        LEGACY_MINHASH_BANDS,
+        LEGACY_MINHASH_COEFFS,
+        LEGACY_MINHASH_ROWS_PER_BAND,
+    )
+
+    mh_cost = {}
+    mh_frames = {}
+    for tag, kwargs in (
+        ("", {}),
+        ("legacy_", {
+            "coeffs": LEGACY_MINHASH_COEFFS,
+            "n_bands": LEGACY_MINHASH_BANDS,
+            "rows_per_band": LEGACY_MINHASH_ROWS_PER_BAND,
+        }),
+    ):
+        t0 = time.perf_counter()
+        frame = minhash_candidate_pairs(docs, **kwargs)
+        n_cand = frame.count()
+        mh_frames[tag] = frame
+        mh_cost[f"minhash_{tag}candidates"] = n_cand
+        mh_cost[f"minhash_{tag}pairs_sec"] = round(
+            time.perf_counter() - t0, 1
+        )
+    mh, mh_legacy = mh_frames[""], mh_frames["legacy_"]
 
     return {
         "hyperplane_exact_pair_recall": _pair_recall(
@@ -167,6 +211,13 @@ def _candidate_recall(spark, sf_dir: str, mult: int) -> dict:
         "minhash_neardup_pair_recall": _pair_recall(
             spark, mh, doc_near, "doc_a", "doc_b"
         ),
+        "minhash_legacy_exact_pair_recall": _pair_recall(
+            spark, mh_legacy, doc_exact, "doc_a", "doc_b"
+        ),
+        "minhash_legacy_neardup_pair_recall": _pair_recall(
+            spark, mh_legacy, doc_near, "doc_a", "doc_b"
+        ),
+        **mh_cost,
         "n_planted": {
             "emb_exact": len(emb_exact),
             "emb_near": len(emb_near),
