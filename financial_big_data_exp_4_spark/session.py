@@ -104,14 +104,45 @@ def rebalance_for_cpu(df, key: str, target: int | None = None):
     from coalescing the deliberately tiny shuffle back down to one
     partition.
 
-    CALLER CONSTRAINT: pass a BARE SCAN (or near-scan projection), never
-    a join/aggregate plan — the partition probe goes through ``df.rdd``,
-    and materializing an RDD from a plan with exchanges EXECUTES those
-    stages eagerly at build time under AQE (observed: 3 jobs fired
-    before any action when a broadcast-semi-join plan was probed).
-    Rebalance the scan first, then build the joins on top.
+    Intended for a BARE SCAN (or near-scan projection): the partition
+    probe goes through ``df.rdd``, and materializing an RDD from a plan
+    with exchanges EXECUTES those stages eagerly at build time under AQE
+    (observed: 3 jobs fired before any action when a broadcast-semi-join
+    plan was probed). That precondition is ENFORCED here, not delegated
+    to callers (round-9 ADVICE: public text/corpus operators rebalance
+    their input unconditionally, so a composed call like
+    ``scrub_pii(normalize_text(docs))`` or a joined frame would
+    otherwise fire jobs at plan-build time): if the ANALYZED logical
+    plan — inspection only, nothing executes — contains any
+    exchange-bearing or multi-stage node, the helper is a no-op. That
+    is also the semantically right answer: such a plan already has a
+    shuffle whose output partitioning tracks
+    ``spark.sql.shuffle.partitions``, so the map stage above it is
+    already parallel; the single-task hazard this helper exists for is
+    specific to under-split scans.
     """
     from pyspark.sql import functions as F
+
+    try:
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        # no JVM plan handle (e.g. a Connect-style session): the df.rdd
+        # probe below would be unavailable/eager there too — skip
+        return df
+    if any(
+        marker in analyzed
+        for marker in (
+            "Join",  # matches Join nodes incl. AsOfJoin/LateralJoin
+            "Aggregate",
+            "Window",
+            "Sort",
+            "Repartition",  # Repartition / RepartitionByExpression
+            "Deduplicate",
+            "GlobalLimit",
+            "Union",
+        )
+    ):
+        return df
 
     target = target or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
@@ -165,7 +196,32 @@ def _stopped_context_error(exc: BaseException) -> bool:
     if isinstance(exc, TypeError) and "JavaPackage" in s:
         from pyspark import SparkContext
 
-        return SparkContext._active_spark_context is None
+        if SparkContext._active_spark_context is not None:
+            return False
+        # No classic SparkContext in this process — but that alone is
+        # not death evidence when the process hosts a live Spark
+        # Connect session, which NEVER sets a classic context (round-9
+        # ADVICE: misclassifying there would drop the cached slot
+        # without unpersist and leak executor memory on the live remote
+        # session). Connect is an optional install (grpcio); if its
+        # module cannot import, no Connect session can exist here.
+        try:
+            from pyspark.sql.connect.session import (
+                SparkSession as _ConnectSession,
+            )
+        except Exception:
+            return True
+        try:
+            if (
+                _ConnectSession.getActiveSession() is not None
+                or _ConnectSession._default_session is not None
+            ):
+                return False
+        except Exception:
+            # a broken Connect probe proves nothing either way; fall
+            # through to the no-context-anywhere conclusion
+            pass
+        return True
     return False
 
 

@@ -138,3 +138,72 @@ def test_javapackage_typeerror_requires_dead_process(monkeypatch):
     assert not sess._stopped_context_error(
         RuntimeError("JavaPackage mention in an unrelated error")
     )
+
+
+def test_javapackage_typeerror_not_dead_on_live_connect_session(monkeypatch):
+    """A live Spark Connect session never sets a classic SparkContext,
+    so 'no active classic context' alone must not classify a
+    JavaPackage TypeError as session death there (round-9 ADVICE: doing
+    so drops the cached slot without unpersist on the live remote
+    session). The connect module is an optional install, so the test
+    injects a fake one."""
+    import sys
+    import types
+
+    from pyspark import SparkContext
+
+    monkeypatch.setattr(SparkContext, "_active_spark_context", None)
+    err = TypeError("'JavaPackage' object is not callable")
+
+    fake_mod = types.ModuleType("pyspark.sql.connect.session")
+
+    class _FakeConnectSession:
+        _default_session = None
+        _live = None
+
+        @classmethod
+        def getActiveSession(cls):
+            return cls._live
+
+    fake_mod.SparkSession = _FakeConnectSession
+    monkeypatch.setitem(sys.modules, "pyspark.sql.connect.session", fake_mod)
+
+    # no classic context AND no connect session -> dead
+    assert sess._stopped_context_error(err)
+    # a live connect session (active OR default) -> NOT death evidence
+    _FakeConnectSession._live = object()
+    assert not sess._stopped_context_error(err)
+    _FakeConnectSession._live = None
+    _FakeConnectSession._default_session = object()
+    assert not sess._stopped_context_error(err)
+
+
+def test_rebalance_is_noop_on_exchange_bearing_plans(spark):
+    """rebalance_for_cpu must not probe (or repartition) a plan that
+    already contains a join/aggregate/repartition: the df.rdd probe
+    executes such plans eagerly at build time under AQE, and their
+    shuffle output is already cores-wide anyway (round-9 ADVICE — the
+    bare-scan precondition is now enforced mechanically, so composed
+    operators like scrub_pii(normalize_text(docs)) are safe)."""
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(100)],
+        "doc_id long, text string",
+    )
+    # bare in-memory relation: eligible (may or may not repartition
+    # depending on parallelism, but must return a plan, not raise)
+    assert rebalance_for_cpu(docs, "doc_id") is not None
+
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    joined = docs.alias("a").join(docs.alias("b"), "doc_id")
+    assert rebalance_for_cpu(joined, "doc_id") is joined
+    agg = docs.groupBy("text").count()
+    assert rebalance_for_cpu(agg, "text") is agg
+    repart = docs.repartition(4, F.col("doc_id"))
+    assert rebalance_for_cpu(repart, "doc_id") is repart
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    # identity no-op must not have fired a single Spark job
+    assert before == after

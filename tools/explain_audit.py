@@ -65,6 +65,14 @@ EXPENSIVE_FILTER_MARKERS = (
     "levenshtein(",
     "sha2(",
     "conv(",  # md5_hash64: conv(substring(md5(...)))
+    # pure higher-order-function folds (round-9 ADVICE): a norm/cosine
+    # `aggregate(...)` or a signature `transform(...)` substituted into
+    # a Filter is the same corpus-wide-work-in-a-predicate class as the
+    # hash markers above — the kmeans zero-norm path relies on an
+    # EVICTABLE persist rather than a cheap-predicate rewrite, so only
+    # this mechanical guard would catch a regression there
+    "aggregate(",
+    "transform(",
 )
 
 #: Queries allowed to carry ONE cheap hash inside a Filter: Spark
