@@ -643,6 +643,18 @@ def neardup_edit_distance(
     ).select(
         F.col(id_col).alias("_edoc"), F.col(text_col).alias("_etext")
     )
+    # The candidate list broadcasts into BOTH text joins below, so the
+    # expensive Levenshtein projection runs at the PRUNED TEXT side's
+    # partitioning — which is inherited from the documents scan (an
+    # under-split single-row-group input runs it on ~1 task; measured
+    # 18s serial vs ~1s parallel at the 10× scale fixture). Explicit
+    # id-keyed repartition to cores; rebalance_for_cpu deliberately
+    # refuses join-bearing plans like this pruned relation, and the
+    # shuffle moves only |participants| rows (≤ 2·|candidates|), far
+    # smaller than the corpus.
+    txt = txt.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, F.col("_edoc")
+    )
     a = txt.select(
         F.col("_edoc").alias("doc_a"), F.col("_etext").alias("_ta")
     )
