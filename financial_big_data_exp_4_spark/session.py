@@ -121,6 +121,8 @@ def rebalance_for_cpu(df, key: str, target: int | None = None):
     already parallel; the single-task hazard this helper exists for is
     specific to under-split scans.
     """
+    import re
+
     from pyspark.sql import functions as F
 
     try:
@@ -129,19 +131,35 @@ def rebalance_for_cpu(df, key: str, target: int | None = None):
         # no JVM plan handle (e.g. a Connect-style session): the df.rdd
         # probe below would be unavailable/eager there too — skip
         return df
-    if any(
-        marker in analyzed
-        for marker in (
-            "Join",  # matches Join nodes incl. AsOfJoin/LateralJoin
-            "Aggregate",
-            "Window",
-            "Sort",
-            "Repartition",  # Repartition / RepartitionByExpression
-            "Deduplicate",
-            "GlobalLimit",
-            "Union",
+    # Match NODE NAMES structurally — the leading token of each plan
+    # line after the tree-drawing prefix — never raw substrings of the
+    # whole plan text: a data literal or identifier containing "Union"/
+    # "Sort"/"Join" prints inside a line's BODY and must not disable the
+    # rebalance on an eligible bare scan (review finding, verified: a
+    # Filter literal 'Union Pacific Sorting' tripped the old guard).
+    # Union itself is NOT a marker: it is narrow (no exchange) and its
+    # df.rdd probe is job-free, and a union-of-underslit-scans is
+    # precisely the hazard case this helper fixes.
+    node_names = {
+        m.group(1)
+        for m in re.finditer(
+            r"^[\s:+\-]*'?([A-Za-z]+)", analyzed, re.MULTILINE
         )
-    ):
+    }
+    unsafe_prefixes = (
+        "Join",  # Join / AsOfJoin / LateralJoin render as "Join ..."
+        "Aggregate",
+        "Window",
+        "Sort",
+        "Repartition",  # Repartition / RepartitionByExpression
+        "Deduplicate",
+        "GlobalLimit",
+        "Except",
+        "Intersect",
+        "CoGroup",
+        "FlatMapGroups",
+    )
+    if any(n.startswith(unsafe_prefixes) for n in node_names):
         return df
 
     target = target or df.sparkSession.sparkContext.defaultParallelism
@@ -158,7 +176,19 @@ def rebalance_for_cpu(df, key: str, target: int | None = None):
 _LIVE_CACHE: list = []
 
 
-def _stopped_context_error(exc: BaseException) -> bool:
+def _victim_is_connect(victim) -> bool | None:
+    """Whether ``victim``'s owning session is Connect-backed; ``None``
+    when the session itself is unreachable (e.g. a torn-down classic
+    frame whose ``sparkSession`` accessor raises)."""
+    try:
+        return type(victim.sparkSession).__module__.startswith(
+            "pyspark.sql.connect"
+        )
+    except Exception:
+        return None
+
+
+def _stopped_context_error(exc: BaseException, victim=None) -> bool:
     """True iff ``exc`` carries one of the KNOWN stopped-session
     signatures (classic PySpark tearing down the py4j gateway mid-call).
     Anything else — a Connect-style session raising on ``sparkContext``,
@@ -198,13 +228,26 @@ def _stopped_context_error(exc: BaseException) -> bool:
 
         if SparkContext._active_spark_context is not None:
             return False
-        # No classic SparkContext in this process — but that alone is
-        # not death evidence when the process hosts a live Spark
-        # Connect session, which NEVER sets a classic context (round-9
-        # ADVICE: misclassifying there would drop the cached slot
-        # without unpersist and leak executor memory on the live remote
-        # session). Connect is an optional install (grpcio); if its
-        # module cannot import, no Connect session can exist here.
+        # No classic SparkContext in this process. Scope the remaining
+        # evidence to the VICTIM when one is provided (review finding:
+        # process-wide "a Connect session exists somewhere" suppressed
+        # dead-classic classification in a mixed classic+Connect
+        # process, re-raising on eviction of a genuinely dead classic
+        # frame):
+        #   * victim known CLASSIC  → JavaPackage + no classic context
+        #     is exactly the torn-down-py4j-gateway signature → dead;
+        #   * victim known CONNECT  → its ops never route through py4j,
+        #     so this error is a missing-JVM-class artifact on a live
+        #     session, not death (round-9 ADVICE).
+        if victim is not None:
+            is_connect = _victim_is_connect(victim)
+            if is_connect is not None:
+                return not is_connect
+        # No victim (or its session is unreachable): fall back to
+        # process-level evidence — absence of a classic context is only
+        # death if no live Connect session could own the frame either.
+        # Connect is an optional install (grpcio); if its module cannot
+        # import, no Connect session can exist here.
         try:
             from pyspark.sql.connect.session import (
                 SparkSession as _ConnectSession,
@@ -264,7 +307,7 @@ def persist_scoped(df, slots: int = 2):
             # known stopped-context signatures count as dead; anything
             # else falls through to the unpersist below, which either
             # succeeds or reports a real failure.
-            dead = _stopped_context_error(exc)
+            dead = _stopped_context_error(exc, victim)
         if not dead:
             try:
                 victim.unpersist()
@@ -274,7 +317,7 @@ def persist_scoped(df, slots: int = 2):
                 # context signature here — its cache is already gone.
                 # Any other failure propagates (a swallowed live-session
                 # failure would leak the slot with no signal).
-                if not _stopped_context_error(exc):
+                if not _stopped_context_error(exc, victim):
                     raise
     df = df.persist()
     _LIVE_CACHE.append(df)

@@ -207,3 +207,71 @@ def test_rebalance_is_noop_on_exchange_bearing_plans(spark):
     after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
     # identity no-op must not have fired a single Spark job
     assert before == after
+
+
+def test_javapackage_classification_scoped_to_victim(monkeypatch):
+    """With a victim provided, the classifier scopes evidence to the
+    victim's own session kind (review finding: a live Connect session
+    elsewhere in the process must not suppress dead-classic
+    classification of a classic victim, and vice versa)."""
+    from pyspark import SparkContext
+
+    monkeypatch.setattr(SparkContext, "_active_spark_context", None)
+    err = TypeError("'JavaPackage' object is not callable")
+
+    class _ClassicSession:
+        pass
+
+    class _Victim:
+        def __init__(self, session):
+            self._s = session
+
+        @property
+        def sparkSession(self):  # noqa: N802 - PySpark attribute name
+            if self._s is None:
+                raise RuntimeError("session unreachable")
+            return self._s
+
+    # classic victim: dead regardless of any Connect session elsewhere
+    assert sess._stopped_context_error(err, _Victim(_ClassicSession()))
+    # Connect-backed victim: JavaPackage is never its death signature
+    connect_session = type(
+        "SparkSession", (), {"__module__": "pyspark.sql.connect.session"}
+    )()
+    assert not sess._stopped_context_error(err, _Victim(connect_session))
+    # unreachable session falls back to process-level evidence (no
+    # classic context, connect module not importable here -> dead)
+    assert sess._stopped_context_error(err, _Victim(None))
+
+
+def test_rebalance_guard_matches_nodes_not_literals(spark):
+    """The plan guard matches node NAMES, not substrings of the whole
+    plan text: a bare filter whose literal mentions 'Union'/'Sort'/
+    'Join' stays eligible, while Except/Intersect plans (eager-probe
+    hazards the first guard missed) are no-ops."""
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    filtered = docs.where(F.col("text") != "Union Pacific Sorting Joint")
+    out = rebalance_for_cpu(filtered, "doc_id", target=8)
+    assert out is not filtered  # literal must not disable the rebalance
+    assert out.rdd.getNumPartitions() == 8
+
+    before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    diff = docs.exceptAll(docs.limit(1))
+    assert rebalance_for_cpu(diff, "doc_id") is diff
+    inter = docs.intersectAll(docs)
+    assert rebalance_for_cpu(inter, "doc_id") is inter
+    after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    assert before == after  # guard fired zero jobs
+
+    # union is narrow and probe-safe: an under-split union-of-scans is
+    # exactly the hazard case, so it must stay eligible
+    unioned = docs.union(docs)
+    out = rebalance_for_cpu(unioned, "doc_id", target=16)
+    assert out.rdd.getNumPartitions() == 16

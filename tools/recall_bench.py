@@ -168,7 +168,7 @@ def _candidate_recall(spark, sf_dir: str, mult: int) -> dict:
     docs = load_table(spark, sf_dir, "documents")
 
     # recall-vs-cost for BOTH minhash parameterizations: the declared
-    # 8×2 setting and the legacy 2×4 one (constants kept addressable in
+    # 4×4 setting and the legacy 2×4 one (constants kept addressable in
     # operators.dedup exactly for this measurement). Candidate count and
     # wall-clock are the cost axis; the count() also materializes the
     # candidate set once so the recall semi-joins below are warm.

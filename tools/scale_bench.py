@@ -311,7 +311,14 @@ def main() -> int:
     import __spark_entry__ as entry_mod
     from financial_big_data_exp_4_spark.session import get_spark
 
-    qs = {**entry_mod.queries(), **_bench_only_queries()}
+    declared = entry_mod.queries()
+    bench_only = _bench_only_queries()
+    # bench-only entries must never SHADOW a declared query: if a name
+    # is ever promoted to the declared registry, the gate must measure
+    # the declared plan, not silently keep timing the bench-only twin
+    collision = set(bench_only) & set(declared)
+    assert not collision, f"bench-only names shadow declared: {collision}"
+    qs = {**declared, **bench_only}
 
     if args.families:
         fam_names = (
