@@ -301,3 +301,69 @@ def test_simhash_bucket_cap_drops_degenerate_bucket_both_sides(spark):
     assert sorted(
         map(tuple, simhash_neardup_pairs(varied, max_bucket_size=5).collect())
     ) == sorted(map(tuple, simhash_neardup_pairs(varied).collect()))
+
+
+def test_shingle_selection_shift_robust_and_fallback_parity(spark):
+    """Round-10 regression pins: (a) the content-anchored shingle sample
+    is shift-ROBUST — a one-token edit that changes text length by an
+    ODD amount (the case that zeroed the old positional stride's
+    overlap) keeps shingle Jaccard high; (b) anchor-less texts fall back
+    to exhaustive positions, keeping `shingle set non-empty iff
+    len >= k` exact; (c) the DuckDB oracle expression produces the
+    IDENTICAL hash set on both normal and degenerate inputs."""
+    import duckdb
+
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        SHINGLE_K,
+        shingle_hash_set,
+    )
+    from financial_big_data_exp_4_spark.plans.oracle_ext import (
+        _shingle_hashes,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the band "
+        "plays a long tune about distributed systems at scale"
+    )
+    edited = base.replace("lazy", "sleepier")  # +4 chars... use odd delta
+    edited_odd = base.replace("lazy", "sly")  # -1 char: odd length shift
+    # 'aaaa...' = all code point 97 (odd): no anchored position exists
+    anchorless = "a" * 20
+    texts = [base, edited, edited_odd, anchorless, "short", None]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    rows = {
+        r["i"]: r["s"]
+        for r in df.select("i", shingle_hash_set("text").alias("s")).collect()
+    }
+
+    def jac(a, b):
+        sa, sb = set(a), set(b)
+        return len(sa & sb) / len(sa | sb)
+
+    # the pre-fix positional stride measured ≈ 0.02 here; ≥ 0.7 pins the
+    # shift-robust behavior with slack for this short (~110 char) text
+    assert jac(rows[0], rows[2]) >= 0.7, "odd-length edit must not zero overlap"
+    assert jac(rows[0], rows[1]) >= 0.7
+    # anchor-less long text: fallback keeps the set non-empty (and at
+    # exhaustive positions a constant text has exactly ONE distinct shingle)
+    assert len(rows[3]) == 1
+    assert rows[4] == []  # shorter than one shingle
+    assert rows[5] in (None, [])  # NULL text never yields shingles
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", [(i, t) for i, t in enumerate(texts)]
+    )
+    oracle = {
+        i: s
+        for i, s in con.execute(
+            f"SELECT i, {_shingle_hashes()} AS s FROM t"
+        ).fetchall()
+    }
+    for i in range(len(texts)):
+        eng = sorted(rows[i]) if rows[i] is not None else []
+        ora = sorted(oracle[i]) if oracle[i] is not None else []
+        assert eng == ora, f"engine/oracle shingle divergence on row {i}"
