@@ -130,8 +130,9 @@ def connected_components(
                 F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
             )
     raise RuntimeError(
-        f"connected_components: no fixpoint after {2 * max_iter} rounds "
-        "(component diameter too large — use large-star/small-star)"
+        # batch 0 runs ONE propagation, batches 1..max_iter-1 run two
+        f"connected_components: no fixpoint after {2 * max_iter - 1} "
+        "rounds (component diameter too large — use large-star/small-star)"
     )
 
 
@@ -166,10 +167,12 @@ def connected_components_twostar(
     Stars (every non-min node pointing straight at its component min) are
     the joint fixpoint; labels read directly off the final edge set.
     """
-    raw = edges.select(
-        F.col(src).cast("long").alias("u"),
-        F.col(dst).cast("long").alias("v"),
-    )
+    # no cast: the algorithm needs only a consistent ORDERING on ids
+    # (greatest/least/min), so any orderable id type works — exactly the
+    # sibling connected_components' contract (round-10 review: the old
+    # cast("long") aborted under ANSI, or silently nulled every id with
+    # ANSI off, on string-keyed edge lists the sibling handles fine)
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     # node inventory BEFORE dropping self-loops: a node whose only edge is
     # (x, x) is still a (singleton) component — same contract as
     # connected_components

@@ -99,6 +99,21 @@ def register_views(spark: SparkSession, sf_dir: str, prefix: str = "") -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(prefix + name)
 
 
+def ts_utc_expr(ts_dtype: str):
+    """The ONE ``ts_utc`` derivation for the events table, shared by the
+    batch loader and the streaming reader (round-10 review: three copies
+    of this branch had drifted into batch, streaming, and a test — a new
+    physical ``ts`` encoding generation would have to find all three).
+
+    ``bigint`` means epoch-NANOSECONDS — either the loader's normalized
+    column or a raw ``nanosAsLong`` read — derived integer-exact via
+    truncating µs division; anything else is a native timestamp column.
+    """
+    if ts_dtype == "bigint":
+        return F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+    return F.col("ts").cast("timestamp")
+
+
 def events_with_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` with ``ts`` (bigint ns) plus ``ts_utc`` timestamp (µs).
 
@@ -106,9 +121,4 @@ def events_with_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     what an engine reading TIMESTAMP_NS and casting to µs timestamps does.
     """
     df = load_table(spark, sf_dir, "events")
-    if dict(df.dtypes)["ts"] == "bigint":
-        return df.withColumn(
-            "ts_utc", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        )
-    # Session read nanos natively (future Spark default): already a timestamp.
-    return df.withColumn("ts_utc", F.col("ts").cast("timestamp"))
+    return df.withColumn("ts_utc", ts_utc_expr(dict(df.dtypes)["ts"]))

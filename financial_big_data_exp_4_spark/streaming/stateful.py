@@ -52,12 +52,19 @@ def _update_user_totals(
     whose events are all pre-epoch (negative µs — backfills of historic
     data) must report its true max, which ``max(0, ts)`` would silently
     pin to 0 while the batch oracle (``max(epoch_us(ts))``) reports the
-    negative value. Every emitted row has ≥ 1 observed event, so the
-    sentinel itself never escapes."""
+    negative value. The sentinel doubles as the NULL-event-time stand-in
+    (coalesced upstream, see ``streaming_user_running_totals``), so a
+    key observed ONLY with NULL event times reports int64-min — the
+    operator's analog of the batch oracle's NULL max — while any real
+    timestamp dominates it."""
     n, last = state.get if state.exists else (0, -(2**63))
     for pdf in pdfs:
         n += len(pdf)
         if len(pdf):
+            # ts_us is guaranteed non-null int64 (NULL event times are
+            # coalesced to the int64-min sentinel BEFORE the Arrow
+            # boundary — see streaming_user_running_totals), so the max
+            # stays integer-exact end to end
             last = max(last, int(pdf["ts_us"].max()))
     state.update((n, last))
     yield pd.DataFrame(
@@ -77,8 +84,18 @@ def streaming_user_running_totals(events: DataFrame) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    # Coalesce NULL event times to the int64-min sentinel HERE, before
+    # the Arrow boundary: a nullable int64 column becomes float64 in
+    # pandas, where µs magnitudes (~1.7e18) exceed float64's 2^53
+    # exact-integer range — the max would silently drift by up to
+    # ~256µs (round-10 review). The sentinel equals the fresh-state
+    # seed, so it never beats a real timestamp, and null-ts rows still
+    # COUNT toward n_events exactly like the batch oracle's count(*).
     slim = events.select(
-        "user_id", F.unix_micros(F.col("ts_utc")).alias("ts_us")
+        "user_id",
+        F.coalesce(
+            F.unix_micros(F.col("ts_utc")), F.lit(-(2**63)).cast("long")
+        ).alias("ts_us"),
     )
     return slim.groupBy("user_id").applyInPandasWithState(
         _update_user_totals,

@@ -51,23 +51,60 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a dead "future" path. Either way ``ts_utc`` lands at µs
     precision via integer-exact arithmetic, same as the batch loader."""
     ensure_session_confs(spark)
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from financial_big_data_exp_4_spark.session import session_memo
+    from financial_big_data_exp_4_spark.sources.parquet import ts_utc_expr
+
+    # memoize the RAW footer probe per (session, dir) — the streaming
+    # source needs the raw parquet schema (load_table's memo holds the
+    # NORMALIZED plan, whose ts dtype differs), but re-reading the
+    # footer every call pays an avoidable driver round-trip
+    memo = session_memo(spark, "_fbde4_raw_events_schema")
+    key = sf_dir
+    if memo is None or key not in memo:
+        static = spark.read.parquet(f"{sf_dir}/events.parquet")
+        probed = (static.schema, dict(static.dtypes)["ts"])
+        if memo is not None:
+            memo[key] = probed
+    else:
+        probed = memo[key]
+    schema, ts_dtype = probed
     # FileStreamSource requires a *directory* basePath; stream the scale
     # dir and glob-filter to the events file(s). In production this is a
     # directory continuously receiving new part files.
     stream = (
-        spark.readStream.schema(static.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(static.dtypes)["ts"] == "bigint":
-        # nanos-encoded generations (read as raw ns since epoch)
-        ts_utc = F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-    else:
-        # micros-encoded generations (native timestamp/timestamp_ntz)
-        ts_utc = F.col("ts").cast("timestamp")
-    return stream.withColumn("ts_utc", ts_utc)
+    # shared ts_utc derivation — see sources.parquet.ts_utc_expr (the
+    # raw read surfaces nanos-encoded generations as bigint epoch-ns)
+    return stream.withColumn("ts_utc", ts_utc_expr(ts_dtype))
+
+
+#: Seconds per supported interval unit for the whole-window shift check.
+_INTERVAL_UNIT_S = {
+    "second": 1,
+    "seconds": 1,
+    "minute": 60,
+    "minutes": 60,
+    "hour": 3_600,
+    "hours": 3_600,
+    "day": 86_400,
+    "days": 86_400,
+}
+
+
+def _interval_seconds(interval: str) -> int:
+    """Whole seconds of a simple ``"N unit"`` interval string."""
+    n, _, unit = interval.strip().lower().partition(" ")
+    try:
+        return int(n) * _INTERVAL_UNIT_S[unit]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"unsupported interval {interval!r}: expected 'N "
+            f"second(s)|minute(s)|hour(s)|day(s)'"
+        ) from None
 
 
 def streaming_tumbling_counts(
@@ -76,13 +113,40 @@ def streaming_tumbling_counts(
     """Watermarked tumbling-window counts per event_type — the streaming
     twin of ``operators.events.tumbling_counts``. State per (window, type)
     is dropped once the watermark passes the window end; memory is bounded
-    by (active windows × types), not by stream length."""
+    by (active windows × types), not by stream length.
+
+    Event time is shifted by ``SESSION_TS_SHIFT_S`` around the stateful
+    window and removed from the emitted window starts, exactly like the
+    session/join operators in this module: the streaming state watermark
+    clamps at epoch 0, so WITHOUT the shift every pre-epoch event is
+    silently dropped in ``update``/``append`` output modes (the modes
+    where late-row filtering actually runs — ``complete`` mode masked
+    the gap; round-10 review finding). A shift is boundary-exact only
+    when it is a whole multiple of the window width — true for every
+    width dividing one day, enforced below — so shifted and unshifted
+    window assignment are identical row-for-row.
+    """
+    width_s = _interval_seconds(width)
+    if SESSION_TS_SHIFT_S % width_s:
+        raise ValueError(
+            f"window width {width!r} does not divide the epoch shift; "
+            f"pre-epoch safety needs shift % width == 0 "
+            f"({SESSION_TS_SHIFT_S} % {width_s} != 0)"
+        )
+    shifted = F.expr(
+        f"timestamp_micros(unix_micros(ts_utc) "
+        f"+ {SESSION_TS_SHIFT_S} * 1000000)"
+    )
     return (
-        events.withWatermark("ts_utc", watermark)
-        .groupBy(F.window("ts_utc", width), "event_type")
+        events.withColumn("_tumble_ts", shifted)
+        .withWatermark("_tumble_ts", watermark)
+        .groupBy(F.window("_tumble_ts", width), "event_type")
         .agg(F.count("*").alias("cnt"))
         .select(
-            F.col("window.start").alias("window_start"),
+            (
+                F.col("window.start")
+                - F.expr(f"INTERVAL {SESSION_TS_SHIFT_S} SECONDS")
+            ).alias("window_start"),
             "event_type",
             "cnt",
         )
@@ -135,7 +199,7 @@ def streaming_session_counts(
     sec = floor_div_sql("unix_micros(ts_utc)", 1_000_000)
     if not second_truncate:
         # keep µs precision: shift whole seconds, carry the µs remainder
-        sec = f"({sec})"
+        # (floor_div_sql returns a fully parenthesized expression)
         ts = F.expr(
             "timestamp_micros("
             f"({sec} + {SESSION_TS_SHIFT_S}) * 1000000 "

@@ -396,12 +396,11 @@ def test_multibatch_stream_equals_batch(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src))
     )
-    ts_utc = (
-        F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
-        if dict(static.dtypes)["ts"] == "bigint"
-        else F.col("ts").cast("timestamp")
+    from financial_big_data_exp_4_spark.sources.parquet import ts_utc_expr
+
+    agg = streaming_tumbling_counts(
+        stream.withColumn("ts_utc", ts_utc_expr(dict(static.dtypes)["ts"]))
     )
-    agg = streaming_tumbling_counts(stream.withColumn("ts_utc", ts_utc))
     name = f"multibatch_{uuid.uuid4().hex[:8]}"
     with tempfile.TemporaryDirectory() as ckpt:
         run_stream_to_memory(agg, name, ckpt)
@@ -632,3 +631,72 @@ def test_streaming_sessions_keep_pre_epoch_events(spark, tmp_path):
         (1, pre_s + 2000, 1),
         (2, post_s, 1),
     ]
+
+
+def test_streaming_tumbling_update_mode_keeps_pre_epoch(spark, tmp_path):
+    """Round-10 regression: in update/append output modes Spark's
+    StateStoreSave filters rows below the epoch-clamped watermark, so
+    WITHOUT the SESSION_TS_SHIFT_S shift every pre-epoch event was
+    silently dropped (complete mode, which the other tests drain with,
+    performs no late-row filtering and masked it). Pre-epoch events in
+    an UPDATE-mode drain must match the batch aggregate exactly."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.operators import tumbling_counts
+    from financial_big_data_exp_4_spark.sources.parquet import ts_utc_expr
+    from financial_big_data_exp_4_spark.streaming import (
+        run_stream_to_memory,
+        streaming_tumbling_counts,
+    )
+
+    hours = [-30, -29, -29, -1, 0, 1, 5, 5]  # ns epochs straddling 0
+    rows = [
+        (i, h * 3_600 * 1_000_000_000, "t%d" % (i % 2))
+        for i, h in enumerate(hours)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts long, event_type string"
+    )
+    src = tmp_path / "pre_epoch_events"
+    events.coalesce(1).write.parquet(str(src))
+
+    static = spark.read.parquet(str(src))
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    agg = streaming_tumbling_counts(
+        stream.withColumn("ts_utc", ts_utc_expr(dict(static.dtypes)["ts"]))
+    )
+    name = f"pre_epoch_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(agg, name, str(tmp_path / "ckpt"), output_mode="update")
+    got = {
+        (int(r["window_start"].timestamp()), r["event_type"]): r["cnt"]
+        for r in spark.table(name).collect()
+    }
+    batch = {
+        (r["window_start_s"], r["event_type"]): r["cnt"]
+        for r in tumbling_counts(events).collect()
+    }
+    assert got == batch
+    assert any(k[0] < 0 for k in got), "pre-epoch windows must be present"
+
+
+def test_streaming_tumbling_rejects_unaligned_width(spark, sf_dir):
+    """The epoch shift is boundary-exact only when the window width
+    divides it; unaligned widths must be refused loudly."""
+    import pytest as _pytest
+
+    from financial_big_data_exp_4_spark.streaming import (
+        read_events_stream,
+        streaming_tumbling_counts,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    with _pytest.raises(ValueError, match="does not divide"):
+        streaming_tumbling_counts(events, width="7 days")
+    with _pytest.raises(ValueError, match="unsupported interval"):
+        streaming_tumbling_counts(events, width="1 fortnight")
