@@ -263,7 +263,6 @@ def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a broken cell ranking/scoring stage fails the lower bound), with
     # navail counted under the index's own norm > 0 predicate.
     from financial_big_data_exp_4_spark.operators.similarity import norm
-    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
 
     # conditional-sum instead of filter-then-count: a where() over the
     # norm fold would be pushed beneath the rebalance exchange onto the
@@ -448,7 +447,10 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     value of the same user's most recent 'purchase' at or before it.
     One union-sort pass — see :mod:`..operators.asof` for the scale story."""
     events = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts DIV 1000")
+    # floor, not DIV (see q_distinct_agg): the oracle floors its µs
+    # derivation, and bare DIV truncates toward zero — divergent on any
+    # pre-epoch sub-µs instant (latent: fixtures are whole-µs today)
+    ts_us = F.expr(floor_div_sql("ts", 1000))
     errors = events.where(F.col("event_type") == "error").select(
         "event_id", "user_id", ts_us.alias("ts_us")
     )
@@ -557,7 +559,8 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`..operators.joins.range_join_bucketed` for why the naive
     BETWEEN condition would plan as a per-key nested loop."""
     events = load_table(spark, sf_dir, "events")
-    ts_us = F.expr("ts DIV 1000")
+    # floor, not DIV — same oracle-parity reasoning as q_asof_join
+    ts_us = F.expr(floor_div_sql("ts", 1000))
     errors = events.where(F.col("event_type") == "error").select(
         "user_id", F.col("event_id").alias("err_id"), ts_us.alias("ets")
     )
@@ -578,7 +581,8 @@ def q_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     and sort everything."""
     events = load_table(spark, sf_dir, "events")
     base = events.select(
-        "user_id", F.expr("ts DIV 1000").alias("ts_us"), "event_id"
+        # floor, not DIV — same oracle-parity reasoning as q_asof_join
+        "user_id", F.expr(floor_div_sql("ts", 1000)).alias("ts_us"), "event_id"
     )
     return keep_latest(base, key="user_id", ts="ts_us", tiebreak="event_id")
 

@@ -12,7 +12,7 @@ makes those classes reproducible on demand:
 * **time**: event/order/ship timestamps mix the fixture's 2024 window
   with pre-epoch (1969) and far-future (2100) values — exercises every
   sign-safe floor-div bucketing site;
-* **text**: exact-duplicate clusters, near-duplicates (1-2 token
+* **text**: exact-duplicate clusters, near-duplicates (one-token
   edits), empty / whitespace-only / single-token / one-token-repeated
   docs, CJK + emoji + mixed-case docs, one 2000-token doc — exercises
   shingle sentinels, repetition detection, tokenizer lockstep;
@@ -31,8 +31,14 @@ makes those classes reproducible on demand:
 
 Usage::
 
-    python tools/fuzz_correctness.py [--seed N] [--profile nulls|clean]
-                                     [--keep] [query ...]
+    python tools/fuzz_correctness.py [--seed N]
+        [--profile nulls|clean|tiny] [--ts-encoding us|ns]
+        [--keep] [query ...]
+
+``--profile tiny`` shrinks every table to degenerate sizes (singleton
+groups, a 3-vector index); ``--ts-encoding ns`` writes ``events.ts``
+as INT64 TIMESTAMP(NANOS) — the driver fixture's OTHER historical
+encoding — to pre-verify an encoding flip.
 
 Generates to /tmp/fuzz_sf_<seed>_<profile>/ and exits with
 check_correctness's exit code (0 iff every oracle-checked query
@@ -57,6 +63,7 @@ DAY_US = 86_400 * US
 EPOCH_2024 = 1_704_067_200 * US  # 2024-01-01
 EPOCH_1969 = -30 * DAY_US  # pre-epoch: 1969-12-02
 EPOCH_2100 = 4_102_444_800 * US  # 2100-01-01
+EPOCH_1996 = 820_454_400 * US  # 1996-01-01
 
 TOKEN_VOCAB = (
     "the a key order sort table scan merge part window small hash join "
@@ -205,7 +212,19 @@ def generate(outdir: str, seed: int, nulls: bool) -> None:
     price = np.round(np.exp(rng.normal(9, 1, no)), 2)
     promo = rng.random(no) < 0.30
     price[promo] = 1000.0  # promotional collision: quantiles collide
+    # a real high-price tail straddling the 350k/400k thresholds:
+    # exp(N(9,1)) alone never reaches them (P > 350k ~ 8e-5), so
+    # q_semi_join and q_set_ops' 'big' branch compared empty-vs-empty
+    # on every run (round-10 review)
+    big = rng.random(no) < 0.03
+    price[big] = np.round(rng.uniform(200_000, 600_000, int(big.sum())), 2)
     price[0] = -500.25  # refund-shaped negative
+    odates = _ts_mix(rng, no)
+    # ~20% of orders in [1996-01-01, 1997-01-01): q_local_supplier_volume's
+    # Q5-shaped window — the old 2024/1969/2100-only mix left its 5-way
+    # join vacuously empty in every fuzz run (round-10 review)
+    for idx in np.where(rng.random(no) < 0.20)[0]:
+        odates[int(idx)] = EPOCH_1996 + int(rng.integers(0, 360 * DAY_US))
     _write(
         outdir, "orders",
         {"o_orderkey": okeys,
@@ -213,7 +232,7 @@ def generate(outdir: str, seed: int, nulls: bool) -> None:
          "o_orderstatus": [["O", "F", "P"][i]
                            for i in rng.choice(3, no, p=[0.5, 0.4, 0.1])],
          "o_totalprice": [float(p) for p in price],
-         "o_orderdate": _ts_mix(rng, no),
+         "o_orderdate": odates,
          "o_orderpriority": _maybe_null(
              rng, [PRIORITIES[i] for i in rng.choice(5, no)], 0.03, nulls)},
         {"o_orderkey": pa.int64(), "o_custkey": pa.int64(),
@@ -291,9 +310,14 @@ def generate(outdir: str, seed: int, nulls: bool) -> None:
         base = texts[c * 4]
         for j in range(1, 4):
             texts[c * 4 + j] = base
-    # near-duplicates: ids 41-60 copy a cluster with 1-2 token edits
+    # near-duplicates: ids 41-60 copy a DISTINCT non-cluster doc each,
+    # with one token edited. Sources live OUTSIDE the cluster block
+    # (round-10 review: the old (i-40)*2 indexing drew from inside the
+    # identical-copy clusters, so pairs of 'near-dups' shared a source
+    # text and the deterministic edit made them exact duplicates of
+    # each other — only 10 distinct variants were planted, not 20)
     for i in range(40, 60):
-        toks = texts[(i - 40) * 2].split()
+        toks = texts[70 + (i - 40)].split()
         toks[min(3, len(toks) - 1)] = "edited"
         texts[i] = " ".join(toks)
     texts[60] = ""
