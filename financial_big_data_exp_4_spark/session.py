@@ -126,26 +126,41 @@ def rebalance_for_cpu(df, key: str, target: int | None = None):
     from pyspark.sql import functions as F
 
     try:
-        analyzed = df._jdf.queryExecution().analyzed().toString()
+        analyzed = df._jdf.queryExecution().analyzed()
     except Exception:
         # no JVM plan handle (e.g. a Connect-style session): the df.rdd
         # probe below would be unavailable/eager there too — skip
         return df
-    # Match NODE NAMES structurally — the leading token of each plan
-    # line after the tree-drawing prefix — never raw substrings of the
-    # whole plan text: a data literal or identifier containing "Union"/
-    # "Sort"/"Join" prints inside a line's BODY and must not disable the
-    # rebalance on an eligible bare scan (review finding, verified: a
-    # Filter literal 'Union Pacific Sorting' tripped the old guard).
-    # Union itself is NOT a marker: it is narrow (no exchange) and its
-    # df.rdd probe is job-free, and a union-of-underslit-scans is
-    # precisely the hazard case this helper fixes.
-    node_names = {
-        m.group(1)
-        for m in re.finditer(
-            r"^[\s:+\-]*'?([A-Za-z]+)", analyzed, re.MULTILINE
-        )
-    }
+    # Collect NODE CLASS names by walking the JVM logical-plan tree —
+    # literal-proof by construction (round-11 ADVICE: the previous
+    # toString() regex matched the first token of every LINE, so a
+    # string literal containing an embedded newline could print a
+    # continuation line starting with e.g. "Sort ..." and silently
+    # no-op the rebalance on an eligible scan; conversely a data
+    # literal containing "Union" in a line BODY must not trip it —
+    # class names can't contain either). Union itself is NOT a marker:
+    # it is narrow (no exchange), its df.rdd probe is job-free, and a
+    # union-of-underslit-scans is precisely the hazard case this
+    # helper fixes.
+    node_names: set[str] = set()
+    try:
+        stack = [analyzed]
+        while stack:
+            node = stack.pop()
+            node_names.add(node.getClass().getSimpleName())
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+    except Exception:
+        # fallback: the structural line-leading-token regex over the
+        # rendered tree (pre-round-11 behavior; reachable only if the
+        # py4j tree accessors change shape)
+        node_names = {
+            m.group(1)
+            for m in re.finditer(
+                r"^[\s:+\-]*'?([A-Za-z]+)", analyzed.toString(), re.MULTILINE
+            )
+        }
     unsafe_prefixes = (
         "Join",  # Join / AsOfJoin / LateralJoin render as "Join ..."
         "Aggregate",
@@ -153,7 +168,9 @@ def rebalance_for_cpu(df, key: str, target: int | None = None):
         "Sort",
         "Repartition",  # Repartition / RepartitionByExpression
         "Deduplicate",
+        "Distinct",  # SELECT DISTINCT analyzes to Distinct, not Deduplicate
         "GlobalLimit",
+        "Offset",
         "Except",
         "Intersect",
         "CoGroup",

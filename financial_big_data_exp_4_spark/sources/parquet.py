@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from financial_big_data_exp_4_spark.functions.core import floor_div_sql
 from financial_big_data_exp_4_spark.session import ensure_session_confs
 
 TABLES: tuple[str, ...] = (
@@ -107,18 +108,31 @@ def ts_utc_expr(ts_dtype: str):
 
     ``bigint`` means epoch-NANOSECONDS — either the loader's normalized
     column or a raw ``nanosAsLong`` read — derived integer-exact via
-    truncating µs division; anything else is a native timestamp column.
+    FLOOR µs division (round-11 fix: ``DIV`` truncates toward zero, so a
+    pre-epoch sub-µs instant like −1 ns landed in µs 0 while DuckDB's
+    SQL-level ``CAST(TIMESTAMP_NS AS TIMESTAMP)`` / ``epoch_us`` floor
+    to −1 — the same truncate-vs-floor class ``floor_div_sql``
+    documents, and the convention every batch ns→µs site already uses).
+    Measured caveat (duckdb 1.0.0): DuckDB's *parquet reader* converts
+    a physical TIMESTAMP(NANOS) column to µs by TRUNCATION, disagreeing
+    with its own SQL cast — so for hypothetical sub-µs pre-epoch data
+    the differential harness's view of the data itself is lossy and no
+    expression convention could reconcile a tie decided by sub-µs
+    ordering. All fixture generations are whole-µs; the floor choice
+    here is the self-consistent one.
     """
     if ts_dtype == "bigint":
-        return F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))")
+        return F.expr(
+            f"timestamp_micros(CAST({floor_div_sql('ts', 1000)} AS LONG))"
+        )
     return F.col("ts").cast("timestamp")
 
 
 def events_with_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``events`` with ``ts`` (bigint ns) plus ``ts_utc`` timestamp (µs).
 
-    Integer-exact: ``timestamp_micros(ts DIV 1000)`` — truncation, matching
-    what an engine reading TIMESTAMP_NS and casting to µs timestamps does.
+    Integer-exact floor of ns→µs (see ``ts_utc_expr``), matching DuckDB's
+    ``epoch_us`` on the same TIMESTAMP_NS instant even pre-epoch.
     """
     df = load_table(spark, sf_dir, "events")
     return df.withColumn("ts_utc", ts_utc_expr(dict(df.dtypes)["ts"]))

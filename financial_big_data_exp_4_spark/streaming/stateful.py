@@ -41,6 +41,14 @@ USER_TOTALS_OUTPUT_SCHEMA = (
 )
 USER_TOTALS_STATE_SCHEMA = "n long, last_ts_us long"
 
+#: In-state/in-transit stand-in for "no real event time observed yet".
+#: int64-min, not 0: a key whose events are all pre-epoch (negative µs —
+#: backfills of historic data) must report its true max, which
+#: ``max(0, ts)`` would silently pin to 0. NULL event times coalesce to
+#: the same value BEFORE the Arrow boundary (nullable int64 → float64
+#: loses exactness above 2^53), and any real timestamp dominates it.
+_NO_TS_SENTINEL = -(2**63)
+
 
 def _update_user_totals(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -48,27 +56,34 @@ def _update_user_totals(
     """Per-user running (event count, max event time): fold this batch's
     rows into the state, emit the updated totals once per batch.
 
-    The fresh-state seed for ``last_ts_us`` is int64-min, not 0: a key
-    whose events are all pre-epoch (negative µs — backfills of historic
-    data) must report its true max, which ``max(0, ts)`` would silently
-    pin to 0 while the batch oracle (``max(epoch_us(ts))``) reports the
-    negative value. The sentinel doubles as the NULL-event-time stand-in
-    (coalesced upstream, see ``streaming_user_running_totals``), so a
-    key observed ONLY with NULL event times reports int64-min — the
-    operator's analog of the batch oracle's NULL max — while any real
-    timestamp dominates it."""
-    n, last = state.get if state.exists else (0, -(2**63))
+    State carries :data:`_NO_TS_SENTINEL` while no real timestamp has
+    been observed, but the EMITTED ``last_ts_us`` is NULL in that case
+    (round-11 ADVICE: the batch oracle ``CAST(max(epoch_us(ts)) AS
+    BIGINT)`` yields NULL for an all-NULL key, and int64-min is a
+    theoretically reachable real value — NULL is the only faithful
+    emission). Null-ts rows still COUNT toward ``n_events`` exactly like
+    the oracle's ``count(*)``."""
+    n, last = state.get if state.exists else (0, _NO_TS_SENTINEL)
     for pdf in pdfs:
         n += len(pdf)
         if len(pdf):
             # ts_us is guaranteed non-null int64 (NULL event times are
-            # coalesced to the int64-min sentinel BEFORE the Arrow
-            # boundary — see streaming_user_running_totals), so the max
-            # stays integer-exact end to end
+            # coalesced to the sentinel BEFORE the Arrow boundary — see
+            # streaming_user_running_totals), so the max stays
+            # integer-exact end to end
             last = max(last, int(pdf["ts_us"].max()))
     state.update((n, last))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "last_ts_us": [last]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            # pandas nullable Int64 so pd.NA round-trips to a true SQL
+            # NULL through the declared `long` output schema
+            "last_ts_us": pd.array(
+                [pd.NA if last == _NO_TS_SENTINEL else last],
+                dtype="Int64",
+            ),
+        }
     )
 
 
@@ -89,12 +104,15 @@ def streaming_user_running_totals(events: DataFrame) -> DataFrame:
     # pandas, where µs magnitudes (~1.7e18) exceed float64's 2^53
     # exact-integer range — the max would silently drift by up to
     # ~256µs (round-10 review). The sentinel equals the fresh-state
-    # seed, so it never beats a real timestamp, and null-ts rows still
-    # COUNT toward n_events exactly like the batch oracle's count(*).
+    # seed and never beats a real timestamp; the update fn emits NULL
+    # when only the sentinel was ever seen (matching the batch oracle's
+    # NULL max), and null-ts rows still COUNT toward n_events exactly
+    # like the oracle's count(*).
     slim = events.select(
         "user_id",
         F.coalesce(
-            F.unix_micros(F.col("ts_utc")), F.lit(-(2**63)).cast("long")
+            F.unix_micros(F.col("ts_utc")),
+            F.lit(_NO_TS_SENTINEL).cast("long"),
         ).alias("ts_us"),
     )
     return slim.groupBy("user_id").applyInPandasWithState(

@@ -54,12 +54,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from financial_big_data_exp_4_spark.session import session_memo
     from financial_big_data_exp_4_spark.sources.parquet import ts_utc_expr
 
-    # memoize the RAW footer probe per (session, dir) — the streaming
-    # source needs the raw parquet schema (load_table's memo holds the
-    # NORMALIZED plan, whose ts dtype differs), but re-reading the
-    # footer every call pays an avoidable driver round-trip
+    # memoize the RAW footer probe per (session, dir, file mtime+size) —
+    # the streaming source needs the raw parquet schema (load_table's
+    # memo holds the NORMALIZED plan, whose ts dtype differs), but
+    # re-reading the footer every call pays an avoidable driver
+    # round-trip. The mtime/size component invalidates the memo when
+    # events.parquet is rewritten in place with a new schema/encoding
+    # mid-session (round-11 ADVICE: a bare-dir key streamed the stale
+    # schema after such a rewrite); an unstat-able path (remote FS,
+    # racing writer) just skips that component — same cache behavior as
+    # before, never an error.
+    import os
+
     memo = session_memo(spark, "_fbde4_raw_events_schema")
-    key = sf_dir
+    try:
+        st = os.stat(f"{sf_dir}/events.parquet")
+        key = (sf_dir, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = sf_dir
     if memo is None or key not in memo:
         static = spark.read.parquet(f"{sf_dir}/events.parquet")
         probed = (static.schema, dict(static.dtypes)["ts"])
@@ -125,6 +137,18 @@ def streaming_tumbling_counts(
     when it is a whole multiple of the window width — true for every
     width dividing one day, enforced below — so shifted and unshifted
     window assignment are identical row-for-row.
+
+    **Accepted widths (deliberate round-10 narrowing):** ``"N
+    second(s)|minute(s)|hour(s)|day(s)"`` with ``N × unit`` dividing
+    :data:`SESSION_TS_SHIFT_S` — i.e. any width dividing one day, plus
+    whole-day widths dividing the shift's 365-day years. Widths that
+    used to be silently accepted, like ``"7 days"`` or ``"1 week"``,
+    now raise ``ValueError`` even for streams with no pre-epoch data:
+    whether pre-epoch rows arrive is a runtime property of the stream,
+    and an unshifted fallback would silently drop them in
+    update/append mode — refusing loudly at plan build is the only
+    mode-independent safe contract. Callers needing such widths can
+    pre-shift their own event time and window on that.
     """
     width_s = _interval_seconds(width)
     if SESSION_TS_SHIFT_S % width_s:

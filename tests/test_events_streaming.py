@@ -365,6 +365,59 @@ def test_stateful_running_totals_equals_batch(spark, sf_dir):
     assert got == batch
 
 
+def test_stateful_all_null_event_times_emit_null_max(spark, tmp_path):
+    """A key observed ONLY with NULL event times must emit a NULL
+    ``last_ts_us`` — the batch oracle's ``max(epoch_us(ts))`` is NULL for
+    that key, and the int64-min transit sentinel is a reachable real
+    value so it must never leak into the output (round-11 ADVICE)."""
+    import uuid
+
+    from financial_big_data_exp_4_spark.streaming import (
+        run_stream_to_memory,
+        streaming_user_running_totals,
+    )
+
+    rows = [
+        (1, None),
+        (1, None),
+        (2, None),
+        (2, "2021-03-04 05:06:07"),
+    ]
+    events = spark.sql(
+        "SELECT user_id, CAST(ts_utc AS TIMESTAMP) AS ts_utc FROM VALUES "
+        + ", ".join(f"({u}, {repr(t) if t else 'NULL'})" for u, t in rows)
+        + " AS t(user_id, ts_utc)"
+    )
+    src = tmp_path / "null_ts_events"
+    events.coalesce(1).write.parquet(str(src))
+    static = spark.read.parquet(str(src))
+    stream = spark.readStream.schema(static.schema).parquet(str(src))
+    name = f"nullts_{uuid.uuid4().hex[:8]}"
+    run_stream_to_memory(
+        streaming_user_running_totals(stream),
+        name,
+        str(tmp_path / "ckpt"),
+        output_mode="update",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["last_ts_us"])
+        for r in spark.table(name).collect()
+    }
+    assert got[1] == (2, None), got
+    n2, last2 = got[2]
+    assert n2 == 2 and last2 is not None, got
+    # the real timestamp dominates the NULL row's sentinel
+    import datetime as _dt
+
+    want_us = int(
+        _dt.datetime(
+            2021, 3, 4, 5, 6, 7, tzinfo=_dt.timezone.utc
+        ).timestamp()
+        * 1_000_000
+    )
+    assert last2 == want_us, (last2, want_us)
+
+
 def test_multibatch_stream_equals_batch(spark, sf_dir, tmp_path):
     """TRUE incremental processing: the events table split into three
     part files, streamed one file per microbatch (3 batches, state

@@ -180,6 +180,57 @@ def test_schemaless_read_comparison_semantics(spark, tmp_path):
     assert df.where(F.col("wy") > 3).count() == 2
 
 
+def test_ts_utc_expr_floors_pre_epoch_sub_us_nanos(spark, tmp_path):
+    """The ONE ns→µs derivation must FLOOR, not truncate: a pre-epoch
+    sub-µs instant (ts = −1 ns) belongs to µs −1 — DuckDB's
+    ``epoch_us`` on the same TIMESTAMP_NS agrees — while ``DIV`` would
+    pin it to µs 0 (round-11 ADVICE, the truncate-vs-floor class all
+    the batch time buckets already handle via floor_div_sql)."""
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.sources.parquet import ts_utc_expr
+
+    df = spark.createDataFrame(
+        [(-1,), (-999,), (-1000,), (-1001,), (0,), (1,), (999,), (1001,)],
+        "ts long",
+    ).withColumn("ts_utc", ts_utc_expr("bigint"))
+    got = {
+        r["ts"]: r["us"]
+        for r in df.select(
+            "ts", F.unix_micros("ts_utc").alias("us")
+        ).collect()
+    }
+    want = {ts: ts // 1000 for ts in got}
+    assert got == want, (got, want)
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    # DuckDB's SQL-level TIMESTAMP_NS→µs semantics FLOOR (the convention
+    # ts_utc_expr now matches): one ns before epoch lands in µs −1.
+    [(duck_floor,)] = con.execute(
+        "SELECT epoch_us(TIMESTAMP_NS '1969-12-31 23:59:59.999999999')"
+    ).fetchall()
+    assert duck_floor == -1, duck_floor
+
+    # Pin the measured quirk the docstring documents so a duckdb upgrade
+    # that fixes it is noticed: the PARQUET READER's ns→µs conversion
+    # TRUNCATES toward zero, disagreeing with the SQL cast above. All
+    # fixture generations are whole-µs, so the harness never sees the
+    # difference; if this assertion flips, the reader now floors and the
+    # caveat paragraph in ts_utc_expr can be dropped.
+    ns_file = str(tmp_path / "ns_probe.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array([-999], type=pa.timestamp("ns"))}), ns_file
+    )
+    [(reader_us,)] = con.execute(
+        f"SELECT epoch_us(ts) FROM read_parquet('{ns_file}')"
+    ).fetchall()
+    assert reader_us == 0, reader_us  # truncation; floor would be −1
+
+
 def test_duck_floor_div_matches_python_floor_on_negatives():
     """DuckDB's integer `//` TRUNCATES toward zero (-7 // 2 = -3), same
     as Spark's DIV — duck_floor_div must floor, matching Python's //
