@@ -129,9 +129,20 @@ def token_hash_set(text: Column | str) -> Column:
     return F.array_distinct(F.transform(tokenize(text), md5_hash64))
 
 
-def shingle_hash_set(text: Column | str, k: int = SHINGLE_K) -> Column:
+def shingle_hash_set(
+    text: Column | str,
+    k: int = SHINGLE_K,
+    select_mod: int = SHINGLE_SELECT_MOD,
+) -> Column:
     """Distinct 52-bit md5 hashes of content-anchored k-char shingles;
     [] iff len < k.
+
+    ``select_mod`` parameterizes the anchor density for MEASUREMENT
+    (tools/recall_bench.py's anchored-vs-exhaustive cost row):
+    ``1`` hashes every position (exhaustive — ``x % 1 == 0`` always, so
+    the fallback branch is unreachable and the ``non-empty ⟺ len ≥ k``
+    invariant holds trivially). Every declared query uses the module
+    default (2).
 
     Selection (see ``SHINGLE_SELECT_MOD``): a shingle is hashed iff its
     first character's code point is even — shift-robust ~½ sampling, so
@@ -146,12 +157,26 @@ def shingle_hash_set(text: Column | str, k: int = SHINGLE_K) -> Column:
     every other such doc."""
     c = F.col(text) if isinstance(text, str) else text
     pos = F.sequence(F.lit(1), F.length(c) - F.lit(k - 1))
+    # Linear-in-length extraction (round 11): shingles are built from a
+    # per-row CHARACTER ARRAY via slice+array_join, never per-position
+    # `substr`. Spark's UTF8String addresses characters by scanning
+    # bytes from the front, so `substr(i, k)` is O(i) and summing over
+    # every position made the whole shingle stage O(len²) PER DOCUMENT —
+    # invisible at the fixture's ~700 chars, but measured 167 s warm for
+    # just 500 docs of 10k-50k chars (9.4× faster via slice at 32k chars
+    # in isolation, and growing with length). slice on the materialized
+    # array is O(k) by direct index; values are bit-identical, multibyte
+    # included (split('') and substr both count CHARACTERS).
+    chars = F.split(c, "")
     sel = F.filter(
         pos,
-        lambda i: F.ascii(c.substr(i, F.lit(1))) % SHINGLE_SELECT_MOD == 0,
+        lambda i: F.ascii(F.element_at(chars, i)) % select_mod == 0,
     )
     anchored = F.when(F.size(sel) > 0, sel).otherwise(pos)
-    hashes = F.transform(anchored, lambda i: md5_hash64(c.substr(i, F.lit(k))))
+    hashes = F.transform(
+        anchored,
+        lambda i: md5_hash64(F.array_join(F.slice(chars, i, k), "")),
+    )
     return F.when(F.length(c) >= k, F.array_distinct(hashes)).otherwise(
         F.array().cast("array<long>")
     )
@@ -177,8 +202,12 @@ def with_minhash_signature(
     text_col: str = "text",
     id_col: str = "doc_id",
     coeffs: Sequence[tuple[int, int]] = MINHASH_COEFFS,
+    select_mod: int = SHINGLE_SELECT_MOD,
 ) -> DataFrame:
     """Append ``mh_0..mh_{K-1}`` minhash columns (map-only, codegen'd).
+
+    ``select_mod`` (measurement-only knob, see :func:`shingle_hash_set`)
+    selects the shingle anchor density; declared queries use the default.
 
     ``mh_i = min over distinct shingle hashes h of (h*a_i + b_i) mod P``;
     documents shorter than one shingle get the sentinel P (unreachable by
@@ -198,7 +227,10 @@ def with_minhash_signature(
     docs = rebalance_for_cpu(docs, id_col)
     df = docs.withColumn(
         "_th",
-        F.transform(shingle_hash_set(text_col), lambda h: h % MINHASH_P),
+        F.transform(
+            shingle_hash_set(text_col, select_mod=select_mod),
+            lambda h: h % MINHASH_P,
+        ),
     )
 
     def perm(a: int, b: int):
@@ -671,6 +703,13 @@ def neardup_edit_distance(
     # evaluates branches lazily (codegen emits if/else), so levenshtein
     # never runs for gap-pruned pairs. Engine-side pruning only: output
     # values are bit-identical and the DuckDB oracle is unchanged.
+    # Equality fast path (round 11): identical texts — the DOMINANT
+    # pair class on a dedup-heavy corpus, every exact-dup cluster pair —
+    # are distance 0 by definition; one O(len) compare replaces the
+    # O(len × cap) thresholded DP. On 10k-50k-char documents that DP is
+    # ~5M cells per pair, so exact clusters would otherwise pay the
+    # verify stage's whole budget re-proving zeros. The DuckDB oracle
+    # carries the same two cheap branches, so values stay bit-identical.
     len_gap = F.abs(F.length(F.col("_ta")) - F.length(F.col("_tb")))
     return (
         cand.join(a, "doc_a")
@@ -678,7 +717,8 @@ def neardup_edit_distance(
         .select(
             "doc_a",
             "doc_b",
-            F.when(len_gap > cap, F.lit(cap))
+            F.when(F.col("_ta") == F.col("_tb"), F.lit(0))
+            .when(len_gap > cap, F.lit(cap))
             .otherwise(F.when(lev < 0, F.lit(cap)).otherwise(lev))
             .cast("long")
             .alias("edit_dist"),

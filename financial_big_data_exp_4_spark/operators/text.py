@@ -218,11 +218,19 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     """
     t = F.col(text_col)
     n = F.length(t)
+    # shingles cut from the per-row char array (slice = O(K) by index),
+    # never per-position substr — Spark's UTF8String scans from the
+    # front, so substr(i, K) is O(i) and the rolling hash was O(len²)
+    # per document on 10k-50k-char docs (round-11 longdocs finding; same
+    # fix as dedup.shingle_hash_set, values bit-identical)
+    chars = F.split(t, "")
     hashes = F.transform(
         F.sequence(
             F.lit(1), n - F.lit(FINGERPRINT_K - 1), F.lit(FINGERPRINT_STRIDE)
         ),
-        lambda i: md5_hash64(t.substr(i, F.lit(FINGERPRINT_K))),
+        lambda i: md5_hash64(
+            F.array_join(F.slice(chars, i, FINGERPRINT_K), "")
+        ),
     )
     guarded = F.when(n >= FINGERPRINT_K, hashes).otherwise(
         F.array().cast("array<long>")

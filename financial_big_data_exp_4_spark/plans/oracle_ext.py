@@ -154,6 +154,54 @@ _TH_MOD_P = (
     f"list_transform({_shingle_hashes()}, hh -> hh % {MINHASH_P})"
 )
 
+
+def _th_table_sql(src: str) -> str:
+    """``(doc, th)`` — per-document anchored shingle hashes mod P, in
+    ROW form: positions unnested to rows, shingles cut with DuckDB's
+    *vectorized* ``substr`` (which has the fast path the list-lambda
+    path lacks), grouped back per doc. Value-identical to the
+    expression form ``SELECT doc_id AS doc, {{_TH_MOD_P}} AS th`` —
+    same anchor selection (first char's code point even), same
+    no-anchor fallback to all positions, same empty list for
+    ``len(text) < k`` / NULL text; the only representational change is
+    that distinctness is taken on the 52-bit ints rather than the md5
+    strings, which can only drop post-truncation duplicates and every
+    consumer folds ``th`` through ``list_min`` (round-11 measurement:
+    the lambda form's per-position ``substr`` made the oracle O(len²)
+    per document — 59 s for just 100 docs × 32k chars vs 1.0 s in row
+    form — which priced the longdocs differential gate out entirely).
+    """
+    k = SHINGLE_K
+    return f"""
+        SELECT d.doc_id AS doc,
+               coalesce(s.th, CAST([] AS BIGINT[])) AS th
+        FROM {src} d
+        LEFT JOIN (
+            SELECT doc_id,
+                   list_transform(list(DISTINCT {_hex13int('m')}),
+                                  hh -> hh % {MINHASH_P}) AS th
+            FROM (
+                SELECT q.doc_id, md5(substr(q.text, q.si, {k})) AS m
+                FROM (
+                    SELECT p.doc_id, p.text, p.si,
+                           ascii(substr(p.text, p.si, 1))
+                               % {SHINGLE_SELECT_MOD} = 0 AS anch,
+                           bool_or(ascii(substr(p.text, p.si, 1))
+                               % {SHINGLE_SELECT_MOD} = 0)
+                               OVER (PARTITION BY p.doc_id) AS has_anch
+                    FROM (
+                        SELECT doc_id, text,
+                               unnest(generate_series(
+                                   1, len(text) - {k - 1})) AS si
+                        FROM {src} WHERE len(text) >= {k}
+                    ) p
+                ) q
+                WHERE q.anch OR NOT q.has_anch
+            )
+            GROUP BY doc_id
+        ) s ON d.doc_id = s.doc_id
+    """
+
 _MH_EXPRS = ",\n           ".join(
     f"coalesce(list_min(list_transform(th, h -> (h * {a} + {b}) % "
     f"{MINHASH_P})), {MINHASH_P}) AS mh_{i}"
@@ -185,7 +233,7 @@ _AGREE = " + ".join(
 
 Q_NEARDUP_MINHASH = f"""
     WITH th_t AS (
-        SELECT doc_id AS doc, {_TH_MOD_P} AS th FROM documents
+        {_th_table_sql("documents")}
     ), sig AS (
         SELECT doc,
            {_MH_EXPRS}
@@ -449,23 +497,34 @@ Q_LANG_ID = f"""
     FROM b
 """
 
+#: Row form for the same reason as _th_table_sql: per-position substr
+#: inside a list lambda is O(len²) per doc on long documents, while the
+#: unnested vectorized substr path is linear. min/count over the rows
+#: ≡ list_min/list_filter-len over the array; docs shorter than K (or
+#: NULL text) fall out of the unnest and re-enter via the LEFT JOIN as
+#: (NULL min, 0 selected) — exactly the expression form's [] semantics.
 Q_DOC_FINGERPRINT = f"""
     WITH h AS (
+        SELECT doc_id, {_hex13int(f"md5(substr(text, si, {FINGERPRINT_K}))")}
+                   AS fh
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, len(text) - {FINGERPRINT_K - 1},
+                                          {FINGERPRINT_STRIDE})) AS si
+            FROM documents WHERE len(text) >= {FINGERPRINT_K}
+        )
+    ), agg AS (
         SELECT doc_id,
-               CASE WHEN len(text) >= {FINGERPRINT_K}
-                    THEN list_transform(list_transform(
-                        generate_series(1, len(text) - {FINGERPRINT_K - 1},
-                                        {FINGERPRINT_STRIDE}),
-                        si -> md5(substr(text, si, {FINGERPRINT_K}))),
-                        m -> {_hex13int('m')})
-                    ELSE [] END AS hashes
-        FROM documents
+               min(fh) AS min_shingle_hash,
+               CAST(sum(CASE WHEN fh % 16 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_selected
+        FROM h GROUP BY doc_id
     )
-    SELECT doc_id,
-           list_min(hashes) AS min_shingle_hash,
-           CAST(len(list_filter(hashes, fh -> fh % 16 = 0)) AS BIGINT)
-               AS n_selected
-    FROM h
+    SELECT d.doc_id,
+           a.min_shingle_hash,
+           CAST(coalesce(a.n_selected, 0) AS BIGINT) AS n_selected
+    FROM documents d
+    LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 # -- events -----------------------------------------------------------------
@@ -1296,9 +1355,13 @@ from financial_big_data_exp_4_spark.operators.dedup import (  # noqa: E402
 EXTENSION_ORACLE_SQL["q_neardup_edit"] = f"""
     WITH cand AS ({Q_NEARDUP_MINHASH})
     SELECT c.doc_a, c.doc_b,
-           CAST(least(levenshtein(da.text, db.text),
-                      {EDIT_DISTANCE_CAP}) AS BIGINT)
-               AS edit_dist
+           CAST(CASE
+                WHEN da.text = db.text THEN 0
+                WHEN abs(length(da.text) - length(db.text))
+                     > {EDIT_DISTANCE_CAP} THEN {EDIT_DISTANCE_CAP}
+                ELSE least(levenshtein(da.text, db.text),
+                           {EDIT_DISTANCE_CAP})
+                END AS BIGINT) AS edit_dist
     FROM cand c
     JOIN documents da ON c.doc_a = da.doc_id
     JOIN documents db ON c.doc_b = db.doc_id
@@ -1729,9 +1792,9 @@ EXTENSION_ORACLE_SQL["q_dedup_incremental"] = f"""
     ), newdocs AS (
         SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
     ), th_c AS (
-        SELECT doc_id AS doc, {_TH_MOD_P} AS th FROM corpus
+        {_th_table_sql("corpus")}
     ), th_n AS (
-        SELECT doc_id AS doc, {_TH_MOD_P} AS th FROM newdocs
+        {_th_table_sql("newdocs")}
     ), sig_c AS (
         SELECT doc, {_MH_EXPRS} FROM th_c
     ), sig_n AS (

@@ -104,6 +104,16 @@ def rebalance_for_cpu(df, key: str, target: int | None = None):
     from coalescing the deliberately tiny shuffle back down to one
     partition.
 
+    Known blind spot (round-11, measured): a UNION of an under-split
+    scan with a many-partition frame passes the ``>= target`` partition
+    COUNT check while the scan's rows still sit in one partition — the
+    heavy map stage above runs serially on that child (94.8 s vs 7.8 s
+    for the capped-recall measurement's 500k-doc + local-relation
+    union). Partition count is the only cheap job-free probe, so this
+    stays a documented caller contract: after unioning an under-split
+    scan, repartition EXPLICITLY on a unique key (the sanctioned
+    pattern, same as the post-join repartition in neardup_edit).
+
     Intended for a BARE SCAN (or near-scan projection): the partition
     probe goes through ``df.rdd``, and materializing an RDD from a plan
     with exchanges EXECUTES those stages eagerly at build time under AQE

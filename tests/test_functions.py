@@ -231,6 +231,61 @@ def test_ts_utc_expr_floors_pre_epoch_sub_us_nanos(spark, tmp_path):
     assert reader_us == 0, reader_us  # truncation; floor would be −1
 
 
+def test_oracle_th_row_form_matches_expression_form(tmp_path):
+    """The row-form shingle-signature SQL (oracle_ext._th_table_sql —
+    vectorized substr, linear in doc length) must produce the same
+    per-doc shingle-hash SET mod P as the declarative expression form
+    (_TH_MOD_P) it replaced for performance: anchor selection, no-anchor
+    fallback, short/NULL-text empties, multibyte all covered. Sets, not
+    lists: the row form dedups on the 52-bit ints (post-truncation)
+    while the expression form dedups on md5 strings, and every consumer
+    folds th through list_min."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from financial_big_data_exp_4_spark.plans.oracle_ext import (
+        _TH_MOD_P,
+        _th_table_sql,
+    )
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        None,
+        "",
+        "short",
+        "数据表扫描归并排序流计算与聚合下推",  # multibyte, len ≥ k
+        "aaaaaaaaaaaa",  # 'a' = 97 odd: NO anchors → fallback path
+        "b" * 30 + "aA09-zZ" * 4,  # mixed anchors
+        "x" + "abcdefgh" * 3,
+    ]
+    f = str(tmp_path / "docs.parquet")
+    pq.write_table(
+        pa.table({
+            "doc_id": list(range(1, len(texts) + 1)),
+            "text": pa.array(texts, type=pa.string()),
+        }),
+        f,
+    )
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW docs AS SELECT * FROM '{f}'")
+    expr = {
+        doc: frozenset(th)
+        for doc, th in con.execute(
+            f"SELECT doc_id AS doc, {_TH_MOD_P} AS th FROM docs"
+        ).fetchall()
+    }
+    row = {
+        doc: frozenset(th)
+        for doc, th in con.execute(_th_table_sql("docs")).fetchall()
+    }
+    assert expr == row
+    # sanity: both non-degenerate (some docs have hashes, some are empty)
+    assert any(v for v in expr.values()) and any(
+        not v for v in expr.values()
+    )
+
+
 def test_duck_floor_div_matches_python_floor_on_negatives():
     """DuckDB's integer `//` TRUNCATES toward zero (-7 // 2 = -3), same
     as Spark's DIV — duck_floor_div must floor, matching Python's //

@@ -125,3 +125,74 @@ def test_recall_artifact_floors() -> None:
                 f"tools/recall_bench.py and fix the mechanism before "
                 f"lowering any floor"
             )
+
+
+#: Floors for the round-11 capped-recall section (recall UNDER the
+#: production bucket caps, over-cap boilerplate block unioned in — see
+#: tools/recall_bench._capped_recall). Fixture planted pairs live in
+#: small buckets, so the cap must not cost them anything: capped floors
+#: equal the uncapped ones.
+CAPPED_RECALL_FLOORS = {
+    "minhash_exact_pair_recall": 1.0,
+    "minhash_neardup_pair_recall": 0.90,
+    "minhash_exact_pair_recall_capped": 1.0,
+    "minhash_neardup_pair_recall_capped": 0.90,
+    "simhash_exact_pair_recall": 1.0,
+    "simhash_exact_pair_recall_capped": 1.0,
+}
+
+
+def test_capped_recall_floors_and_engagement() -> None:
+    found = _newest("RECALL_r{N}.json")
+    if found is None or "capped" not in found[1]:
+        pytest.skip("no capped-recall section committed yet (round 11+)")
+    name, art = found
+    vals = art["capped"]
+    for key, floor in CAPPED_RECALL_FLOORS.items():
+        got = vals.get(key)
+        assert got is not None, f"{name} capped missing {key}"
+        assert got >= floor, (
+            f"{name} capped {key} = {got} below floor {floor} — the "
+            f"production bucket cap is eating recall OUTSIDE degenerate "
+            f"buckets; fix the cap plumbing, don't lower the floor"
+        )
+    # engagement evidence — a green capped run on a corpus whose buckets
+    # never reach the cap is an empty-vs-empty comparison (round-10 gate
+    # lesson): the augmented corpus must contain over-cap buckets, the
+    # natural one must not, and the boilerplate block's banded recall
+    # must have actually collapsed (its pairs are recovered by the md5
+    # exact path instead — that is the documented trade).
+    assert vals["augmented_buckets"]["buckets_over_cap"] > 0, vals
+    assert vals["natural_buckets"]["buckets_over_cap"] == 0, vals
+    for key in ("minhash_boilerplate_pair_recall_capped",
+                "simhash_boilerplate_pair_recall_capped"):
+        assert vals[key] <= 0.05, (
+            f"{name} {key} = {vals[key]} — the over-cap block paired "
+            f"through the band join, so the cap did not engage; the "
+            f"measurement is no longer measuring the capped path"
+        )
+
+
+#: Long-document (10k-50k chars) floors — the content-anchored shingle
+#: selection's stated value case. A long-doc one-token-edit near-dup has
+#: planted Jaccard ≈ 0.999 (16 of ~20k shingles differ), so banded
+#: recall should be ~1; a drop here means anchor selection broke on long
+#: texts, not banding probability.
+LONGDOCS_RECALL_FLOORS = {
+    "minhash_exact_pair_recall": 1.0,
+    "minhash_neardup_pair_recall": 0.95,
+}
+
+
+def test_longdocs_recall_floors() -> None:
+    found = _newest("RECALL_r{N}.json")
+    if found is None or "longdocs" not in found[1]:
+        pytest.skip("no longdocs section committed yet (round 11+)")
+    name, art = found
+    vals = art["longdocs"]
+    for key, floor in LONGDOCS_RECALL_FLOORS.items():
+        got = vals.get(key)
+        assert got is not None, f"{name} longdocs missing {key}"
+        assert got >= floor, (
+            f"{name} longdocs {key} = {got} below floor {floor}"
+        )

@@ -698,10 +698,73 @@ def generate_scaled(outdir: str, seed: int, mult: int) -> None:
     )
 
 
+def zipf_vocab(size: int = 8192) -> tuple[np.ndarray, np.ndarray]:
+    """The large zipf-weighted vocabulary ``generate_scaled`` documents
+    draw from (tokens, probability weights) — shared by the longdocs
+    rewrite so both fixtures model the same non-degenerate corpus."""
+    vocab = np.array(
+        [f"{TOKEN_VOCAB[i % len(TOKEN_VOCAB)]}{i // len(TOKEN_VOCAB)}"
+         for i in range(size)]
+    )
+    w = 1.0 / (np.arange(size) + 30.0)
+    return vocab, w / w.sum()
+
+
+def rewrite_documents_longdocs(outdir: str, seed: int) -> None:
+    """Rewrite ``documents.parquet`` with 10k-50k-char texts — the
+    length regime no other profile reaches (round-10 VERDICT gap #2:
+    fuzz/recall fixtures top out near ~700 chars, while long documents
+    are the content-anchored shingle selection's stated value case and
+    stress the ``length(text) >= SHINGLE_K`` pushdown sentinel and the
+    per-doc signature cost).
+
+    Same planted structure as :func:`generate`'s documents (10 exact
+    clusters of 4 at ids 1-40; one-token-edit near-dup pairs
+    (41+i, 71+i) for i < 20 — sources OUTSIDE the cluster block), same
+    schema, but texts are 1.5k-7k tokens from the zipf-8192 vocabulary
+    (the 31-word adversarial vocab would make every long doc's distinct
+    token set the ENTIRE vocabulary — the simhash degeneracy
+    generate_scaled's docstring documents). A couple of structured edge
+    docs keep the short/empty sentinel paths live."""
+    rng = np.random.default_rng(seed + 9)
+    nd = 500
+    vocab, w = zipf_vocab()
+    lens = rng.integers(1_500, 7_001, nd)
+    toks = vocab[rng.choice(len(vocab), int(lens.sum()), p=w)]
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+    texts: list[str | None] = [
+        " ".join(toks[bounds[i]: bounds[i + 1]]) for i in range(nd)
+    ]
+    for c in range(10):
+        base = texts[c * 4]
+        for j in range(1, 4):
+            texts[c * 4 + j] = base
+    for i in range(40, 60):
+        t = texts[70 + (i - 40)].split()
+        # edit ONE token mid-document (a long-doc near-dup differs by a
+        # vanishing fraction of its shingles — the hard recall case)
+        t[len(t) // 2] = "edited"
+        texts[i] = " ".join(t)
+    texts[60] = ""  # below-SHINGLE_K sentinel stays exercised
+    texts[61] = "solo"
+    texts[62] = None
+    _write(
+        outdir, "documents",
+        {"doc_id": list(range(1, nd + 1)),
+         "text": texts,
+         "lang": [LANGS[i] for i in rng.choice(5, nd)],
+         "source": [f"src{int(v)}" for v in rng.integers(0, 20, nd)],
+         "n_chars": [None if t is None else len(t) for t in texts]},
+        {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
+         "source": pa.string(), "n_chars": pa.int64()},
+    )
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=606)
-    ap.add_argument("--profile", choices=["nulls", "clean", "tiny"],
+    ap.add_argument("--profile", choices=["nulls", "clean", "tiny",
+                                          "longdocs"],
                     default="nulls")
     ap.add_argument("--ts-encoding", choices=["us", "ns"], default="us",
                     help="physical encoding of events.ts (see "
@@ -719,6 +782,8 @@ def main() -> int:
             generate_tiny(outdir, args.seed)
         else:
             generate(outdir, args.seed, nulls=args.profile == "nulls")
+            if args.profile == "longdocs":
+                rewrite_documents_longdocs(outdir, args.seed)
         if args.ts_encoding == "ns":
             reencode_events_ns(outdir)
     print(f"fuzz fixture: {outdir} (seed={args.seed}, {args.profile})")

@@ -47,10 +47,21 @@ pair membership is checked with a semi-join against the planted-pair
 list (a ≤ (nd/50)·6-row broadcast side), never a collect of the
 candidate set.
 
+Round 11 adds two sections to the artifact beyond ``per_scale``:
+
+* ``capped`` — planted-pair recall UNDER the production bucket caps at
+  the wide (100×) fixture with an over-cap boilerplate block unioned in
+  (see :func:`_capped_recall`; floors in
+  tests/test_scale_gate.py::CAPPED_RECALL_FLOORS);
+* ``longdocs`` — recall + anchored-vs-exhaustive shingle cost on the
+  10k-50k-char longdocs fixture (see :func:`_longdocs_recall`; floors
+  in LONGDOCS_RECALL_FLOORS).
+
 Usage::
 
-    python tools/recall_bench.py [--mult 10] [--seed 707] [--keep]
-                                 [--out RECALL_r9.json]
+    python tools/recall_bench.py [--mult 10] [--wide-mult 100]
+                                 [--seed 707] [--keep]
+                                 [--out RECALL_r11.json]
 """
 
 from __future__ import annotations
@@ -227,9 +238,276 @@ def _candidate_recall(spark, sf_dir: str, mult: int) -> dict:
     }
 
 
+#: Production bucket cap the capped-recall section measures — one source
+#: of truth with the scale gate's bench-only q_simhash_neardup_capped
+#: (scale_bench.SIMHASH_SCALE_BUCKET_CAP), the documented production
+#: guidance for both band joins.
+from scale_bench import SIMHASH_SCALE_BUCKET_CAP as PRODUCTION_BUCKET_CAP  # noqa: E402
+
+#: Boilerplate block for the capped measurement: identical copies of one
+#: template (the real shape — license headers, nav chrome, scraped
+#: banners repeat verbatim at huge multiplicity). Sized just above the
+#: cap so every band bucket the block creates is over-full and the cap
+#: DEMONSTRABLY engages — round-10 gate lesson: a green capped run on a
+#: corpus whose buckets never reach the cap is an empty-vs-empty
+#: comparison, not a measurement.
+BOILERPLATE_N = 11_000
+BOILERPLATE_ID_BASE = 10_000_000
+BOILERPLATE_TEMPLATE = " ".join(
+    f"clause{i % 9} bp{i:02d} provision shall apply" for i in range(14)
+)
+
+
+def _capped_recall(spark, sf_dir: str, mult: int) -> dict:
+    """Planted-pair recall UNDER the production bucket caps, at the wide
+    (100×) fixture, with an over-cap boilerplate block unioned in so the
+    cap path actually executes its drop (round-10 VERDICT gap #1: the
+    capped plan was slope-gated but its recall cost was unmeasured).
+
+    Three populations, three numbers per generator:
+
+    * fixture planted exact/near pairs — live in small buckets (clusters
+      of 4), must survive the cap untouched (floors pinned in
+      tests/test_scale_gate.py::CAPPED_RECALL_FLOORS);
+    * boilerplate pairs — every band bucket they occupy exceeds the cap,
+      so banded recall collapses to ~0 BY DESIGN. That is the measured
+      trade, and it is acceptable in the pipeline because the block is
+      EXACT duplicates: the md5 exact-dedup path (q_dedup_exact) catches
+      them without any join — dedup runs exact-first precisely so the
+      cap only ever sacrifices near-dup recall inside degenerate blocks;
+    * bucket occupancy (max size, # over cap) for natural vs augmented
+      corpus — proves the cap engaged on the block and ONLY the block.
+
+    The uncapped variant is deliberately NOT run on the augmented
+    corpus: an 11k-identical clique yields ≥ C(11k,2) ≈ 60.5M candidate
+    pairs — the quadratic onset the cap exists to prevent.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_P,
+        MINHASH_ROWS_PER_BAND,
+        minhash_candidate_pairs,
+        signed_docs,
+        simhash_neardup_pairs,
+    )
+    from financial_big_data_exp_4_spark.sources.parquet import load_table
+
+    cap = PRODUCTION_BUCKET_CAP
+    nd = 5_000 * mult
+    n_clusters = nd // 50
+    doc_exact = [
+        (4 * c + i + 1, 4 * c + j + 1)
+        for c in range(n_clusters)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    ]
+    n_near = nd // 50
+    doc_near = [
+        tuple(sorted((4 * n_clusters + i + 1,
+                      4 * n_clusters + n_near + i + 1)))
+        for i in range(n_near)
+    ]
+    bp_pairs = [
+        (BOILERPLATE_ID_BASE + 2 * i, BOILERPLATE_ID_BASE + 2 * i + 1)
+        for i in range(100)
+    ]
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bp = spark.createDataFrame(
+        [(BOILERPLATE_ID_BASE + i, BOILERPLATE_TEMPLATE)
+         for i in range(BOILERPLATE_N)],
+        "doc_id long, text string",
+    )
+    # Explicit id-keyed repartition: the union's PARTITION COUNT is the
+    # sum of its children's (1 single-row-group scan + ~cores local
+    # rows), which satisfies rebalance_for_cpu's >= cores no-op check
+    # while the 500k-doc scan side still sits in ONE partition — the
+    # signature map stage ran serially (measured 94.8 s capped vs 7.8 s
+    # uncapped at 10× before this line; the recall numbers were
+    # identical, only wall-clock differed).
+    cores = spark.sparkContext.defaultParallelism
+    from pyspark.sql import functions as F2
+
+    aug = docs.unionByName(bp).repartition(cores, F2.col("doc_id"))
+
+    def bucket_stats(frame) -> dict:
+        """(band_id, band_key) occupancy of the minhash band rows —
+        direct evidence of whether/where the cap engages."""
+        sig = signed_docs(frame).where(F.col("mh_0") < MINHASH_P)
+        bands = sig.select(
+            F.posexplode(
+                F.array(*[
+                    F.concat_ws(",", *[
+                        F.col(f"mh_{j}").cast("string")
+                        for j in range(b * MINHASH_ROWS_PER_BAND,
+                                       (b + 1) * MINHASH_ROWS_PER_BAND)
+                    ])
+                    for b in range(MINHASH_BANDS)
+                ])
+            ).alias("band_id", "band_key")
+        )
+        row = (
+            bands.groupBy("band_id", "band_key")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.max("n").alias("max_bucket"),
+                F.sum(F.when(F.col("n") > cap, 1).otherwise(0))
+                .alias("buckets_over_cap"),
+            )
+            .collect()[0]
+        )
+        return {
+            "max_bucket": row["max_bucket"],
+            "buckets_over_cap": int(row["buckets_over_cap"]),
+        }
+
+    out: dict = {
+        "cap": cap,
+        "boilerplate_docs": BOILERPLATE_N,
+        "natural_buckets": bucket_stats(docs),
+        "augmented_buckets": bucket_stats(aug),
+    }
+
+    # minhash: uncapped on the NATURAL corpus (the 100× point of the
+    # existing 1×/10× curve), capped on the augmented one
+    t0 = _time.perf_counter()
+    mh_nat = minhash_candidate_pairs(docs)
+    out["minhash_uncapped_candidates"] = mh_nat.count()
+    out["minhash_uncapped_sec"] = round(_time.perf_counter() - t0, 1)
+    out["minhash_exact_pair_recall"] = _pair_recall(
+        spark, mh_nat, doc_exact, "doc_a", "doc_b")
+    out["minhash_neardup_pair_recall"] = _pair_recall(
+        spark, mh_nat, doc_near, "doc_a", "doc_b")
+
+    t0 = _time.perf_counter()
+    mh_cap = minhash_candidate_pairs(aug, max_bucket_size=cap)
+    out["minhash_capped_candidates"] = mh_cap.count()
+    out["minhash_capped_sec"] = round(_time.perf_counter() - t0, 1)
+    out["minhash_exact_pair_recall_capped"] = _pair_recall(
+        spark, mh_cap, doc_exact, "doc_a", "doc_b")
+    out["minhash_neardup_pair_recall_capped"] = _pair_recall(
+        spark, mh_cap, doc_near, "doc_a", "doc_b")
+    out["minhash_boilerplate_pair_recall_capped"] = _pair_recall(
+        spark, mh_cap, bp_pairs, "doc_a", "doc_b")
+
+    # simhash: same pattern; planted truth = exact clusters (hamming 0,
+    # a correctness property of the radius-3 scheme)
+    t0 = _time.perf_counter()
+    sh_nat = simhash_neardup_pairs(docs)
+    out["simhash_uncapped_candidates"] = sh_nat.count()
+    out["simhash_uncapped_sec"] = round(_time.perf_counter() - t0, 1)
+    out["simhash_exact_pair_recall"] = _pair_recall(
+        spark, sh_nat, doc_exact, "doc_a", "doc_b")
+
+    t0 = _time.perf_counter()
+    sh_cap = simhash_neardup_pairs(aug, max_bucket_size=cap)
+    out["simhash_capped_candidates"] = sh_cap.count()
+    out["simhash_capped_sec"] = round(_time.perf_counter() - t0, 1)
+    out["simhash_exact_pair_recall_capped"] = _pair_recall(
+        spark, sh_cap, doc_exact, "doc_a", "doc_b")
+    out["simhash_boilerplate_pair_recall_capped"] = _pair_recall(
+        spark, sh_cap, bp_pairs, "doc_a", "doc_b")
+    return out
+
+
+def _longdocs_recall(spark, seed: int, keep: bool) -> dict:
+    """Planted-pair recall and shingle-selection cost on 10k-50k-char
+    documents (the longdocs fuzz profile's table) — the only text-length
+    regime no other fixture reaches, and the content-anchored shingle
+    selection's stated value case (round-10 VERDICT gap #2 / round-11
+    prescription #3 and #5).
+
+    Two measurements:
+
+    * recall of the planted structure (60 exact-cluster pairs, 20
+      one-token-mid-document-edit near pairs) in the declared
+      :func:`minhash_candidate_pairs` output — a long-doc near-dup
+      differs by a VANISHING fraction of its ~2×10⁴ shingles (planted
+      Jaccard ≈ 1 − 16/20k ≈ 0.999 vs ≈ 0.63-0.97 at 700 chars), so if
+      anything recall should exceed the short-doc floor; a miss here
+      means the anchor selection broke on long texts.
+    * anchored (``select_mod=2``) vs exhaustive (``select_mod=1``)
+      signature cost, same session, interleaved, min of 3 warm passes
+      each (the tools/cc_ab.py discipline) — the number that decides
+      whether the anchor's md5 halving is worth the fallback subtlety
+      (round-11 prescription #5). All 16 mh columns are summed so
+      column pruning cannot skip any permutation.
+    """
+    import functools
+    import operator as _op
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        MINHASH_COEFFS,
+        minhash_candidate_pairs,
+        with_minhash_signature,
+    )
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fuzz_correctness import generate, rewrite_documents_longdocs
+
+    d = f"/tmp/fuzz_sf_{seed}_longdocs"
+    if not (keep and os.path.isdir(d)):
+        generate(d, seed, nulls=False)
+        rewrite_documents_longdocs(d, seed)
+
+    docs = spark.read.parquet(f"{d}/documents.parquet")
+    doc_exact = [
+        (4 * c + i + 1, 4 * c + j + 1)
+        for c in range(10)
+        for i in range(4)
+        for j in range(i + 1, 4)
+    ]
+    doc_near = [(41 + i, 71 + i) for i in range(20)]
+
+    t0 = _time.perf_counter()
+    mh = minhash_candidate_pairs(docs)
+    n_cand = mh.count()
+    out = {
+        "n_docs": docs.count(),
+        "minhash_candidates": n_cand,
+        "minhash_pairs_sec": round(_time.perf_counter() - t0, 1),
+        "minhash_exact_pair_recall": _pair_recall(
+            spark, mh, doc_exact, "doc_a", "doc_b"),
+        "minhash_neardup_pair_recall": _pair_recall(
+            spark, mh, doc_near, "doc_a", "doc_b"),
+    }
+
+    k = len(MINHASH_COEFFS)
+
+    def sig_pass(select_mod: int) -> float:
+        t0 = _time.perf_counter()
+        with_minhash_signature(docs, select_mod=select_mod).select(
+            F.sum(
+                functools.reduce(
+                    _op.add, [F.col(f"mh_{i}") for i in range(k)]
+                )
+            ).alias("s")
+        ).collect()
+        return _time.perf_counter() - t0
+
+    anchored, exhaustive = [], []
+    sig_pass(2), sig_pass(1)  # warm both plans before timing
+    for _ in range(3):
+        anchored.append(sig_pass(2))
+        exhaustive.append(sig_pass(1))
+    out["sig_anchored_warm_sec"] = round(min(anchored), 3)
+    out["sig_exhaustive_warm_sec"] = round(min(exhaustive), 3)
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--wide-mult", type=int, default=100,
+                    help="fixture multiplier for the capped-recall "
+                         "section (0 disables it)")
     ap.add_argument("--seed", type=int, default=707)
     ap.add_argument("--keep", action="store_true")
     ap.add_argument("--out", default=None)
@@ -259,6 +537,21 @@ def main() -> int:
 
     payload = {"seed": args.seed, "mult": args.mult,
                "per_scale": per_scale}
+    if args.wide_mult:
+        d = _ensure_dir(args.seed, args.wide_mult, args.keep)
+        t0 = time.perf_counter()
+        payload["capped"] = {
+            "mult": args.wide_mult,
+            **_capped_recall(spark, d, args.wide_mult),
+        }
+        payload["capped"]["elapsed_sec"] = round(
+            time.perf_counter() - t0, 1
+        )
+    t0 = time.perf_counter()
+    payload["longdocs"] = _longdocs_recall(spark, args.seed, args.keep)
+    payload["longdocs"]["elapsed_sec"] = round(
+        time.perf_counter() - t0, 1
+    )
     line = json.dumps(payload)
     print(line)
     if args.out:
