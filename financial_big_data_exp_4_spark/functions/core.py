@@ -240,3 +240,24 @@ def md5_hash64(c: Column | str) -> Column:
     faster but engine-private; use it when oracle parity is not required.
     """
     return F.conv(F.substring(F.md5(_col(c)), 1, 13), 16, 10).cast("long")
+
+
+def bind_once(col: Column, body) -> Column:
+    """Evaluate ``col`` ONCE per row and pass it to ``body`` as a bound
+    higher-order-function lambda variable.
+
+    ``transform(array(col), x -> body(x))[1]`` — the single-element
+    wrapper exists purely to name the value. Needed because splicing a
+    Python ``Column`` variable into a HOF lambda duplicates its whole
+    expression SUBTREE at every reference, and higher-order functions
+    are ``CodegenFallback``: the interpreted evaluator re-computes the
+    lambda body per ELEMENT, so an expensive shared input (e.g.
+    ``split(text, '')``) degrades the enclosing operator to
+    O(elements × cost(input)) per row. Found round 11: the shingle
+    stage's char array re-split the full text once per shingle position
+    — O(len²) per document, a 945-CPU-second single task at the 100×
+    capped-recall fixture. Binding via a lambda variable evaluates the
+    input once; inner lambdas may reference the outer variable (nested
+    HOF lambdas are first-class in Spark SQL).
+    """
+    return F.element_at(F.transform(F.array(col), body), 1)

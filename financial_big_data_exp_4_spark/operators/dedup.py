@@ -36,7 +36,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from financial_big_data_exp_4_spark.functions.core import md5_hash64
+from financial_big_data_exp_4_spark.functions.core import bind_once, md5_hash64
 
 #: Modulus for minhash permutations: largest prime < 2^30 keeps every
 #: intermediate (h * a + b) below 2^63 with the multipliers used here.
@@ -156,7 +156,6 @@ def shingle_hash_set(
     signature into banding on the engine side only and clique with
     every other such doc."""
     c = F.col(text) if isinstance(text, str) else text
-    pos = F.sequence(F.lit(1), F.length(c) - F.lit(k - 1))
     # Linear-in-length extraction (round 11): shingles are built from a
     # per-row CHARACTER ARRAY via slice+array_join, never per-position
     # `substr`. Spark's UTF8String addresses characters by scanning
@@ -167,16 +166,28 @@ def shingle_hash_set(
     # in isolation, and growing with length). slice on the materialized
     # array is O(k) by direct index; values are bit-identical, multibyte
     # included (split('') and substr both count CHARACTERS).
-    chars = F.split(c, "")
-    sel = F.filter(
-        pos,
-        lambda i: F.ascii(F.element_at(chars, i)) % select_mod == 0,
-    )
-    anchored = F.when(F.size(sel) > 0, sel).otherwise(pos)
-    hashes = F.transform(
-        anchored,
-        lambda i: md5_hash64(F.array_join(F.slice(chars, i, k), "")),
-    )
+    #
+    # The char array is bound ONCE via ``bind_once``: a Python Column
+    # variable spliced into HOF lambdas duplicates the split SUBTREE at
+    # every reference, and HOFs evaluate interpreted (CodegenFallback),
+    # re-splitting the full text per position — O(len²) again through
+    # the back door (round-11 finding: a 945-CPU-second single task at
+    # the 100× capped-recall fixture; jstack showed StringSplit.eval
+    # under ArrayFilter.eval).
+
+    def _hashes(cs: Column) -> Column:
+        pos = F.sequence(F.lit(1), F.length(c) - F.lit(k - 1))
+        sel = F.filter(
+            pos,
+            lambda i: F.ascii(F.element_at(cs, i)) % select_mod == 0,
+        )
+        anchored = F.when(F.size(sel) > 0, sel).otherwise(pos)
+        return F.transform(
+            anchored,
+            lambda i: md5_hash64(F.array_join(F.slice(cs, i, k), "")),
+        )
+
+    hashes = bind_once(F.split(c, ""), _hashes)
     return F.when(F.length(c) >= k, F.array_distinct(hashes)).otherwise(
         F.array().cast("array<long>")
     )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from financial_big_data_exp_4_spark.functions.core import md5_hash64
+from financial_big_data_exp_4_spark.functions.core import bind_once, md5_hash64
 from financial_big_data_exp_4_spark.operators.dedup import tokenize
 
 #: Minimal per-language stopword profiles for the n-gram/stopword heuristic
@@ -222,14 +222,22 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text", id_col: str = "doc_
     # never per-position substr — Spark's UTF8String scans from the
     # front, so substr(i, K) is O(i) and the rolling hash was O(len²)
     # per document on 10k-50k-char docs (round-11 longdocs finding; same
-    # fix as dedup.shingle_hash_set, values bit-identical)
-    chars = F.split(t, "")
-    hashes = F.transform(
-        F.sequence(
-            F.lit(1), n - F.lit(FINGERPRINT_K - 1), F.lit(FINGERPRINT_STRIDE)
-        ),
-        lambda i: md5_hash64(
-            F.array_join(F.slice(chars, i, FINGERPRINT_K), "")
+    # fix as dedup.shingle_hash_set, values bit-identical). The char
+    # array is bound ONCE via bind_once: splicing the split Column into
+    # the HOF lambda would duplicate the split subtree per reference and
+    # the interpreted HOF evaluator re-splits the text per position —
+    # O(len²) through the back door (see functions.core.bind_once).
+    hashes = bind_once(
+        F.split(t, ""),
+        lambda cs: F.transform(
+            F.sequence(
+                F.lit(1),
+                n - F.lit(FINGERPRINT_K - 1),
+                F.lit(FINGERPRINT_STRIDE),
+            ),
+            lambda i: md5_hash64(
+                F.array_join(F.slice(cs, i, FINGERPRINT_K), "")
+            ),
         ),
     )
     guarded = F.when(n >= FINGERPRINT_K, hashes).otherwise(

@@ -191,7 +191,42 @@ def rebalance_for_cpu(df, key: str, target: int | None = None):
 
     target = target or df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:
-        return df
+        # Partition COUNT ≥ cores is not sufficient for parquet: Spark
+        # byte-range-splits a large file into ≥ cores partitions, but a
+        # parquet task only produces rows for row groups whose MIDPOINT
+        # falls in its range — a big single-row-group file (the driver
+        # fixture shape at 100×: 366 MB, one group) yields cores-1 EMPTY
+        # partitions and one task holding every row, serializing the
+        # expensive map stage this helper exists to parallelize
+        # (round-11 finding: a 945-CPU-second straggler in the
+        # capped-recall measurement; 22 of 23 scan tasks finished in
+        # ms). Footer metadata is the cheap job-free truth: if the
+        # scan's parquet files collectively hold fewer row groups than
+        # cores, rows CANNOT spread to ``target`` tasks, so rebalance
+        # anyway. ≥ target files short-circuits (≥ 1 group each); any
+        # non-parquet / non-local / unreadable input falls back to the
+        # partition-count verdict (CSV/JSON split by lines, not groups).
+        try:
+            files = df.inputFiles()
+        except Exception:
+            return df
+        if len(files) >= target or not files or not all(
+            f.split("?", 1)[0].endswith(".parquet") for f in files
+        ):
+            return df
+        try:
+            import pyarrow.parquet as _pq
+
+            total_rgs = 0
+            for f in files:
+                path = f[7:] if f.startswith("file:") and f[5:7] == "//" \
+                    else (f[5:] if f.startswith("file:") else f)
+                total_rgs += _pq.ParquetFile(path).metadata.num_row_groups
+                if total_rgs >= target:
+                    return df
+        except Exception:
+            return df
+        # fall through: fewer row groups than cores — rebalance
     return df.repartition(target, F.col(key))
 
 

@@ -257,6 +257,17 @@ BOILERPLATE_TEMPLATE = " ".join(
     f"clause{i % 9} bp{i:02d} provision shall apply" for i in range(14)
 )
 
+_T0 = time.perf_counter()
+
+
+def _progress(msg: str) -> None:
+    """Stage telemetry on stderr (flushed): the capped section runs many
+    multi-minute Spark jobs back to back, and a run killed by an outer
+    timeout would otherwise leave no evidence of WHICH stage stalled
+    (round-11 lesson — the first 100× run died with only 'Terminated')."""
+    print(f"[recall_bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
 
 def _capped_recall(spark, sf_dir: str, mult: int) -> dict:
     """Planted-pair recall UNDER the production bucket caps, at the wide
@@ -365,15 +376,21 @@ def _capped_recall(spark, sf_dir: str, mult: int) -> dict:
             "buckets_over_cap": int(row["buckets_over_cap"]),
         }
 
+    _progress(f"capped x{mult}: bucket_stats(natural) ...")
+    nat_buckets = bucket_stats(docs)
+    _progress(f"capped: natural buckets = {nat_buckets}; bucket_stats(augmented) ...")
+    aug_buckets = bucket_stats(aug)
+    _progress(f"capped: augmented buckets = {aug_buckets}")
     out: dict = {
         "cap": cap,
         "boilerplate_docs": BOILERPLATE_N,
-        "natural_buckets": bucket_stats(docs),
-        "augmented_buckets": bucket_stats(aug),
+        "natural_buckets": nat_buckets,
+        "augmented_buckets": aug_buckets,
     }
 
     # minhash: uncapped on the NATURAL corpus (the 100× point of the
     # existing 1×/10× curve), capped on the augmented one
+    _progress("capped: minhash uncapped (natural) ...")
     t0 = _time.perf_counter()
     mh_nat = minhash_candidate_pairs(docs)
     out["minhash_uncapped_candidates"] = mh_nat.count()
@@ -383,6 +400,7 @@ def _capped_recall(spark, sf_dir: str, mult: int) -> dict:
     out["minhash_neardup_pair_recall"] = _pair_recall(
         spark, mh_nat, doc_near, "doc_a", "doc_b")
 
+    _progress("capped: minhash capped (augmented) ...")
     t0 = _time.perf_counter()
     mh_cap = minhash_candidate_pairs(aug, max_bucket_size=cap)
     out["minhash_capped_candidates"] = mh_cap.count()
@@ -396,6 +414,7 @@ def _capped_recall(spark, sf_dir: str, mult: int) -> dict:
 
     # simhash: same pattern; planted truth = exact clusters (hamming 0,
     # a correctness property of the radius-3 scheme)
+    _progress("capped: simhash uncapped (natural) ...")
     t0 = _time.perf_counter()
     sh_nat = simhash_neardup_pairs(docs)
     out["simhash_uncapped_candidates"] = sh_nat.count()
@@ -403,6 +422,7 @@ def _capped_recall(spark, sf_dir: str, mult: int) -> dict:
     out["simhash_exact_pair_recall"] = _pair_recall(
         spark, sh_nat, doc_exact, "doc_a", "doc_b")
 
+    _progress("capped: simhash capped (augmented) ...")
     t0 = _time.perf_counter()
     sh_cap = simhash_neardup_pairs(aug, max_bucket_size=cap)
     out["simhash_capped_candidates"] = sh_cap.count()
@@ -411,6 +431,7 @@ def _capped_recall(spark, sf_dir: str, mult: int) -> dict:
         spark, sh_cap, doc_exact, "doc_a", "doc_b")
     out["simhash_boilerplate_pair_recall_capped"] = _pair_recall(
         spark, sh_cap, bp_pairs, "doc_a", "doc_b")
+    _progress("capped: done")
     return out
 
 
@@ -466,6 +487,7 @@ def _longdocs_recall(spark, seed: int, keep: bool) -> dict:
     ]
     doc_near = [(41 + i, 71 + i) for i in range(20)]
 
+    _progress("longdocs: minhash pairs ...")
     t0 = _time.perf_counter()
     mh = minhash_candidate_pairs(docs)
     n_cand = mh.count()
@@ -492,6 +514,7 @@ def _longdocs_recall(spark, seed: int, keep: bool) -> dict:
         ).collect()
         return _time.perf_counter() - t0
 
+    _progress("longdocs: anchored-vs-exhaustive signature A/B ...")
     anchored, exhaustive = [], []
     sig_pass(2), sig_pass(1)  # warm both plans before timing
     for _ in range(3):
@@ -524,7 +547,9 @@ def main() -> int:
 
     per_scale = {}
     for mult in (1, args.mult):
+        _progress(f"per_scale x{mult}: ensure fixture ...")
         d = _ensure_dir(args.seed, mult, args.keep)
+        _progress(f"per_scale x{mult}: measuring ...")
         t0 = time.perf_counter()
         per_scale[str(mult)] = {
             **_ann_recall(spark, d),
@@ -538,6 +563,7 @@ def main() -> int:
     payload = {"seed": args.seed, "mult": args.mult,
                "per_scale": per_scale}
     if args.wide_mult:
+        _progress(f"capped x{args.wide_mult}: ensure fixture ...")
         d = _ensure_dir(args.seed, args.wide_mult, args.keep)
         t0 = time.perf_counter()
         payload["capped"] = {
