@@ -90,26 +90,24 @@ def _rate_cases() -> str:
 
 
 def _md5int(expr: str) -> str:
-    """52-bit int from the first 13 hex digits of md5 — Spark parity.
-
-    NB: evaluates ``md5(expr)`` 13 times; where the hash runs over many
-    elements, prefer a two-level transform (md5 strings first, then
-    :func:`_hex13int` on each) so md5 runs once per element.
-    """
-    return (
-        "list_reduce(list_transform(generate_series(1, 13), hx -> "
-        f"CAST(strpos('0123456789abcdef', substr(md5({expr}), hx, 1)) "
-        "AS BIGINT) - 1), (acc, d) -> acc * 16 + d)"
-    )
+    """52-bit int from the first 13 hex digits of md5 — Spark parity."""
+    return _hex13int(f"md5({expr})")
 
 
 def _hex13int(mexpr: str) -> str:
-    """First 13 hex chars of an already-computed md5 string → BIGINT."""
-    return (
-        "list_reduce(list_transform(generate_series(1, 13), hx -> "
-        f"CAST(strpos('0123456789abcdef', substr({mexpr}, hx, 1)) "
-        "AS BIGINT) - 1), (acc, d) -> acc * 16 + d)"
-    )
+    """First 13 hex chars of an already-computed md5 string → BIGINT.
+
+    DuckDB's VARCHAR→BIGINT cast accepts ``0x``-prefixed hex — a native
+    scalar parse. The previous rendering folded a per-row 13-element
+    list (``list_transform`` + ``list_reduce`` of ``strpos`` digits):
+    value-identical (property-checked over 200k md5s), but the per-row
+    list allocation dominated the md5-heavy oracles on the longdocs
+    fixture — the fingerprint oracle alone ran 88 s for ~7.5M hashes;
+    the cast form is ~8× cheaper. Engine parity is unchanged: Spark
+    computes the same value as ``conv(substring(md5(x), 1, 13), 16,
+    10)``.
+    """
+    return f"CAST('0x' || substr({mexpr}, 1, 13) AS BIGINT)"
 
 
 def _shingle_hashes(k: int = SHINGLE_K, mod: int = SHINGLE_SELECT_MOD) -> str:
@@ -170,6 +168,17 @@ def _th_table_sql(src: str) -> str:
     the lambda form's per-position ``substr`` made the oracle O(len²)
     per document — 59 s for just 100 docs × 32k chars vs 1.0 s in row
     form — which priced the longdocs differential gate out entirely).
+
+    The k-char shingle is CUT in the projection directly over the
+    unnest, so the anchored-fallback window (``bool_or OVER doc_id``)
+    materializes only (doc_id, k-char shingle, flag) rows. The first
+    row-form draft carried the full ``text`` column into the window
+    operator, which duplicates the document once PER POSITION at
+    materialization — ~15M rows × ~30k chars ≈ 100-GB-scale spill on
+    the longdocs fixture; one consuming oracle ran >10 min and the ~8
+    consumers pushed the longdocs gate past a 1 h timeout (round-11
+    session 2). The anchor test reads the shingle's own first char —
+    identical to testing the text at the shingle's position.
     """
     k = SHINGLE_K
     return f"""
@@ -181,20 +190,24 @@ def _th_table_sql(src: str) -> str:
                    list_transform(list(DISTINCT {_hex13int('m')}),
                                   hh -> hh % {MINHASH_P}) AS th
             FROM (
-                SELECT q.doc_id, md5(substr(q.text, q.si, {k})) AS m
+                SELECT q.doc_id, md5(q.sh) AS m
                 FROM (
-                    SELECT p.doc_id, p.text, p.si,
-                           ascii(substr(p.text, p.si, 1))
+                    SELECT r.doc_id, r.sh,
+                           ascii(substr(r.sh, 1, 1))
                                % {SHINGLE_SELECT_MOD} = 0 AS anch,
-                           bool_or(ascii(substr(p.text, p.si, 1))
+                           bool_or(ascii(substr(r.sh, 1, 1))
                                % {SHINGLE_SELECT_MOD} = 0)
-                               OVER (PARTITION BY p.doc_id) AS has_anch
+                               OVER (PARTITION BY r.doc_id) AS has_anch
                     FROM (
-                        SELECT doc_id, text,
-                               unnest(generate_series(
-                                   1, len(text) - {k - 1})) AS si
-                        FROM {src} WHERE len(text) >= {k}
-                    ) p
+                        SELECT p.doc_id,
+                               substr(p.text, p.si, {k}) AS sh
+                        FROM (
+                            SELECT doc_id, text,
+                                   unnest(generate_series(
+                                       1, len(text) - {k - 1})) AS si
+                            FROM {src} WHERE len(text) >= {k}
+                        ) p
+                    ) r
                 ) q
                 WHERE q.anch OR NOT q.has_anch
             )
@@ -231,14 +244,21 @@ _AGREE = " + ".join(
     for i in range(len(MINHASH_COEFFS))
 )
 
+# AS MATERIALIZED (purely physical, values unchanged): DuckDB INLINES
+# plain CTEs per reference, and ``sig`` is referenced 6× here (4 band
+# branches + both signature joins), ``bands`` twice (the self-join) —
+# inlined, the md5-heavy signature pipeline ran 6× per consuming oracle
+# (190 s on the longdocs fixture; ~25 s materialized). Consumers that
+# reference the whole pair CTE twice (the CC / two-star oracles) re-run
+# only the final cheap pairs join — the heavy stages materialize once.
 Q_NEARDUP_MINHASH = f"""
-    WITH th_t AS (
+    WITH th_t AS MATERIALIZED (
         {_th_table_sql("documents")}
-    ), sig AS (
+    ), sig AS MATERIALIZED (
         SELECT doc,
            {_MH_EXPRS}
         FROM th_t
-    ), bands AS (
+    ), bands AS MATERIALIZED (
         {_BAND_SELECTS}
     ), pairs AS (
         SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b
@@ -286,8 +306,8 @@ _SH_BANDS = "\n        UNION ALL ".join(
 #: Hamming-banded SimHash pairing: 4 bands of 13 bits — pigeonhole-complete
 #: for Hamming ≤ 3 (operators/dedup.py simhash_neardup_pairs).
 Q_SIMHASH_NEARDUP = f"""
-    WITH sh AS ({Q_DEDUP_SIMHASH}
-    ), bands AS (
+    WITH sh AS MATERIALIZED ({Q_DEDUP_SIMHASH}
+    ), bands AS MATERIALIZED (
         {_SH_BANDS}
     )
     SELECT DISTINCT x.doc AS doc_a, y.doc AS doc_b,
@@ -1066,8 +1086,8 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     # q_dedup_clusters, over the embedding near-dup pair SQL instead of
     # the minhash one; representative = component minimum.
     "q_semantic_dedup": f"""
-        WITH RECURSIVE cand AS ({Q_EMBED_NEARDUP}),
-        e AS (
+        WITH RECURSIVE cand AS MATERIALIZED ({Q_EMBED_NEARDUP}),
+        e AS MATERIALIZED (
             SELECT vec_a AS u, vec_b AS v FROM cand
             UNION
             SELECT vec_b AS u, vec_a AS v FROM cand
@@ -1082,8 +1102,8 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         FROM tc GROUP BY u
     """,
     "q_dedup_clusters": f"""
-        WITH RECURSIVE cand AS ({Q_NEARDUP_MINHASH}),
-        e AS (
+        WITH RECURSIVE cand AS MATERIALIZED ({Q_NEARDUP_MINHASH}),
+        e AS MATERIALIZED (
             SELECT doc_a AS u, doc_b AS v FROM cand
             UNION
             SELECT doc_b AS u, doc_a AS v FROM cand
@@ -1739,8 +1759,8 @@ EXTENSION_ORACLE_SQL["q_large_orders"] = """
 #: decorrelated planes a random embedding corpus has ~no Hamming≤2 pairs,
 #: while the document corpus has real near-dup clusters at every scale).
 EXTENSION_ORACLE_SQL["q_triangle_count"] = f"""
-    WITH pairs AS ({Q_NEARDUP_MINHASH}
-    ), e AS (
+    WITH pairs AS MATERIALIZED ({Q_NEARDUP_MINHASH}
+    ), e AS MATERIALIZED (
         SELECT DISTINCT least(doc_a, doc_b) AS lo,
                greatest(doc_a, doc_b) AS hi
         FROM pairs
@@ -1795,9 +1815,9 @@ EXTENSION_ORACLE_SQL["q_dedup_incremental"] = f"""
         {_th_table_sql("corpus")}
     ), th_n AS (
         {_th_table_sql("newdocs")}
-    ), sig_c AS (
+    ), sig_c AS MATERIALIZED (
         SELECT doc, {_MH_EXPRS} FROM th_c
-    ), sig_n AS (
+    ), sig_n AS MATERIALIZED (
         SELECT doc, {_MH_EXPRS} FROM th_n
     ), bands_c AS (
         {_inc_band_selects("sig_c")}

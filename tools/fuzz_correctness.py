@@ -100,14 +100,35 @@ def _ts_mix(rng, n) -> list[int]:
     return out
 
 
-def _write(outdir: str, name: str, cols: dict, types: dict) -> None:
+def _write(
+    outdir: str,
+    name: str,
+    cols: dict,
+    types: dict,
+    row_group_size: int | None = None,
+) -> None:
+    """``row_group_size=None`` (every profile but longdocs' documents)
+    keeps pyarrow's default — one row group at these fixture sizes, the
+    driver-fixture layout that keeps the engine's single-row-group
+    rebalance paths exercised. The longdocs documents table opts into
+    SMALL groups instead: both engines parallelize parquet by row group,
+    so one group serializes the md5-heavy shingle pipeline — DuckDB ran
+    the minhash-signature CTE single-threaded at >600 s per consuming
+    oracle (~8 consumers pushed the gate past a 1 h timeout), and Spark
+    would scan on one task but for ``rebalance_for_cpu``. Layout-only:
+    values, schema, and every hash are unchanged."""
     arrays, fields = [], []
     for cname, vals in cols.items():
         t = types[cname]
         arrays.append(pa.array(vals, type=t))
         fields.append(pa.field(cname, t))
     tbl = pa.Table.from_arrays(arrays, schema=pa.schema(fields))
-    pq.write_table(tbl, f"{outdir}/{name}.parquet")
+    pq.write_table(
+        tbl,
+        f"{outdir}/{name}.parquet",
+        **({} if row_group_size is None
+           else {"row_group_size": row_group_size}),
+    )
 
 
 def reencode_events_ns(outdir: str) -> None:
@@ -757,6 +778,11 @@ def rewrite_documents_longdocs(outdir: str, seed: int) -> None:
          "n_chars": [None if t is None else len(t) for t in texts]},
         {"doc_id": pa.int64(), "text": pa.string(), "lang": pa.string(),
          "source": pa.string(), "n_chars": pa.int64()},
+        # 16-row groups → ~32 independent scan morsels: the md5-heavy
+        # shingle oracles parallelize instead of running one thread for
+        # >600 s each (see _write docstring). Single-row-group layout
+        # coverage stays with the clean/nulls/tiny profiles.
+        row_group_size=16,
     )
 
 
