@@ -58,77 +58,157 @@ def connected_components(
     rounds — a diameter that large means the input is not a dedup graph
     and the large-star/small-star variant should be used instead.
     """
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = sym.union(
-        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)  # edges reused every round: cut the
-    # upstream (possibly expensive) candidate-generation lineage once
+    from pyspark.sql import Observation
 
-    # Seed = min(self ∪ neighbors), a single grouped aggregate. This IS
-    # propagation round 1: with identity labels, the neighbor-label join
-    # joins every v to lbl(v) = v, so the join is redundant and the round
-    # collapses to one agg over the edge list — same result, one shuffle
-    # instead of three, no action. For LSH candidate graphs this alone
-    # finishes most components: every band bucket emits a clique, and a
-    # clique converges at round 1 (everyone sees the bucket minimum).
-    if seeded:
-        labels = (
-            sym.groupBy("u")
-            .agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
-            .select(F.col("u").alias("node"), "lbl")
-            .localCheckpoint(eager=True)
-        )
-    else:  # identity labels: measurement-only baseline (see docstring)
-        labels = (
-            sym.select(F.col("u").alias("node"))
-            .distinct()
-            .select("node", F.col("node").alias("lbl"))
-            .localCheckpoint(eager=True)
+    from financial_big_data_exp_4_spark.session import (
+        plan_size_bytes,
+        scoped_sql_conf,
+    )
+
+    spark = edges.sparkSession
+    # Catalyst's size estimate for the edge input — exact when `edges`
+    # is the memoized/cached candidate-pair table (the production
+    # caller), a planner-grade estimate otherwise. Decides the tiny-
+    # graph execution regime below; read BEFORE any transformation so
+    # the estimate reflects the actual input relation.
+    est_bytes = plan_size_bytes(edges)
+    try:
+        dop = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - conf read on odd builds
+        dop = 200
+
+    # Tiny-graph regime decided UP FRONT (≤ 64 MB edge input — a
+    # planner-grade threshold, exact for the cached pair table): the
+    # edge/seed checkpoints and every fixpoint round's work are KB-scale
+    # there, so the dominant cost is pure scheduler floor — adaptive
+    # re-planning materializes every exchange as its own job (~3
+    # jobs/round measured vs 1 without), and a loop whose per-round data
+    # cost is negligible gains nothing from runtime re-optimization. The
+    # whole CC computation therefore runs its OWN actions with AQE off
+    # in that regime; the caller's session is untouched (scoped,
+    # exception-safe). Large graphs keep AQE (skew handling matters
+    # there) — and keep the same co-partitioned zero-exchange joins.
+    tiny = est_bytes is not None and est_bytes <= 64 * 1024 * 1024
+    loop_confs = {"spark.sql.adaptive.enabled": "false"} if tiny else {}
+
+    with scoped_sql_conf(spark, loop_confs):
+        # CO-PARTITIONED, SORTED ITERATION STATE (round 12): edges are
+        # checkpointed hash-partitioned AND sorted on the join side `v`;
+        # every label frame is produced (and re-checkpointed) partitioned on
+        # `node` with the same partition count. Both joins in a propagation
+        # round then satisfy their distribution requirements from the
+        # checkpointed layout — the edge⋈label join and the label⋈nbr_min
+        # join need NO exchange and NO broadcast (a broadcast exchange costs
+        # a scheduler job per round even for a KB label table), leaving ONE
+        # exchange per round (the per-node min) and zero re-sorts of the
+        # edge side. This is the Pregel/GraphX layout discipline: pay one
+        # partitioning pass up front, iterate in place. Holds at any scale —
+        # no size assumption, the partition count is the session's
+        # input-tuned DOP.
+        sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        sym = (
+            sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition(dop, F.col("v"))
+            .sortWithinPartitions("v")
+            .localCheckpoint(eager=True)  # edges reused every round: cut the
+            # upstream (possibly expensive) candidate-generation lineage once
         )
 
-    def propagate(lbls: DataFrame) -> DataFrame:
-        nbr_min = (
-            sym.join(lbls, sym["v"] == lbls["node"])
-            .select(sym["u"].alias("node"), F.col("lbl"))
-            .groupBy("node")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-        )
-        return lbls.join(nbr_min, "node", "left").select(
-            "node",
-            F.col("lbl"),
-            F.coalesce(F.col("nbr_lbl"), F.col("lbl")).alias("nbr_lbl"),
-        )
+        # Seed = min(self ∪ neighbors), a single grouped aggregate. This IS
+        # propagation round 1: with identity labels, the neighbor-label join
+        # joins every v to lbl(v) = v, so the join is redundant and the round
+        # collapses to one agg over the edge list — same result, one shuffle
+        # instead of three, no action. For LSH candidate graphs this alone
+        # finishes most components: every band bucket emits a clique, and a
+        # clique converges at round 1 (everyone sees the bucket minimum).
+        if seeded:
+            # NOT checkpointed: the seed aggregate's output is already
+            # hash-partitioned on u(=node) at the loop DOP, so batch 0's
+            # propagation fuses with it into ONE job — materializing the
+            # seed separately would buy nothing (batch 0's checkpoint
+            # cuts the lineage) and cost one more scheduler round trip.
+            labels = (
+                sym.groupBy("u")
+                .agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
+                .select(F.col("u").alias("node"), "lbl")
+            )
+        else:  # identity labels: measurement-only baseline (see docstring)
+            labels = (
+                sym.select(F.col("u").alias("node"))
+                .distinct()
+                .select("node", F.col("node").alias("lbl"))
+                .repartition(dop, F.col("node"))
+                .sortWithinPartitions("node")
+                .localCheckpoint(eager=True)
+            )
 
-    # Adaptive batch schedule: the first batch is ONE propagation — for
-    # LSH candidate graphs the seed already converged every clique-shaped
-    # component (diameter 1, the overwhelming majority), so the first
-    # batch is usually pure certification and should be as cheap as
-    # possible. Later batches run TWO propagations per materialization+
-    # convergence check (inner round unmaterialized, folding its min into
-    # the label column; the outer round's (lbl, nbr_lbl) pair carries the
-    # batch's change test) — each Spark action costs a fixed scheduler
-    # floor on top of the (tiny) shuffle work, so batching halves the
-    # action count once real propagation is happening. No change across a
-    # batch ⟺ the outer round changed nothing AND monotonicity (a no-op
-    # round makes every later round a no-op) extends it backward.
-    for batch in range(max_iter):
-        step = labels
-        if batch > 0:
-            step = propagate(step).select(
+        def propagate(lbls: DataFrame) -> DataFrame:
+            # merge-join hint: both sides are co-partitioned AND sorted
+            # on the join key by the checkpointed layout, so the SMJ is
+            # exchange-free and sort-free. Left to itself Catalyst
+            # prefers BROADCASTING the (tiny) edge side — which costs a
+            # broadcast-materialization job EVERY round; the hint keeps
+            # the zero-exchange co-partitioned plan that the layout
+            # discipline already paid for (measured: 4 → 1 job per
+            # batch at sf0.1).
+            nbr_min = (
+                sym.hint("merge")
+                .join(lbls, sym["v"] == lbls["node"])
+                .select(sym["u"].alias("node"), F.col("lbl"))
+                .groupBy("node")
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            return lbls.join(nbr_min, "node", "left").select(
+                "node",
+                F.col("lbl"),
+                F.coalesce(F.col("nbr_lbl"), F.col("lbl")).alias("nbr_lbl"),
+            )
+
+        # Adaptive batch schedule: the first batch is ONE propagation — for
+        # LSH candidate graphs the seed already converged every clique-shaped
+        # component (diameter 1, the overwhelming majority), so the first
+        # batch is usually pure certification and should be as cheap as
+        # possible. Later batches run TWO propagations per materialization+
+        # convergence check (inner round unmaterialized, folding its min into
+        # the label column; the outer round's (lbl, nbr_lbl) pair carries the
+        # batch's change test) — each Spark action costs a fixed scheduler
+        # floor on top of the (tiny) shuffle work, so batching halves the
+        # action count once real propagation is happening. No change across a
+        # batch ⟺ the outer round changed nothing AND monotonicity (a no-op
+        # round makes every later round a no-op) extends it backward.
+        # The convergence scalar RIDES the checkpoint materialization as an
+        # observed metric (one action per batch, not two).
+        for batch in range(max_iter):
+            step = labels
+            if batch > 0:
+                step = propagate(step).select(
+                    "node",
+                    F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl"),
+                )
+            obs = Observation()
+            step = (
+                propagate(step)
+                .observe(
+                    obs,
+                    F.sum(
+                        (F.col("nbr_lbl") < F.col("lbl")).cast("long")
+                    ).alias("changed"),
+                )
+                .sortWithinPartitions("node")
+                .localCheckpoint(eager=True)
+            )
+            changed = obs.get["changed"] or 0
+            labels = step.select(
                 "node", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl")
             )
-        step = propagate(step).localCheckpoint(eager=True)
-        changed = step.where(F.col("nbr_lbl") < F.col("lbl")).count()
-        labels = step.select(
-            "node", F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl")
-        )
-        if changed == 0:
-            # the outer round was a no-op; by monotonicity the batch is
-            # at the fixpoint — but the inner round may still have
-            # changed labels, which `labels` already includes
-            return labels.select(
-                F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
-            )
+            if changed == 0:
+                # the outer round was a no-op; by monotonicity the batch
+                # is at the fixpoint — but the inner round may still have
+                # changed labels, which `labels` already includes
+                return labels.select(
+                    F.col("node").alias("doc_id"),
+                    F.col("lbl").alias("cluster_id"),
+                )
     raise RuntimeError(
         # batch 0 runs ONE propagation, batches 1..max_iter-1 run two
         f"connected_components: no fixpoint after {2 * max_iter - 1} "

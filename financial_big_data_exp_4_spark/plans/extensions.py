@@ -399,14 +399,23 @@ def _drain_stream(
     driver-memory slot instead of accumulating uuid-named materialized
     result tables for the session lifetime. The checkpoint stays a
     throwaway tempdir: these drains are verification runs, not resumable
-    production streams."""
+    production streams — so it lives on tmpfs when the host has one
+    (``/dev/shm``). A micro-batch commit writes a dozen small WAL /
+    offset / state-delta files; on a disk-backed ``/tmp`` those pay
+    real I/O latency per batch for durability the throwaway checkpoint
+    by definition does not need. Production drains pass their own
+    durable checkpoint dir (see run_stream_foreach_batch callers) and
+    are unaffected."""
+    import os
     import tempfile
 
     from financial_big_data_exp_4_spark.streaming import (
         run_stream_to_memory,
     )
 
-    with tempfile.TemporaryDirectory() as ckpt:
+    shm = "/dev/shm"
+    fast = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+    with tempfile.TemporaryDirectory(dir=fast) as ckpt:
         run_stream_to_memory(
             stream,
             table,

@@ -26,6 +26,7 @@ driver builds its own ``SparkSession``).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -37,6 +38,21 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.legacy.javaCharsets": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Coalesce post-shuffle partitions to the 64 MB advisory TARGET SIZE
+    # rather than "keep as many partitions as default parallelism" (the
+    # default true). At 100 TB both settings converge (every partition is
+    # data-bound); at small inputs the default leaves a KB-sized shuffle
+    # spread across `cpus` near-empty reducers — pure task-launch floor.
+    # Spark's own docs recommend false for exactly this reason. Measured
+    # round 12 at sf0.1: 3,777 → ~1,100 tasks across the 98-query bench.
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+    # Let AQE size CACHED plan output too (default false): the memoized
+    # family stages (`memo_df`) persist small candidate/pair frames, and
+    # without this every consumer stage scans the cache at the static
+    # shuffle DOP (measured round 12: a 2,935-row pair cache held 32
+    # partitions → 360 tasks per verify query). At scale the same flag
+    # gives 64 MB-target cached partitions — right in both regimes.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
 }
@@ -392,6 +408,141 @@ def persist_scoped(df, slots: int = 2):
 _MEMO_ATTR = "_fbde4_df_memo"
 
 
+#: Compressed input bytes one shuffle partition should carry when sizing
+#: the pre-AQE shuffle DOP from input statistics. Parquet zstd/snappy
+#: decompresses ~3-5×, so 4 MiB compressed ≈ a comfortably sub-64 MB
+#: in-memory partition — conservative enough that CPU-heavy reduce
+#: stages (token explosion, percentile buffers) keep real parallelism
+#: well before the core-count ceiling lifts.
+_SHUFFLE_TUNE_BYTES_PER_PARTITION = 4 * 1024 * 1024
+_SHUFFLE_TUNE_MIN_PARTITIONS = 4
+_SHUFFLE_TUNE_MEMO_ATTR = "_fbde4_shuffle_tune_memo"
+
+
+def tune_shuffle_for_input(spark: SparkSession, sf_dir: str) -> None:
+    """Input-statistics-driven shuffle DOP (round-12 VERDICT #1).
+
+    ``spark.sql.shuffle.partitions`` is a *ceiling* under AQE, but the
+    default ceiling (core count) is the wrong shape for tiny inputs: a
+    17 MB scale directory planned at 32-way shuffles pays pure
+    scheduler/task-launch floor — exactly what a real engine's adaptive
+    DOP sizes away by looking at input statistics before planning. This
+    sets the session's shuffle DOP to
+    ``clamp(ceil(total_parquet_bytes / 4 MiB), 4, default_parallelism)``
+    for the given scale directory:
+
+    * sf0.1 (17.5 MB)  → 5-way shuffles (AQE still coalesces below)
+    * 10× fixture (~175 MB) → core-count ceiling — UNCHANGED behavior
+    * any real multi-GB/TB layout → core-count ceiling — UNCHANGED
+
+    So the policy only removes small-input floor; the scale path keeps
+    the cores ceiling and AQE does the runtime sizing. Only local
+    directories are probed (``os.scandir``): a remote URI (hdfs/s3)
+    skips tuning entirely and the cluster's configured DOP stands.
+    Statistics are memoized per (session, directory) — one ``scandir``
+    per directory per session; the conf is re-asserted per load because
+    interleaved queries over DIFFERENT scale dirs (the scale-trend
+    harness) must each plan at their own input's DOP. Streaming drains
+    are unaffected: they scope their state-store DOP with
+    ``_drain_shuffle_partitions`` around each drain.
+    """
+    memo = session_memo(spark, _SHUFFLE_TUNE_MEMO_ATTR)
+    n = memo.get(sf_dir) if memo is not None else None
+    if n is None:
+        if "://" in sf_dir and not sf_dir.startswith("file:"):
+            return
+        path = sf_dir[7:] if sf_dir.startswith("file://") else sf_dir
+        try:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += os.path.getsize(os.path.join(root, f))
+        except OSError:
+            return
+        if total <= 0:
+            return
+        n = max(
+            _SHUFFLE_TUNE_MIN_PARTITIONS,
+            min(
+                default_parallelism(),
+                -(-total // _SHUFFLE_TUNE_BYTES_PER_PARTITION),
+            ),
+        )
+        if memo is not None:
+            memo[sf_dir] = n
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions") != str(n):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    except Exception:  # pragma: no cover - conf set on odd builds
+        pass
+
+
+@contextmanager
+def scoped_sql_conf(spark: SparkSession, confs: dict[str, str]):
+    """Temporarily set runtime SQL confs, restoring prior values on exit.
+
+    For driver-side iterative loops that execute many tiny actions
+    (connected components' fixpoint rounds): the loop can pick an
+    execution regime for its own actions — e.g. disabling adaptive
+    re-planning when the iteration state is statistically tiny — without
+    leaking the choice into the caller's session. Restores even on
+    exception. NOT thread-safe across concurrently planning queries on
+    the same session (the engine's harnesses execute queries
+    sequentially; a concurrent deployment would scope confs per-query
+    via SparkSession.newSession() instead)."""
+    saved: dict[str, str | None] = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, old in saved.items():
+            try:
+                if old is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, old)
+            except Exception:  # pragma: no cover - conf set on odd builds
+                pass
+
+
+def plan_size_bytes(df) -> int | None:
+    """Catalyst's size estimate for ``df``'s plan — no job, no action.
+
+    Consults the session cache manager FIRST: for a persisted-and-
+    materialized frame (the memoized family artifacts), the in-memory
+    relation's computed stats are the REAL materialized bytes, while the
+    logical plan's estimate can be astronomically off (a multiplicative
+    join-cardinality estimate measured at 2.1e23 "bytes" for a 580-row
+    cached pair table). Falls back to the optimized plan's estimate —
+    accurate for file scans (file size), planner-grade for joins/aggs,
+    which is all a planner ever has. ``None`` when the JVM plan handle
+    is unavailable (Connect-style sessions)."""
+    try:
+        cached = (
+            df.sparkSession._jsparkSession.sharedState()
+            .cacheManager()
+            .lookupCachedData(df._jdf)
+        )
+        if cached.isDefined():
+            return int(
+                cached.get().cachedRepresentation().computeStats().sizeInBytes()
+            )
+    except Exception:
+        pass
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        return None
+
+
 def session_memo(spark, attr: str) -> dict | None:
     """Fetch-or-create a memo dict stored ON the session object under
     ``attr`` — the one shared implementation of the per-session memo
@@ -424,13 +575,34 @@ def memo_df(spark, key: tuple, builder, max_entries: int = 8):
     cannot accumulate unbounded cache; an evicted entry simply recomputes
     on next request. Results are deterministic, so memo vs fresh is
     observationally identical.
+
+    The persisted artifact is COALESCED to the session's shuffle DOP
+    before caching (narrow merge — never an extra shuffle, values and
+    build parallelism unchanged). Without it, the CPU fan-out that
+    parallelizes the heavy signature map (``rebalance_for_cpu`` → cores
+    partitions) leaks through broadcast joins into the artifact's layout
+    — no downstream exchange re-sizes it, AQE's cached-plan coalescing
+    only acts at shuffle boundaries — so a 2,935-row pair table cached
+    as 32 near-empty shards and EVERY consumer query paid cores-many
+    scan tasks per stage (measured round 12: 360 tasks/9 jobs per verify
+    query at sf0.1). A production pipeline writing the artifact as a
+    real table would size its files the same way; at cluster scale the
+    conf is the cluster's configured DOP, so the cache keeps full read
+    parallelism there.
     """
     memo = session_memo(spark, _MEMO_ATTR)
     if memo is None:
         return builder()
     if key in memo:
         return memo[key]
-    df = builder().persist()
+    built = builder()
+    # conf read AFTER builder(): the builder's load_table is what sizes
+    # the session DOP from the input directory (tune_shuffle_for_input)
+    try:
+        dop = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - conf read on odd builds
+        dop = None
+    df = (built.coalesce(dop) if dop else built).persist()
     while len(memo) >= max_entries:
         memo.pop(next(iter(memo))).unpersist()
     memo[key] = df

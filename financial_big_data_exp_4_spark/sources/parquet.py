@@ -69,9 +69,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     between processes); a live-table deployment would use a real catalog
     with invalidation instead.
     """
-    from financial_big_data_exp_4_spark.session import session_memo
+    from financial_big_data_exp_4_spark.session import (
+        session_memo,
+        tune_shuffle_for_input,
+    )
 
     ensure_session_confs(spark)
+    # Size the session's shuffle DOP from this directory's input bytes
+    # (no-op at ≥ cores×4MiB of input — i.e. everywhere but tiny local
+    # fixtures). Runs before the memo check so interleaved queries over
+    # different scale dirs each plan at their own input's DOP.
+    tune_shuffle_for_input(spark, sf_dir)
     memo = session_memo(spark, _SCAN_MEMO_ATTR)
     key = (sf_dir, name)
     if memo is not None and key in memo:

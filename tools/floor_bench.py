@@ -1,0 +1,215 @@
+"""Per-query fixed-cost (floor) decomposition — the round-12 measurement.
+
+The sf0.1 bench gap vs the hardened DuckDB oracle was attributed in
+round 11 to a flat per-query Spark cost ("~0.3-0.5s/query floor +
+~6.4s streaming drains") — but as prose, not a committed measurement
+(round-11 VERDICT "What's missing" #2). This tool turns the claim into
+an artifact: for every declared query, in ONE engine session, it
+records
+
+* ``build``  — wall time for ``fn(spark, sf_dir)`` to return the
+  DataFrame: pure driver-side cost (Python plan construction, py4j
+  round trips, analysis triggered by schema access). Zero data cost.
+* ``exec``   — wall time for the full plan through the ``noop`` sink
+  (bench.py's exact timed action), warm minimum over passes.
+* ``jobs`` / ``stages`` / ``tasks`` — scheduler work per execution,
+  captured via ``setJobGroup`` + ``statusTracker`` on the LAST timed
+  pass (AQE materialization jobs inherit the group, so a query whose
+  plan re-optimizes at every exchange shows up as many jobs).
+
+run at TWO scale factors (default sf0.001 and sf0.1). The floor
+estimate per query is its warm exec time at sf0.001 — at 1/100th the
+data, data-proportional work is negligible, so what remains is
+scheduler + stage machinery + driver orchestration. The data cost at
+sf0.1 is ``exec(sf0.1) − exec(sf0.001)`` (clamped at 0: host noise can
+make the tiny run slower).
+
+Methodology matches bench.py: one untimed warmup pass per sf_dir
+(codegen, parquet footers, memoized family stages), then timed passes
+taking the per-query minimum, full plan through the noop sink.
+
+Usage::
+
+    python tools/floor_bench.py [--out FLOOR_r12.json] [--passes 2]
+        [--dirs /root/testdata/sf0.001,/root/testdata/sf0.1] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: The five structured-streaming drains: state-store machinery the batch
+#: oracle pays ~nothing for — reported as their own subtotal (round-11
+#: VERDICT: a structural exception to price, not a plan to rewrite).
+STREAMING_DRAINS = (
+    "q_stream_tumbling",
+    "q_stream_sessions",
+    "q_stream_dedup",
+    "q_stream_stateful",
+    "q_stream_range_join",
+)
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def measure_dir(spark, qs, sf_dir: str, passes: int) -> dict[str, dict]:
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    out: dict[str, dict] = {}
+
+    # warmup: codegen + footer cache + memo family builds
+    for name, fn in qs.items():
+        run_noop(fn(spark, sf_dir))
+
+    for name, fn in qs.items():
+        best_build = None
+        best_exec = None
+        jobs = stages = tasks = 0
+        for p in range(passes):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            group = f"fb_{name}_{p}"
+            sc.setJobGroup(group, name)
+            try:
+                run_noop(df)
+            finally:
+                sc.setJobGroup(None, None)
+            t2 = time.perf_counter()
+            if best_build is None or t1 - t0 < best_build:
+                best_build = t1 - t0
+            if best_exec is None or t2 - t1 < best_exec:
+                best_exec = t2 - t1
+            if p == passes - 1:
+                job_ids = tracker.getJobIdsForGroup(group)
+                jobs = len(job_ids)
+                stage_ids: set[int] = set()
+                for jid in job_ids:
+                    info = tracker.getJobInfo(jid)
+                    if info:
+                        stage_ids.update(info.stageIds)
+                stages = len(stage_ids)
+                for sid in stage_ids:
+                    sinfo = tracker.getStageInfo(sid)
+                    if sinfo:
+                        tasks += sinfo.numTasks
+        out[name] = {
+            "build": round(best_build, 4),
+            "exec": round(best_exec, 4),
+            "jobs": jobs,
+            "stages": stages,
+            "tasks": tasks,
+        }
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument(
+        "--dirs",
+        default="/root/testdata/sf0.001,/root/testdata/sf0.1",
+        help="comma-separated small,big sf dirs (small = floor probe)",
+    )
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+    small_dir, big_dir = args.dirs.split(",")
+
+    import __spark_entry__ as entry_mod
+    from financial_big_data_exp_4_spark.session import get_spark
+
+    spark = get_spark("floor_bench")
+    # A/B knob: FB_CONF="k=v;k2=v2" applies runtime conf overrides after
+    # session setup (ensure_session_confs re-asserts only when its
+    # timezone sentinel drifts, so these stick for the whole run).
+    for kv in filter(None, os.environ.get("FB_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
+    spark.range(1).count()
+
+    qs = entry_mod.queries()
+    if args.queries:
+        qs = {k: qs[k] for k in args.queries}
+
+    small = measure_dir(spark, qs, small_dir, args.passes)
+    big = measure_dir(spark, qs, big_dir, args.passes)
+
+    per_query = {}
+    for name in qs:
+        s, b = small[name], big[name]
+        per_query[name] = {
+            "build_small": s["build"],
+            "build_big": b["build"],
+            "exec_small": s["exec"],
+            "exec_big": b["exec"],
+            "data_cost_big": round(max(0.0, b["exec"] - s["exec"]), 4),
+            "jobs_small": s["jobs"],
+            "jobs_big": b["jobs"],
+            "stages_small": s["stages"],
+            "stages_big": b["stages"],
+            "tasks_small": s["tasks"],
+            "tasks_big": b["tasks"],
+        }
+
+    def tot(key, names=None):
+        names = names if names is not None else per_query
+        return round(sum(per_query[n][key] for n in names), 3)
+
+    batch = [n for n in per_query if n not in STREAMING_DRAINS]
+    streams = [n for n in per_query if n in STREAMING_DRAINS]
+    summary = {
+        "what": (
+            "per-query floor decomposition: build = driver-side plan "
+            "construction; exec_small = warm noop-sink wall at the small "
+            "sf (the floor estimate: scheduler + stages + AQE replans, "
+            "~zero data); data_cost_big = exec_big - exec_small"
+        ),
+        "dirs": {"small": small_dir, "big": big_dir},
+        "passes": args.passes,
+        "n_queries": len(per_query),
+        "totals": {
+            "build_big_sec": tot("build_big"),
+            "exec_big_sec": tot("exec_big"),
+            "floor_sec": tot("exec_small", batch),
+            "data_cost_big_sec": tot("data_cost_big", batch),
+            "streaming_exec_big_sec": tot("exec_big", streams),
+            "streaming_floor_sec": tot("exec_small", streams),
+            "jobs_big": sum(per_query[n]["jobs_big"] for n in per_query),
+            "stages_big": sum(per_query[n]["stages_big"] for n in per_query),
+            "tasks_big": sum(per_query[n]["tasks_big"] for n in per_query),
+        },
+        "queries": per_query,
+    }
+    text = json.dumps(summary, indent=1, sort_keys=False) + "\n"
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text)
+    compact = {
+        "totals": summary["totals"],
+        "top_floor": dict(
+            sorted(
+                ((n, per_query[n]["exec_small"]) for n in per_query),
+                key=lambda kv: -kv[1],
+            )[:10]
+        ),
+        "top_build": dict(
+            sorted(
+                ((n, per_query[n]["build_big"]) for n in per_query),
+                key=lambda kv: -kv[1],
+            )[:10]
+        ),
+    }
+    print(json.dumps(compact))
+
+
+if __name__ == "__main__":
+    main()
