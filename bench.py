@@ -106,7 +106,11 @@ def main() -> None:
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
-        sf = -1.0
+        # not a numeric scale directory (e.g. the 10x scale fixture):
+        # record null, never a numeric sentinel a future tool could
+        # misread as a real scale factor (round-11 ADVICE); sf_dir in
+        # the artifact says what actually ran.
+        sf = None
 
     import __spark_entry__ as entry_mod
     from financial_big_data_exp_4_spark.session import get_spark
@@ -164,21 +168,44 @@ def main() -> None:
     oracle_timings = run_oracles(sf_dir, set(timings))
     oracle_total = round(sum(oracle_timings.values()), 4)
 
+    # The five structured-streaming drains, subtotaled separately: their
+    # batch-SQL oracles pay ~nothing for state-store commits/micro-batch
+    # machinery, so they are structurally >2x their oracles at every
+    # local sf (round-11 VERDICT: a priced structural exception). The
+    # subtotal makes that exception's size a number, not prose.
+    stream_qs = sorted(q for q in timings if q.startswith("q_stream_"))
+    stream_total = round(sum(timings[q] for q in stream_qs), 4)
+
     ratio = round(total / oracle_total, 3) if oracle_total else None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "oracle_queries": oracle_timings,
-                "oracle_total_sec": oracle_total,
-                "oracle_ratio": ratio,
-            }
-        )
+    big = {
+        "metric": "total_query_wall_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "sf_dir": sf_dir,
+        "streaming_drains_sec": stream_total,
+        "oracle_queries": oracle_timings,
+        "oracle_total_sec": oracle_total,
+        "oracle_ratio": ratio,
+    }
+    print(json.dumps(big))
+    # FULL artifact on disk (round-11 VERDICT "What's missing" #1): the
+    # driver's stdout capture keeps only the last 2000 chars, so the
+    # committed BENCH_r{N}.json carried totals but not the per-query
+    # Spark/oracle maps. bench.py now writes the complete record itself;
+    # commit it alongside the driver artifact. Override the path with
+    # SPARK_GRAFT_BENCH_OUT (the 10x runs write BENCH_X10_r{N}.json).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_FULL.json"),
     )
+    try:
+        with open(out_path, "w") as f:
+            f.write(json.dumps(big, indent=1) + "\n")
+    except OSError:
+        pass  # read-only checkout: the stdout line still carries totals
     # Second, COMPACT summary line printed LAST so it always survives the
     # driver's last-2000-chars stdout capture (round-5 VERDICT #1: the
     # big JSON line's tail sits inside oracle_queries, so BENCH_r3-r5
@@ -197,6 +224,7 @@ def main() -> None:
                 "oracle_total_sec": oracle_total,
                 "oracle_ratio": ratio,
                 "sf": sf,
+                "streaming_drains_sec": stream_total,
                 "top_spark": top_spark,
                 "cold": {q: cold[q] for q in memo_consumers},
             }

@@ -111,6 +111,55 @@ def measure_dir(spark, qs, sf_dir: str, passes: int) -> dict[str, dict]:
     return out
 
 
+def measure_job_floor(spark, n: int = 20) -> dict:
+    """The host's per-job scheduler floor, measured in-session: a 1-task
+    noop write of a 1-row range — no data, no shuffle, no AQE stages.
+    min = the achievable floor; p50 over n runs = what a bench pass
+    typically pays on this (virtualized, steal-prone) host."""
+    import statistics
+
+    r1 = spark.range(0, 1, 1, 1)
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        r1.write.format("noop").mode("overwrite").save()
+        times.append(time.perf_counter() - t0)
+    return {
+        "min_ms": round(min(times) * 1000, 1),
+        "p50_ms": round(statistics.median(times) * 1000, 1),
+        "n": n,
+    }
+
+
+def run_oracle_floor(sf_dir: str, names) -> dict[str, float]:
+    """DuckDB per-query times over ``sf_dir`` (best of two passes) — at
+    the small dir this is the embedded engine's floor for the SAME
+    queries, the number the Spark floor must be read against."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    out: dict[str, float] = {}
+    for _ in range(2):
+        for name, sql in entry_mod.oracle_sql().items():
+            if name not in names:
+                continue
+            t0 = time.perf_counter()
+            con.execute(sql).fetchall()
+            dt = round(time.perf_counter() - t0, 4)
+            if name not in out or dt < out[name]:
+                out[name] = dt
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
@@ -140,8 +189,11 @@ def main() -> None:
     if args.queries:
         qs = {k: qs[k] for k in args.queries}
 
+    job_floor = measure_job_floor(spark)
     small = measure_dir(spark, qs, small_dir, args.passes)
     big = measure_dir(spark, qs, big_dir, args.passes)
+    oracle_small = run_oracle_floor(small_dir, set(qs))
+    oracle_big = run_oracle_floor(big_dir, set(qs))
 
     per_query = {}
     for name in qs:
@@ -152,6 +204,8 @@ def main() -> None:
             "exec_small": s["exec"],
             "exec_big": b["exec"],
             "data_cost_big": round(max(0.0, b["exec"] - s["exec"]), 4),
+            "oracle_small": oracle_small.get(name),
+            "oracle_big": oracle_big.get(name),
             "jobs_small": s["jobs"],
             "jobs_big": b["jobs"],
             "stages_small": s["stages"],
@@ -171,11 +225,16 @@ def main() -> None:
             "per-query floor decomposition: build = driver-side plan "
             "construction; exec_small = warm noop-sink wall at the small "
             "sf (the floor estimate: scheduler + stages + AQE replans, "
-            "~zero data); data_cost_big = exec_big - exec_small"
+            "~zero data); data_cost_big = exec_big - exec_small; "
+            "oracle_small/big = DuckDB best-of-2 on the same parquet "
+            "(oracle_small IS the embedded engine's floor for the same "
+            "query); job_floor = in-session 1-task noop job wall, the "
+            "irreducible scheduler cost every Spark job pays on this host"
         ),
         "dirs": {"small": small_dir, "big": big_dir},
         "passes": args.passes,
         "n_queries": len(per_query),
+        "job_floor": job_floor,
         "totals": {
             "build_big_sec": tot("build_big"),
             "exec_big_sec": tot("exec_big"),
@@ -183,6 +242,8 @@ def main() -> None:
             "data_cost_big_sec": tot("data_cost_big", batch),
             "streaming_exec_big_sec": tot("exec_big", streams),
             "streaming_floor_sec": tot("exec_small", streams),
+            "oracle_small_sec": round(sum(oracle_small.values()), 3),
+            "oracle_big_sec": round(sum(oracle_big.values()), 3),
             "jobs_big": sum(per_query[n]["jobs_big"] for n in per_query),
             "stages_big": sum(per_query[n]["stages_big"] for n in per_query),
             "tasks_big": sum(per_query[n]["tasks_big"] for n in per_query),
