@@ -274,9 +274,17 @@ def tfidf_top_terms(
     N broadcasts as a 1-row aggregate; top-k plans as
     TakeOrderedAndProject.
     """
-    # no CPU rebalance here: tokenize-explode is scan-cheap (no md5), and
-    # the map-side partial aggregate absorbs the explode — an upstream
-    # keyed shuffle measured *slower* at sf0.1 (0.42s → 0.69s)
+    # CPU rebalance REINSTATED (round 12): the earlier "no rebalance"
+    # A/B (0.42s → 0.69s at sf0.1) was measured when the fan-out
+    # exchange ran at a fixed 32-way DOP; under the input-sized DOP the
+    # same A/B flipped at BOTH scales (sf0.1: 0.79 → 0.59 s; the 10×
+    # fixture: 6.4 → 1.1 s — a single-row-group file otherwise runs the
+    # ~25M-row explode + countDistinct Expand partial-aggregate on ONE
+    # task). The explode's 500× row fan-out is exactly the serialized
+    # map stage rebalance_for_cpu exists for.
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    docs = rebalance_for_cpu(docs, id_col)
     terms = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokenize(F.col(text_col))).alias("term"),
@@ -530,8 +538,12 @@ def inverted_index(
     (see module notes). ``n_docs`` is the un-truncated document frequency
     from a window count over the full partition.
     """
-    # no CPU rebalance: same reasoning as tfidf_top_terms — the explode
-    # feeds the term-keyed window shuffle directly
+    # no CPU rebalance: the explode feeds the term-keyed window shuffle
+    # directly, so an upstream fan-out is a pure extra exchange — unlike
+    # tfidf_top_terms (whose partial aggregate FUSES with the explode and
+    # serializes on an under-split scan), and the A/B holds under the
+    # input-sized DOP too (round 12, 10× fixture: plain 4.7 s vs
+    # fanned 5.8 s)
     terms = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("term"),

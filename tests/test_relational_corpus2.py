@@ -685,3 +685,52 @@ def test_hyperplane_pairs_bucket_cap(spark):
     )
     kept = hyperplane_neardup_pairs(emb2, max_bucket_size=10).collect()
     assert {(r["vec_a"], r["vec_b"]) for r in kept} == {(100, 101)}
+
+
+def test_exact_percentiles_bitwise_equals_percentile_aggregate(spark):
+    """exact_percentiles' contract is BIT-identity with F.percentile
+    (the differential harness compares repr(double), so even a 1-ULP
+    formula drift is a real divergence). Randomized groups/sizes/values
+    including negative values, duplicates, a NULL-bearing group, and an
+    all-NULL group (the aggregate emits the group with NULL — so must
+    the sort-based form)."""
+    import random
+    import struct
+
+    from financial_big_data_exp_4_spark.operators.relational import (
+        exact_percentiles,
+    )
+
+    random.seed(1207)
+    rows = []
+    for g in range(8):
+        n = random.choice([1, 2, 3, 7, 45, 200])
+        for _ in range(n):
+            v = random.choice(
+                [round(random.uniform(-1e6, 1e6), 2),
+                 random.uniform(-1e6, 1e6),
+                 float(random.randint(-5, 5))]
+            )
+            rows.append((f"g{g}", v))
+    rows += [("gnull", None)] * 4                  # all-NULL group
+    rows += [("gmix", None), ("gmix", 3.25), ("gmix", -7.5)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = {"p05": 0.05, "p25": 0.25, "p50": 0.5, "p777": 0.777, "p95": 0.95}
+    got = {
+        r["g"]: tuple(r[k] for k in ps)
+        for r in exact_percentiles(df, "g", "v", ps).collect()
+    }
+    want = {
+        r["g"]: tuple(r[k] for k in ps)
+        for r in df.groupBy("g")
+        .agg(*[F.percentile(F.col("v"), F.lit(p)).alias(k)
+               for k, p in ps.items()])
+        .collect()
+    }
+    assert set(got) == set(want)
+    for g in want:
+        for a, b in zip(got[g], want[g]):
+            if a is None or b is None:
+                assert a is None and b is None, (g, a, b)
+            else:
+                assert struct.pack("d", a) == struct.pack("d", b), (g, a, b)
