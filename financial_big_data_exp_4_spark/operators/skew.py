@@ -73,17 +73,39 @@ def salted_join_small(
     Spark never shuffles the big side then; this helper is for the middle
     regime.)
     """
+    from financial_big_data_exp_4_spark.session import plan_size_bytes
+
     salted_big = big.withColumn("_salt", _salt(big, n_salts))
     salts = big.sparkSession.range(n_salts).select(
         F.col("id").cast("int").alias("_salt")
     )
     replicated = small.crossJoin(salts)
-    # shuffle-hash hint on the REPLICATED side: the join's physical form
-    # should build a hash table from the per-salt small slice and stream
-    # the big side through it — exactly the regime this operator targets
-    # (small enough to replicate ⇒ small enough to hash per partition).
-    # Left alone Catalyst picks sort-merge, which SORTS the salted big
-    # side — the one thing salting was supposed to keep cheap (measured
-    # at the 10× fixture: 11.4 s SMJ → 7.7 s hash join, same output).
-    joined = salted_big.join(replicated.hint("shuffle_hash"), on=[key, "_salt"])
+    # Physical-strategy selection, pinned to the operator's OWN side
+    # roles (the big side must always STREAM — left alone, Catalyst has
+    # picked both wrong forms: sort-merge at the 10× fixture, sorting
+    # the salted big side; and BuildLeft broadcast of the BIG side at
+    # sf0.1, collecting 600k salted rows to the driver):
+    # * replicated side fits the broadcast threshold → explicit
+    #   ``F.broadcast`` — big side never shuffles, the degenerate-but-
+    #   correct tiny-scale form (0.6 s vs 1.5 s at sf0.1);
+    # * otherwise → shuffle-hash hint: per-salt hash build from the
+    #   replicated slice, streamed big side, no sort (6.9 s vs 11.4 s
+    #   SMJ at the 10× fixture). The statistical size check is the
+    #   docstring's "middle regime" boundary, made executable.
+    try:
+        thresh = int(
+            str(
+                big.sparkSession.conf.get(
+                    "spark.sql.autoBroadcastJoinThreshold"
+                )
+            ).rstrip("b")
+        )
+    except Exception:  # pragma: no cover - non-numeric (e.g. "10MB")
+        thresh = 10 * 1024 * 1024
+    small_bytes = plan_size_bytes(small)
+    if small_bytes is not None and 0 <= small_bytes * n_salts <= thresh:
+        replicated = F.broadcast(replicated)
+    else:
+        replicated = replicated.hint("shuffle_hash")
+    joined = salted_big.join(replicated, on=[key, "_salt"])
     return joined.drop("_salt")
