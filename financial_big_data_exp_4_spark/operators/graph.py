@@ -133,13 +133,22 @@ def connected_components(
                 .select(F.col("u").alias("node"), "lbl")
             )
         else:  # identity labels: measurement-only baseline (see docstring)
+            # lbl is aliased ABOVE the checkpoint, not below it: with
+            # `select(node, node AS lbl)` under the checkpoint, both
+            # output attributes map from ONE source attribute and the
+            # LogicalRDD attribute rewrite reports the partitioning on
+            # the twin (`hashpartitioning(lbl)`), so every propagate
+            # round silently re-exchanged+re-sorted the label side
+            # (found by tests/test_graph.py's plan-shape guard). A
+            # Project over the checkpoint preserves the node
+            # partitioning/ordering and costs nothing.
             labels = (
                 sym.select(F.col("u").alias("node"))
                 .distinct()
-                .select("node", F.col("node").alias("lbl"))
                 .repartition(dop, F.col("node"))
                 .sortWithinPartitions("node")
                 .localCheckpoint(eager=True)
+                .select("node", F.col("node").alias("lbl"))
             )
 
         def propagate(lbls: DataFrame) -> DataFrame:

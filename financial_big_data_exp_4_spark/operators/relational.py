@@ -230,7 +230,9 @@ def scd2_intervals(
     )
 
 
-def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+def profile_columns(
+    df: DataFrame, cols: Sequence[str], approx: bool = False
+) -> DataFrame:
     """Data-quality profile: per column, null count and exact distinct
     count — the ingest-validation pass every pipeline runs before
     trusting a new drop.
@@ -243,13 +245,23 @@ def profile_columns(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     string rendering is engine-specific; production adds them per-type.
     Output: (column, n_rows, n_nulls, n_distinct) — ``n_distinct``
     excludes NULL (SQL ``count(DISTINCT col)`` semantics).
-    """
+
+    ``approx=True`` is the 100 TB mode: exact multi-column distinct
+    counts plan ONE Expand over the full column list — a |cols|× row
+    blow-up through a single aggregate (42 profiled columns = 42× the
+    input rows entering the shuffle). ``approx_count_distinct``
+    (HyperLogLog++, default rsd 5%) is a plain partial-aggregable
+    expression: no Expand, one pass, constant state per column — the
+    profile every warehouse actually runs at scale. The declared query
+    keeps ``approx=False`` so the oracle semantics stay exact; the knob
+    is scale-gated in tools/scale_bench.py (q_profile_approx)."""
     metrics = [F.count(F.lit(1)).alias("_rows")]
+    nd = F.approx_count_distinct if approx else F.count_distinct
     for c in cols:
         metrics.append(
             F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}")
         )
-        metrics.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        metrics.append(nd(F.col(c)).alias(f"_nd_{c}"))
     one = df.agg(*metrics)
     rows = F.array(
         *[

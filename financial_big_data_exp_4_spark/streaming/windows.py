@@ -265,12 +265,57 @@ def streaming_distinct_keys(
     return events.select(*cols).dropDuplicates(list(cols))
 
 
+#: State-store provider class names for the drain harness's
+#: ``state_provider`` knob. ``default`` keeps Spark's HDFS-backed
+#: in-memory store (state lives on-heap, commits write delta files to
+#: the checkpoint); ``rocksdb`` selects the RocksDB provider (state in
+#: native off-heap RocksDB instances, the production choice when
+#: per-partition state exceeds comfortable heap). Measured on the
+#: bounded availableNow drains this harness runs (tools/stream_ab.py,
+#: 10× fixture): RocksDB adds per-partition instance startup + native
+#: file I/O that a /dev/shm-checkpointed in-memory store never pays, so
+#: ``default`` stays the drain default; the knob exists so a deployment
+#: with GB-scale state can flip it per-drain without touching plans.
+STATE_PROVIDERS = {
+    "default": None,
+    "rocksdb": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
+}
+
+
+@contextmanager
+def _drain_state_provider(spark: SparkSession, provider: str | None):
+    """Temporarily pin the state-store provider class for a drain (same
+    save/set/restore discipline as :func:`_drain_shuffle_partitions`).
+    ``None``/"default" leaves the session value alone."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    cls = STATE_PROVIDERS.get(provider or "default")
+    if cls is None:
+        yield
+        return
+    try:
+        saved = spark.conf.get(key)
+    except Exception:
+        saved = None
+    spark.conf.set(key, cls)
+    try:
+        yield
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+
+
 def run_stream_to_memory(
     df: DataFrame,
     query_name: str,
     checkpoint_dir: str,
     output_mode: str = "complete",
     drain_partitions: int | None = 4,
+    state_provider: str | None = None,
 ) -> None:
     """Drain a bounded stream into the in-memory sink (availableNow) and
     block until done — the test/verification harness for streaming plans.
@@ -291,7 +336,8 @@ def run_stream_to_memory(
     4 → 0.81s, 2 → 0.80s — per-partition store-commit overhead, so the
     default sits at the knee.)"""
     spark = df.sparkSession
-    with _drain_shuffle_partitions(spark, drain_partitions):
+    with _drain_shuffle_partitions(spark, drain_partitions), \
+            _drain_state_provider(spark, state_provider):
         q = (
             df.writeStream.format("memory")
             .queryName(query_name)

@@ -279,3 +279,97 @@ def test_triangle_count_matches_bruteforce_model(spark):
             for r in triangle_count(df).collect()
         }
         assert got == model, f"edges={edges}"
+
+
+def test_cc_propagate_round_plan_shape_is_exchange_free(spark):
+    """Plan-shape guard for the CC loop's zero-exchange iteration
+    (round-12 ADVICE): the layout discipline relies on two
+    version-sensitive Catalyst behaviors — localCheckpoint's LogicalRDD
+    preserving outputPartitioning/outputOrdering, and the merge hint
+    beating broadcast for the edge⋈label join. If either regresses, the
+    loop silently re-adds a per-round exchange/sort (correctness
+    unaffected — which is exactly why it needs a loud test). This
+    reproduces one mid-loop propagation round's layout byte-for-byte
+    (operators/graph.py:propagate) and asserts its executed plan:
+
+    * the edge⋈label join is a SortMergeJoin (merge hint honored),
+    * with ZERO Sort operators (both inputs checkpoint-sorted), and
+    * ZERO BroadcastExchange (no per-round broadcast job), and
+    * exactly ONE shuffle Exchange — the per-node min aggregate, the
+      one exchange per round the design budgets for.
+    """
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.session import scoped_sql_conf
+
+    dop = 4
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
+    )
+    with scoped_sql_conf(spark, {"spark.sql.adaptive.enabled": "false"}):
+        sym = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        sym = (
+            sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .repartition(dop, F.col("v"))
+            .sortWithinPartitions("v")
+            .localCheckpoint(eager=True)
+        )
+        # mid-loop label state, the SEEDED path's shape: the batch-end
+        # checkpoint of an agg-derived (node, lbl) frame — node and lbl
+        # are DISTINCT source attributes here, which matters: an
+        # alias-twin (`select(node, node AS lbl)`) under the checkpoint
+        # makes the LogicalRDD attribute rewrite report the partitioning
+        # on the twin, and the join re-exchanges (the bug this guard
+        # caught in the unseeded baseline path on first run)
+        labels = (
+            sym.groupBy("u")
+            .agg(F.least(F.min("v"), F.first("u")).alias("lbl"))
+            .select(F.col("u").alias("node"), "lbl")
+            .sortWithinPartitions("node")
+            .localCheckpoint(eager=True)
+        )
+        assert "hashpartitioning(node" in str(
+            labels._jdf.queryExecution().executedPlan().outputPartitioning()
+        )
+        nbr_min = (
+            sym.hint("merge")
+            .join(labels, sym["v"] == labels["node"])
+            .select(sym["u"].alias("node"), F.col("lbl"))
+            .groupBy("node")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        plan = nbr_min._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert plan.count("Sort [") == 0, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_cc_unseeded_label_checkpoint_reports_node_partitioning(spark):
+    """The unseeded baseline's identity-label checkpoint must report its
+    partitioning on ``node`` (the join key), not on the alias twin
+    ``lbl`` — the alias is projected ABOVE the checkpoint for exactly
+    this reason (see operators/graph.py). Pinned here because the twin
+    misreport silently re-adds a per-round exchange, which only a plan
+    inspection can see."""
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.session import scoped_sql_conf
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["doc_a", "doc_b"])
+    with scoped_sql_conf(spark, {"spark.sql.adaptive.enabled": "false"}):
+        sym = edges.select(
+            F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+        )
+        labels = (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .repartition(4, F.col("node"))
+            .sortWithinPartitions("node")
+            .localCheckpoint(eager=True)
+            .select("node", F.col("node").alias("lbl"))
+        )
+        part = str(
+            labels._jdf.queryExecution().executedPlan().outputPartitioning()
+        )
+    assert "hashpartitioning(node" in part, part

@@ -275,3 +275,40 @@ def test_rebalance_guard_matches_nodes_not_literals(spark):
     unioned = docs.union(docs)
     out = rebalance_for_cpu(unioned, "doc_id", target=16)
     assert out.rdd.getNumPartitions() == 16
+
+
+def test_tune_shuffle_sets_dop_and_aqe_regime(spark):
+    """tune_shuffle_for_input sizes BOTH session knobs from the input
+    directory: the pre-AQE shuffle DOP, and the execution regime — a
+    statistically tiny directory (≤ 64 MB) runs with AQE off (every
+    materialized exchange would otherwise be its own scheduler job,
+    FLOOR_r12's 282-job floor), while a big input keeps AQE on. The
+    per-directory statistics are memoized, so the second call must
+    re-assert the same values without re-walking."""
+    from financial_big_data_exp_4_spark.session import (
+        _SHUFFLE_TUNE_MEMO_ATTR,
+        session_memo,
+        tune_shuffle_for_input,
+    )
+
+    saved_dop = spark.conf.get("spark.sql.shuffle.partitions")
+    saved_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        tune_shuffle_for_input(spark, "/root/testdata/sf0.001")
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        dop = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        assert dop >= 4
+        memo = session_memo(spark, _SHUFFLE_TUNE_MEMO_ATTR)
+        assert memo["/root/testdata/sf0.001"] == (dop, True)
+        # a fake "big dir" memo entry flips the regime back on re-assert
+        memo["/fake/big"] = (32, False)
+        tune_shuffle_for_input(spark, "/fake/big")
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "32"
+        # memoized: calling the tiny dir again restores both knobs
+        tune_shuffle_for_input(spark, "/root/testdata/sf0.001")
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        assert int(spark.conf.get("spark.sql.shuffle.partitions")) == dop
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved_dop)
+        spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)

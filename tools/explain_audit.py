@@ -280,12 +280,23 @@ def main() -> int:
             # base-never-shuffled, asserted directly: the LeftOuter
             # broadcast join's STREAMED child must be the raw base scan
             # (no Exchange between scan and join)
+            # the streamed child may carry a ColumnarToRow between the
+            # join and the scan (non-AQE plan text) — what must NOT sit
+            # there is an Exchange
             lines = plan.splitlines()
+
+            def _streamed_is_bare_scan(i: int) -> bool:
+                for ln in lines[i + 1 : i + 4]:
+                    if "Exchange" in ln or "Sort [" in ln:
+                        return False
+                    if "FileScan parquet" in ln:
+                        return True
+                return False
+
             ok = any(
                 "BroadcastHashJoin" in ln
                 and "LeftOuter" in ln
-                and i + 1 < len(lines)
-                and "FileScan parquet" in lines[i + 1]
+                and _streamed_is_bare_scan(i)
                 for i, ln in enumerate(lines)
             )
             if not ok:

@@ -103,6 +103,13 @@ WAREHOUSE_QUERIES = [
     "q_correlation",
     "q_rollup",
     "q_range_join",
+    # the profile pair: exact (declared, one Expand = |cols|× row
+    # blow-up through the aggregate) next to the HLL++ approx knob the
+    # 100 TB mode uses (no Expand, partial-aggregable) — the gate
+    # records both slopes so the sub-Expand claim is measured, not
+    # asserted (round-12 VERDICT #7)
+    "q_profile",
+    "q_profile_approx",
 ]
 
 #: Corpus-curation/text family (the r07 SCALECORPUS list): map-only
@@ -199,7 +206,29 @@ def _bench_only_queries() -> dict:
             max_bucket_size=SIMHASH_SCALE_BUCKET_CAP,
         )
 
-    return {"q_simhash_neardup_capped": q_simhash_neardup_capped}
+    def q_profile_approx(spark, sf_dir):
+        from financial_big_data_exp_4_spark.operators.relational import (
+            profile_columns,
+        )
+        from financial_big_data_exp_4_spark.sources.parquet import (
+            load_table,
+        )
+
+        return profile_columns(
+            load_table(spark, sf_dir, "orders"),
+            cols=(
+                "o_orderkey",
+                "o_custkey",
+                "o_orderstatus",
+                "o_orderpriority",
+            ),
+            approx=True,
+        )
+
+    return {
+        "q_simhash_neardup_capped": q_simhash_neardup_capped,
+        "q_profile_approx": q_profile_approx,
+    }
 
 
 def slope_budget(query: str, mult: int) -> float:
