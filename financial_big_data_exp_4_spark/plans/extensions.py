@@ -453,6 +453,14 @@ def _drain_stream(
 
     shm = "/dev/shm"
     fast = shm if os.path.isdir(shm) and os.access(shm, os.W_OK) else None
+    # A/B hooks (tools/stream_ab.py): neither changes results — the
+    # provider only decides where state lives (see STATE_PROVIDERS), the
+    # partition count only how state is sharded. The partition default
+    # stays the measured sf0.1 knee; the env lets the A/B tool re-find
+    # the knee at bigger fixtures without touching the declared path.
+    env_parts = os.environ.get("SPARK_GRAFT_DRAIN_PARTITIONS")
+    if env_parts:
+        drain_partitions = int(env_parts)
     with tempfile.TemporaryDirectory(dir=fast) as ckpt:
         run_stream_to_memory(
             stream,
@@ -460,8 +468,6 @@ def _drain_stream(
             ckpt,
             output_mode=output_mode,
             drain_partitions=drain_partitions,
-            # A/B hook (tools/stream_ab.py): provider choice never changes
-            # results, only where state lives — see STATE_PROVIDERS
             state_provider=os.environ.get("SPARK_GRAFT_STATE_PROVIDER"),
         )
     return spark.table(table)
