@@ -423,12 +423,45 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(load_table(spark, sf_dir, "documents"))
 
 
+#: Input bytes one streaming-drain STATE partition should carry. State
+#: partitions trade per-partition commit overhead (dominates when tiny)
+#: against state-op parallelism (dominates when state is big). Measured
+#: knees: sf0.1 (17.5 MB) → 4 partitions (8 was ~1.3× slower); the 10×
+#: fixture (175 MB) → 16 (4 → 31.4 s, 8 → 18.3 s, 16 → 13.7 s, 32 →
+#: 18.6 s across the five declared drains; the stream-stream join moves
+#: 10.4 → 5.6 s). ~12 MiB per partition reproduces both knees; the
+#: floor keeps the sf0.1 knee, the cores ceiling holds where a real
+#: cluster would size by state volume instead.
+_DRAIN_BYTES_PER_PARTITION = 12 * 1024 * 1024
+
+
+def _drain_partitions_for(
+    spark: SparkSession, sf_dir: str | None, floor: int
+) -> int:
+    from financial_big_data_exp_4_spark.session import (
+        default_parallelism,
+        input_dir_bytes,
+    )
+
+    total = input_dir_bytes(spark, sf_dir) if sf_dir else None
+    if not total:
+        return floor
+    return max(
+        floor,
+        min(
+            default_parallelism(),
+            -(-total // _DRAIN_BYTES_PER_PARTITION),
+        ),
+    )
+
+
 def _drain_stream(
     spark: SparkSession,
     stream,
     table: str,
     output_mode: str = "complete",
     drain_partitions: int = 4,
+    sf_dir: str | None = None,
 ):
     """Drain a bounded stream into the FIXED-name memory-sink table and
     return it. The memory sink re-registers ``table`` via
@@ -458,6 +491,9 @@ def _drain_stream(
     # partition count only how state is sharded. The partition default
     # stays the measured sf0.1 knee; the env lets the A/B tool re-find
     # the knee at bigger fixtures without touching the declared path.
+    # input-sized state partitions: the passed value is the FLOOR (the
+    # per-query sf0.1 knee); bigger inputs scale up at ~12 MiB/partition
+    drain_partitions = _drain_partitions_for(spark, sf_dir, drain_partitions)
     env_parts = os.environ.get("SPARK_GRAFT_DRAIN_PARTITIONS")
     if env_parts:
         drain_partitions = int(env_parts)
@@ -489,7 +525,9 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = streaming_tumbling_counts(read_events_stream(spark, sf_dir))
-    return _drain_stream(spark, stream, "stream_tumbling").select(
+    return _drain_stream(
+        spark, stream, "stream_tumbling", sf_dir=sf_dir
+    ).select(
         F.unix_timestamp("window_start").alias("window_start_s"),
         "event_type",
         "cnt",
@@ -687,7 +725,10 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = read_events_stream(spark, sf_dir)
     return _drain_stream(
-        spark, streaming_session_counts(stream), "stream_sessions"
+        spark,
+        streaming_session_counts(stream),
+        "stream_sessions",
+        sf_dir=sf_dir,
     ).select(
         "user_id",
         F.unix_timestamp("session_start").alias("session_start_s"),
@@ -917,6 +958,7 @@ def q_stream_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream_range_join",
         output_mode="append",
         drain_partitions=2,
+        sf_dir=sf_dir,
     ).select("user_id", "err_id", "purch_id", "value")
 
 
@@ -941,7 +983,8 @@ def q_stream_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = streaming_user_running_totals(read_events_stream(spark, sf_dir))
     drained = _drain_stream(
-        spark, stream, "stream_stateful", output_mode="update"
+        spark, stream, "stream_stateful", output_mode="update",
+        sf_dir=sf_dir,
     )
     return (
         drained.groupBy("user_id")
@@ -1001,7 +1044,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stream = streaming_distinct_keys(read_events_stream(spark, sf_dir))
     return _drain_stream(
-        spark, stream, "stream_dedup", output_mode="append"
+        spark, stream, "stream_dedup", output_mode="append", sf_dir=sf_dir
     ).select("user_id", "event_type")
 
 

@@ -429,6 +429,34 @@ _AQE_OFF_INPUT_BYTES = int(
 )
 
 
+_INPUT_BYTES_MEMO_ATTR = "_fbde4_input_bytes_memo"
+
+
+def input_dir_bytes(spark: SparkSession, sf_dir: str) -> int | None:
+    """Total parquet bytes under a LOCAL scale directory, memoized per
+    (session, directory) — the input statistic behind every
+    input-sized session knob (shuffle DOP, AQE regime, streaming drain
+    state partitions). ``None`` for remote URIs (the cluster's own
+    statistics/conf stand) or unreadable paths."""
+    memo = session_memo(spark, _INPUT_BYTES_MEMO_ATTR)
+    if memo is not None and sf_dir in memo:
+        return memo[sf_dir]
+    if "://" in sf_dir and not sf_dir.startswith("file:"):
+        return None
+    path = sf_dir[7:] if sf_dir.startswith("file://") else sf_dir
+    try:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(root, f))
+    except OSError:
+        return None
+    if memo is not None:
+        memo[sf_dir] = total
+    return total
+
+
 def tune_shuffle_for_input(spark: SparkSession, sf_dir: str) -> None:
     """Input-statistics-driven shuffle DOP + execution regime (round-12
     VERDICT #1/#2). Two session knobs keyed to the scale directory's
@@ -476,18 +504,8 @@ def tune_shuffle_for_input(spark: SparkSession, sf_dir: str) -> None:
     memo = session_memo(spark, _SHUFFLE_TUNE_MEMO_ATTR)
     n = memo.get(sf_dir) if memo is not None else None
     if n is None:
-        if "://" in sf_dir and not sf_dir.startswith("file:"):
-            return
-        path = sf_dir[7:] if sf_dir.startswith("file://") else sf_dir
-        try:
-            total = 0
-            for root, _dirs, files in os.walk(path):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        total += os.path.getsize(os.path.join(root, f))
-        except OSError:
-            return
-        if total <= 0:
+        total = input_dir_bytes(spark, sf_dir)
+        if total is None or total <= 0:
             return
         n = max(
             _SHUFFLE_TUNE_MIN_PARTITIONS,
