@@ -624,7 +624,7 @@ def session_memo(spark, attr: str) -> dict | None:
     return memo
 
 
-def memo_df(spark, key: tuple, builder, max_entries: int = 8):
+def memo_df(spark, key: tuple, builder, max_entries: int = 16):
     """Session-scoped memo of *persisted* DataFrames, keyed on
     ``key`` (include every input that determines the result, e.g.
     ``("minhash_pairs", sf_dir)``).
@@ -637,7 +637,11 @@ def memo_df(spark, key: tuple, builder, max_entries: int = 8):
     (round-3 VERDICT next-round #3a). FIFO-bounded so a long session
     cannot accumulate unbounded cache; an evicted entry simply recomputes
     on next request. Results are deterministic, so memo vs fresh is
-    observationally identical.
+    observationally identical. ``max_entries`` must comfortably exceed
+    the number of registered families (``MEMO_FAMILY_CONSUMERS``) — at
+    parity, a single-directory session evicts its OLDEST family while
+    inserting the newest and every consumer pass silently thrashes the
+    whole memo; ``tests/test_rotation.py`` pins the headroom.
 
     The persisted artifact is REPARTITIONED to the session's shuffle DOP
     before caching. A narrow ``coalesce`` would be exchange-free but

@@ -158,3 +158,24 @@ def test_memo_registry_matches_call_sites() -> None:
     assert consumers <= set(REFERENCE_QUERIES), (
         sorted(consumers - set(REFERENCE_QUERIES))
     )
+
+
+def test_memo_capacity_has_headroom_over_family_count() -> None:
+    """memo_df's FIFO bound must comfortably exceed the registered family
+    count: at parity a single-directory session evicts its oldest family
+    while inserting the newest, and every subsequent consumer pass
+    rebuilds an evicted artifact — a silent whole-memo thrash that shows
+    up only as wall time. Registering a new family without raising the
+    bound is the regression this pins."""
+    import inspect
+
+    from financial_big_data_exp_4_spark.plans.extensions import (
+        MEMO_FAMILY_CONSUMERS,
+    )
+    from financial_big_data_exp_4_spark.session import memo_df
+
+    cap = inspect.signature(memo_df).parameters["max_entries"].default
+    assert cap >= len(MEMO_FAMILY_CONSUMERS) + 4, (
+        f"memo_df max_entries={cap} leaves too little headroom over "
+        f"{len(MEMO_FAMILY_CONSUMERS)} registered families"
+    )

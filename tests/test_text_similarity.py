@@ -653,3 +653,26 @@ def test_decode_image_raises_loudly_on_unknown_format():
         pass
     with _pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0 not-actually-decodable")
+
+
+def test_ann_ivf_serves_from_memoized_index(spark, sf_dir):
+    """The declared stride-IVF query must SERVE from the session-memoized
+    index artifact, not rebuild the N^1.5 assignment per call: after one
+    invocation (which builds + persists the index), the next plan's scan
+    side must read an InMemoryTableScan and contain no crossJoin-against-
+    centroids stage (round-13: the per-pass rebuild was the largest line
+    in the 100x scale gate, 43.6 s warm -> 0.63 s served)."""
+    from financial_big_data_exp_4_spark.plans import REFERENCE_QUERIES
+
+    fn = REFERENCE_QUERIES["q_embed_ann_ivf"]
+    fn(spark, sf_dir).collect()  # builds + memoizes the index
+    plan = (
+        fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" in plan, plan
+    # the cached InMemoryRelation block PRINTS its (unexecuted) build
+    # plan, which legitimately contains the centroid cross join — the
+    # LIVE plan above the cache boundary must not
+    live = plan.split("InMemoryRelation", 1)[0]
+    assert "BroadcastNestedLoopJoin" not in live, plan
+    assert "FileScan parquet" not in live, plan
