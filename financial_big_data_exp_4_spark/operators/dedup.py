@@ -1058,3 +1058,160 @@ def neardup_verified_pairs(
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+#: Bloom membership parameters: bits per corpus key and hash count.
+#: FP rate for r bits/key with k hashes is (1 − e^{−k/r})^k — r=10,
+#: k=4 → ≈1.2%, the standard ingest-prefilter operating point. The bit
+#: array is stored as 63-bit WORDS (never the sign bit: DuckDB raises
+#: on a BIGINT 1<<63 overflow where Spark wraps — 63 keeps the word
+#: arithmetic identical on both engines), so m is rounded up to a
+#: multiple of 63.
+BLOOM_BITS_PER_KEY = 10
+BLOOM_HASHES = 4
+
+
+def _bloom_pos(h_md5: Column, i: int, m: int) -> Column:
+    """Position of hash #i in an m-bit Bloom filter via Kirsch-
+    Mitzenmacher double hashing (pos_i = h1 + i·h2 mod m — two hashes
+    give k independent-enough probes; public result): h1/h2 are the two
+    52-bit halves of one md5, the repo's standard cross-engine hash
+    idiom (oracle parses the same hex digits). Max intermediate
+    h1 + 3·h2 < 2^54 — no 64-bit overflow on either engine."""
+    h1 = F.conv(F.substring(h_md5, 1, 13), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h_md5, 14, 13), 16, 10).cast("long")
+    return F.pmod(h1 + F.lit(i) * h2, F.lit(m))
+
+
+def bloom_words(
+    corpus_md5: DataFrame, m: int, md5_col: str = "_h"
+) -> DataFrame:
+    """Build an m-bit Bloom filter over a corpus digest column as a
+    DATAFRAME of 63-bit words: (word_idx, word) where ``word`` is the
+    bit_or of every set bit in that word.
+
+    This is the Spark-native Bloom (Spark's internal bloom_filter_agg /
+    might_contain are not in the public function registry): the build is
+    one explode(k)+groupBy over the corpus — fully partial-aggregable,
+    map-side combined — and the RESULT is ⌈m/63⌉ rows × 16 bytes. At
+    10 bits/key even a 10-billion-key corpus filter is ~1.6 GB of rows:
+    join-able by word_idx at worst, broadcastable after the usual
+    per-partition OR-compaction, and a one-off artifact a production
+    ingest pipeline persists next to the corpus (like the IVF index).
+    NULL digests contribute no bits."""
+    pos = F.explode(
+        F.array(
+            *[
+                _bloom_pos(F.col(md5_col), i, m)
+                for i in range(BLOOM_HASHES)
+            ]
+        )
+    ).alias("_pos")
+    return (
+        corpus_md5.where(F.col(md5_col).isNotNull())
+        .select(pos)
+        # integer DIV, not float division + cast: a double quotient can
+        # land an ulp under the true integer at large m and truncate to
+        # the wrong word on one engine only
+        .groupBy(F.expr("_pos DIV 63").alias("word_idx"))
+        .agg(F.bit_or(F.expr("shiftleft(1L, int(_pos % 63))")).alias("word"))
+    )
+
+
+def bloom_membership(
+    probes: DataFrame,
+    words: DataFrame,
+    m: int,
+    id_col: str = "doc_id",
+    md5_col: str = "_h",
+) -> DataFrame:
+    """Probe an m-bit Bloom word table: per probe row, TRUE iff every
+    one of its k bits is set. Plan shape: explode(k) over the probe
+    batch, BROADCAST join the word table on word_idx (the filter is the
+    small side by construction), one bool_and aggregate back to one row
+    per probe — the corpus itself is never touched, which is the entire
+    point of the prefilter at ingest. A word_idx no corpus key ever lit
+    has no row: the left join's NULL word reads as bit-not-set. NULL
+    digests (NULL text upstream) are definitionally non-members."""
+    pairs = probes.select(
+        id_col,
+        F.posexplode(
+            F.array(
+                *[
+                    _bloom_pos(F.col(md5_col), i, m)
+                    for i in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("_i", "_pos"),
+    ).select(
+        id_col,
+        F.expr("_pos DIV 63").alias("word_idx"),
+        F.expr("shiftleft(1L, int(_pos % 63))").alias("_mask"),
+    )
+    hit = (
+        pairs.join(F.broadcast(words), "word_idx", "left")
+        .groupBy(id_col)
+        .agg(
+            F.min(
+                F.coalesce(
+                    F.col("word").bitwiseAND(F.col("_mask"))
+                    == F.col("_mask"),
+                    F.lit(False),
+                )
+            ).alias("bloom_hit")
+        )
+    )
+    return probes.select(id_col).join(hit, id_col, "left").select(
+        id_col, F.coalesce(F.col("bloom_hit"), F.lit(False)).alias("bloom_hit")
+    )
+
+
+def bloom_words_size(n_keys: int, bits_per_key: int = BLOOM_BITS_PER_KEY) -> int:
+    """m for a corpus of n keys, rounded UP to a whole number of 63-bit
+    words (≥ 63 so a degenerate empty/near-empty corpus still builds a
+    valid filter). Deterministic from the count, so the SQL oracle
+    computes the identical m via a scalar subquery."""
+    words = max(1, -(-(n_keys * bits_per_key) // 63))
+    return words * 63
+
+
+def bloom_prefilter_proof(docs: DataFrame, split_mod: int = 37) -> DataFrame:
+    """Declared-surface composition: split documents into corpus
+    (doc_id % mod ≠ 0) and incoming batch (doc_id % mod = 0), build the
+    Bloom over corpus text digests, probe the batch, and emit per batch
+    doc: (doc_id, bloom_hit, exact_hit, no_false_negative).
+
+    ``exact_hit`` is the ground-truth md5 semi-join; ``no_false_negative``
+    (bloom_hit OR NOT exact_hit) is the Bloom contract made row-wise
+    falsifiable — a Bloom may over-admit (bounded FPs the FP-rate knob
+    prices) but NEVER under-admit, so the oracle expects TRUE on every
+    row while bloom_hit itself is hash-compared bit-for-bit (the filter
+    is deterministic given the digests). NULL-text rows: excluded from
+    the corpus bits; as probes they are non-members by contract."""
+    base = docs.select("doc_id", F.md5("text").alias("_h"))
+    corpus = base.where(F.col("doc_id") % split_mod != 0)
+    batch = base.where(F.col("doc_id") % split_mod == 0)
+    n = corpus.where(F.col("_h").isNotNull()).count()
+    m = bloom_words_size(n)
+    words = bloom_words(corpus, m)
+    flags = bloom_membership(batch, words, m)
+    exact = (
+        batch.join(
+            corpus.select(F.col("_h").alias("_ch")).distinct(),
+            F.col("_h") == F.col("_ch"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(F.max(F.col("_ch").isNotNull()).alias("exact_hit"))
+    )
+    return (
+        flags.join(exact, "doc_id")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            "exact_hit",
+            (F.col("bloom_hit") | ~F.col("exact_hit")).alias(
+                "no_false_negative"
+            ),
+        )
+    )

@@ -1076,6 +1076,22 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scrub_pii(load_table(spark, sf_dir, "documents"))
 
 
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter ingest prefilter as a DataFrame-native bit table
+    (Spark's internal bloom_filter_agg/might_contain are not publicly
+    registered): corpus digests -> 63-bit words via explode+bit_or,
+    probe batch -> broadcast word join, per-probe membership. The
+    oracle replays the identical bit construction in SQL (same md5
+    double-hash positions, same words), so bloom_hit hash-compares
+    bit-for-bit and no_false_negative makes the Bloom contract row-wise
+    falsifiable. See operators/dedup.py:bloom_prefilter_proof."""
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        bloom_prefilter_proof,
+    )
+
+    return bloom_prefilter_proof(load_table(spark, sf_dir, "documents"))
+
+
 def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based median per priority with a proof-of-tolerance row
     (same pattern as q_approx_distinct): the oracle hashes the exact
@@ -1770,6 +1786,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_moving_avg": q_moving_avg,
     "q_dedup_apply": q_dedup_apply,
     "q_pii_scrub": q_pii_scrub,
+    "q_bloom_prefilter": q_bloom_prefilter,
     "q_approx_percentile": q_approx_percentile,
     "q_merge_upsert": q_merge_upsert,
     "q_scd2": q_scd2,

@@ -1199,6 +1199,72 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
+    # Bloom prefilter: the oracle REPLAYS the identical bit construction
+    # (same md5 double-hash positions h1 + i*h2 mod m, same 63-bit words
+    # — 63, never 64: DuckDB raises on BIGINT 1<<63 where Spark wraps),
+    # so bloom_hit is hash-compared bit-for-bit; no_false_negative is
+    # the Bloom contract as a row-wise proof. m derives from the corpus
+    # count via the same GREATEST(1, ceil)*63 closed form
+    # (operators/dedup.py:bloom_words_size).
+    "q_bloom_prefilter": """
+        WITH base AS (
+            SELECT doc_id, md5(text) AS h FROM documents
+        ),
+        corpus AS (
+            SELECT h FROM base WHERE doc_id % 37 <> 0 AND h IS NOT NULL
+        ),
+        params AS (
+            SELECT GREATEST(1, (COUNT(*) * 10 + 62) // 63) * 63 AS m
+            FROM corpus
+        ),
+        cpos AS (
+            SELECT (CAST('0x' || substr(c.h, 1, 13) AS BIGINT)
+                    + i.i * CAST('0x' || substr(c.h, 14, 13) AS BIGINT))
+                   % p.m AS pos
+            FROM corpus c
+            CROSS JOIN params p
+            CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) i
+        ),
+        words AS (
+            SELECT pos // 63 AS word_idx,
+                   bit_or(CAST(1 AS BIGINT) << CAST(pos % 63 AS INT))
+                       AS word
+            FROM cpos GROUP BY 1
+        ),
+        batch AS (
+            SELECT doc_id, h FROM base WHERE doc_id % 37 = 0
+        ),
+        bpos AS (
+            SELECT b.doc_id,
+                   (CAST('0x' || substr(b.h, 1, 13) AS BIGINT)
+                    + i.i * CAST('0x' || substr(b.h, 14, 13) AS BIGINT))
+                   % p.m AS pos
+            FROM batch b
+            CROSS JOIN params p
+            CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS i) i
+        ),
+        flags AS (
+            SELECT bp.doc_id,
+                   bool_and(COALESCE(
+                       (w.word & (CAST(1 AS BIGINT)
+                                  << CAST(bp.pos % 63 AS INT)))
+                       = (CAST(1 AS BIGINT)
+                          << CAST(bp.pos % 63 AS INT)),
+                       FALSE)) AS bloom_hit
+            FROM bpos bp
+            LEFT JOIN words w ON w.word_idx = bp.pos // 63
+            GROUP BY bp.doc_id
+        ),
+        exact AS (
+            SELECT b.doc_id,
+                   COALESCE(b.h IN (SELECT h FROM corpus), FALSE)
+                       AS exact_hit
+            FROM batch b
+        )
+        SELECT f.doc_id, f.bloom_hit, e.exact_hit,
+               (f.bloom_hit OR NOT e.exact_hit) AS no_false_negative
+        FROM flags f JOIN exact e ON f.doc_id = e.doc_id
+    """,
     "q_dedup_apply": """
         SELECT d.doc_id, d.lang, d.n_chars
         FROM documents d

@@ -367,3 +367,71 @@ def test_shingle_selection_shift_robust_and_fallback_parity(spark):
         eng = sorted(rows[i]) if rows[i] is not None else []
         ora = sorted(oracle[i]) if oracle[i] is not None else []
         assert eng == ora, f"engine/oracle shingle divergence on row {i}"
+
+
+def test_bloom_prefilter_contract(spark):
+    """The Bloom membership contract on a crafted corpus/batch split:
+    zero false negatives (every exact member bloom-hits), the word table
+    is ceil(m/63) rows at most, and NULL-text probes are non-members.
+    Uses the declared split_mod so ids control which side a row lands."""
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        bloom_prefilter_proof,
+        bloom_words,
+        bloom_words_size,
+    )
+
+    rows = []
+    # corpus rows (id % 5 != 0) and batch rows (id % 5 == 0); batch ids
+    # 0,5,15 duplicate corpus texts, 10 is novel, 20 is NULL text
+    texts = {1: "alpha", 2: "beta", 3: "gamma", 4: "delta", 6: "epsilon"}
+    rows += [(i, t) for i, t in texts.items()]
+    rows += [(0, "alpha"), (5, "beta"), (15, "epsilon"), (10, "novel-doc"),
+             (20, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in bloom_prefilter_proof(docs, split_mod=5).collect()
+    }
+    assert set(out) == {0, 5, 10, 15, 20}
+    for i in (0, 5, 15):
+        assert out[i].exact_hit and out[i].bloom_hit, i
+    assert not out[10].exact_hit
+    assert not out[20].exact_hit and not out[20].bloom_hit
+    assert all(r.no_false_negative for r in out.values())
+    # word-table bound: never more rows than words in the filter
+    m = bloom_words_size(5)
+    corpus = docs.where(F.col("doc_id") % 5 != 0).select(
+        F.md5("text").alias("_h")
+    )
+    assert bloom_words(corpus, m).count() <= m // 63
+
+
+def test_bloom_fp_rate_within_design_bound(spark):
+    """FP operating point: at 10 bits/key with k=4 the design rate is
+    ~1.2%; assert the measured rate on 2k disjoint probes stays under a
+    generous 3x bound (deterministic given md5 — no flake)."""
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        bloom_membership,
+        bloom_words,
+        bloom_words_size,
+    )
+
+    corpus = spark.range(1_000).select(
+        F.md5(F.concat(F.lit("c"), F.col("id"))).alias("_h")
+    )
+    probes = spark.range(2_000).select(
+        F.col("id").alias("doc_id"),
+        F.md5(F.concat(F.lit("p"), F.col("id"))).alias("_h"),
+    )
+    m = bloom_words_size(1_000)
+    words = bloom_words(corpus, m)
+    hits = (
+        bloom_membership(probes, words, m)
+        .where(F.col("bloom_hit"))
+        .count()
+    )
+    assert hits / 2_000 <= 0.036, hits
