@@ -1127,12 +1127,23 @@ def bloom_membership(
 ) -> DataFrame:
     """Probe an m-bit Bloom word table: per probe row, TRUE iff every
     one of its k bits is set. Plan shape: explode(k) over the probe
-    batch, BROADCAST join the word table on word_idx (the filter is the
-    small side by construction), one bool_and aggregate back to one row
-    per probe — the corpus itself is never touched, which is the entire
-    point of the prefilter at ingest. A word_idx no corpus key ever lit
-    has no row: the left join's NULL word reads as bit-not-set. NULL
-    digests (NULL text upstream) are definitionally non-members."""
+    batch, join the word table on word_idx — explicitly BROADCAST while
+    the filter fits the session's broadcast threshold (the common case:
+    m/63 × 16 B rows), plain equi-join above it (a 10-bits/key filter
+    over 10^10+ keys is GBs of words; forcing that through the driver
+    is exactly the failure the threshold exists to prevent) — then one
+    bool_and aggregate back to one row per probe. The corpus itself is
+    never touched, which is the entire point of the prefilter at
+    ingest. A word_idx no corpus key ever lit has no row: the left
+    join's NULL word reads as bit-not-set. NULL digests (NULL text
+    upstream) are definitionally non-members."""
+    from financial_big_data_exp_4_spark.operators.skew import (
+        _broadcast_threshold_bytes,
+    )
+
+    # 16 B/row planner-grade estimate; word count is the hard cap m/63
+    if (m // 63) * 16 <= _broadcast_threshold_bytes(probes.sparkSession):
+        words = F.broadcast(words)
     pairs = probes.select(
         id_col,
         F.posexplode(
@@ -1149,7 +1160,7 @@ def bloom_membership(
         F.expr("shiftleft(1L, int(_pos % 63))").alias("_mask"),
     )
     hit = (
-        pairs.join(F.broadcast(words), "word_idx", "left")
+        pairs.join(words, "word_idx", "left")
         .groupBy(id_col)
         .agg(
             F.min(

@@ -123,6 +123,9 @@ CORPUS_QUERIES = [
     "q_pii_scrub",
     "q_hash_sample",
     "q_doc_fingerprint",
+    # bloom build is one explode(k)+groupBy pass (linear); membership is
+    # a broadcast word join — the slope should track the corpus ratio
+    "q_bloom_prefilter",
 ]
 
 #: The 100× "second decade" list: the candidate-generation shapes whose
