@@ -1098,7 +1098,17 @@ def bloom_words(
     join-able by word_idx at worst, broadcastable after the usual
     per-partition OR-compaction, and a one-off artifact a production
     ingest pipeline persists next to the corpus (like the IVF index).
-    NULL digests contribute no bits."""
+    NULL digests contribute no bits.
+
+    The null-guard is skipped when the input schema already proves the
+    digest non-nullable: otherwise Catalyst pushes the inferred
+    ``IsNotNull(md5(text))`` below the digest projection into the scan
+    Filter and the corpus pays the hash TWICE per row (caught by
+    tools/explain_audit.py). Callers that pre-filter the raw text can
+    assert that via a non-nullable digest expression (see
+    bloom_prefilter_proof)."""
+    if corpus_md5.schema[md5_col].nullable:
+        corpus_md5 = corpus_md5.where(F.col(md5_col).isNotNull())
     pos = F.explode(
         F.array(
             *[
@@ -1108,8 +1118,7 @@ def bloom_words(
         )
     ).alias("_pos")
     return (
-        corpus_md5.where(F.col(md5_col).isNotNull())
-        .select(pos)
+        corpus_md5.select(pos)
         # integer DIV, not float division + cast: a double quotient can
         # land an ulp under the true integer at large m and truncate to
         # the wrong word on one engine only
@@ -1200,9 +1209,18 @@ def bloom_prefilter_proof(docs: DataFrame, split_mod: int = 37) -> DataFrame:
     is deterministic given the digests). NULL-text rows: excluded from
     the corpus bits; as probes they are non-members by contract."""
     base = docs.select("doc_id", F.md5("text").alias("_h"))
-    corpus = base.where(F.col("doc_id") % split_mod != 0)
+    # Corpus digests: pre-filter NULL text on the raw column (the cheap
+    # equivalent of IsNotNull(md5(text))) and mark the digest
+    # non-nullable via coalesce-with-literal — an identity here, but it
+    # lets bloom_words skip its null-guard so the scan hashes each row
+    # exactly once (explain_audit's md5-in-Filter rule).
+    corpus = docs.where(
+        (F.col("doc_id") % split_mod != 0) & F.col("text").isNotNull()
+    ).select(
+        "doc_id", F.coalesce(F.md5("text"), F.lit("")).alias("_h")
+    )
     batch = base.where(F.col("doc_id") % split_mod == 0)
-    n = corpus.where(F.col("_h").isNotNull()).count()
+    n = corpus.count()
     m = bloom_words_size(n)
     words = bloom_words(corpus, m)
     flags = bloom_membership(batch, words, m)

@@ -13,13 +13,13 @@ from financial_big_data_exp_4_spark.plans.reference import (
 #: pipeline extensions (SURVEY §2.8). Names must be unique across both.
 #:
 #: Ordering matters: the driver's correctness gate samples the FIRST 50
-#: entries of this registry each round, so which half of the 98 declared
+#: entries of this registry each round, so which half of the 99 declared
 #: queries gets a fresh *driver* verdict is decided here.
 #:
 #: ALTERNATION POLICY (round-5 VERDICT #2): the registry front-loads one
 #: half of the queries per round, and the prefix is SWAPPED every round so
 #: each half is re-verified by the external driver on alternating rounds
-#: (the full 98 always run under the local gate, `tools/check_correctness.py`,
+#: (the full 99 always run under the local gate, `tools/check_correctness.py`,
 #: regardless). History: rounds 2-4 sampled the reference surface +
 #: minhash/simhash/embedding families; round 5 sampled the other half;
 #: round 6 swapped back to the r02-r04 half; rounds 7 AND 8 both sampled
@@ -28,69 +28,72 @@ from financial_big_data_exp_4_spark.plans.reference import (
 #: the exact complement of the r07/r08 driver sample; round 10 sampled
 #: the complement of CORRECTNESS_r09.json's keys; round 11 sampled the
 #: complement of CORRECTNESS_r10.json's; round 12 sampled the complement
-#: of CORRECTNESS_r11.json's; round 13 (this prefix) swaps to
-#: the complement of CORRECTNESS_r12.json's keys — i.e. the 48 names the
-#: r12 driver did NOT sample — plus two anchors kept
-#: verified every round: q_scan (flagship smoke) and q_feature_pipeline
-#: (the end-to-end ML pipeline, the one family the fuzz gate exercises
-#: least).
+#: of CORRECTNESS_r11.json's; round 13 sampled the complement of
+#: CORRECTNESS_r12.json's keys plus both anchors; round 14 (this prefix)
+#: swaps to the complement of CORRECTNESS_r13.json's keys — the 49 names
+#: the r13 driver did NOT sample, which includes q_bloom_prefilter's
+#: first-ever driver row (r13 VERDICT #1) — plus ONE anchor, q_scan (the
+#: flagship smoke). With 99 declared queries the complement is 49, so the
+#: 50-slot pin leaves room for only one standing anchor;
+#: q_feature_pipeline drops to normal rotation (it was hash-green in the
+#: r13 sample and re-enters via the r15 complement).
 #: To rotate next round: replace with the complement of this round's
-#: CORRECTNESS keys, topped up to exactly 50 with the two anchors — the
+#: CORRECTNESS keys, topped up to exactly 50 with q_scan first — the
 #: list is pinned to length 50 (round-6 ADVICE: the old 49-name list left
 #: slot 50 to dict-order chance), and `tests/test_rotation.py` fails
 #: loudly if the prefix was not swapped from the previous committed round.
 #: Every name must exist in the merged dict; the asserts below enforce it.
 _SAMPLE_FIRST = [
-    "q_anti_join",
-    "q_asof_join",
-    "q_cube",
-    "q_dedup_exact",
-    "q_dedup_latest",
-    "q_dedup_simhash",
-    "q_distinct_agg",
-    "q_doc_fingerprint",
-    "q_embed_ann_ivf",
-    "q_embed_ann_kmeans",
-    "q_embed_cosine_topk",
-    "q_embed_neardup",
-    "q_employer_share",
-    "q_feature_pipeline",
-    "q_fillna",
-    "q_grouping_sets",
-    "q_hash_sample",
-    "q_industry_count",
-    "q_interest",
-    "q_json_extract",
-    "q_lang_id",
-    "q_loan_histogram",
-    "q_multimodal_frames",
-    "q_multimodal_meta",
-    "q_neardup_edit",
-    "q_neardup_minhash",
-    "q_ngram_jaccard",
-    "q_percentile",
-    "q_pivot",
-    "q_project",
-    "q_quantile_bucket",
-    "q_random_split",
-    "q_range_join",
-    "q_rollup",
+    "q_approx_distinct",
+    "q_approx_percentile",
+    "q_bloom_prefilter",
+    "q_bm25",
+    "q_cohort_retention",
+    "q_correlation",
+    "q_curation_yield",
+    "q_dedup_apply",
+    "q_dedup_clusters",
+    "q_dedup_incremental",
+    "q_doc_chunks",
+    "q_embed_lsh",
+    "q_embed_lsh_pairs",
+    "q_funnel",
+    "q_gap_fill",
+    "q_group_center",
+    "q_inverted_index",
+    "q_large_orders",
+    "q_lineitem_pricing",
+    "q_local_supplier_volume",
+    "q_merge_upsert",
+    "q_moving_avg",
+    "q_neardup_verified",
+    "q_ntile",
+    "q_pii_scrub",
+    "q_profile",
+    "q_quality_filter",
+    "q_range_frame",
+    "q_repetition",
+    "q_running_total",
     "q_scan",
-    "q_sessionize",
-    "q_set_ops",
-    "q_simhash_neardup",
-    "q_star_join",
-    "q_stream_sessions",
-    "q_stream_tumbling",
-    "q_string_index",
-    "q_text_normalize",
-    "q_text_quality",
-    "q_token_count",
-    "q_topk",
-    "q_tumbling_window",
-    "q_vector_assemble",
-    "q_window_rank",
-    "q_workyear_filter",
+    "q_scd2",
+    "q_semantic_dedup",
+    "q_semi_join",
+    "q_seq_pack",
+    "q_shipping_priority",
+    "q_skew_agg",
+    "q_skew_join",
+    "q_sql_surface",
+    "q_standard_scale",
+    "q_stratified_sample",
+    "q_stream_dedup",
+    "q_stream_range_join",
+    "q_stream_stateful",
+    "q_table_diff",
+    "q_tfidf",
+    "q_transitions",
+    "q_triangle_count",
+    "q_window_stats",
+    "q_winsorize",
 ]
 
 #: The driver samples exactly the first 50 registry entries; pin the prefix
