@@ -284,45 +284,70 @@ def snapshot_diff(
 ) -> DataFrame:
     """Reconcile two table snapshots: per-key classification into
     added / removed / changed / unchanged, summarized as one count per
-    class — the drift check run after every MERGE/backfill.
+    class — the drift check run after every MERGE/backfill. ``key`` is
+    the snapshot's primary key (unique per side); comparison is
+    null-safe per column, and a NULL key is one real key on either side.
+    Output: (diff_class, n_keys), classes that occur only.
 
-    A diff genuinely needs both sides co-located, so this is the one
-    place a full outer shuffle join is the *correct* scale plan (both
-    snapshots hash-partition on the key once; AQE handles skew).
-    Comparison is null-safe (``eqNullSafe`` per column). Output:
-    (diff_class, n_keys), classes that occur only.
+    Plan shape: a diff needs both sides co-located on the key, but a
+    full-outer join is NOT the cheapest way to get there — it costs two
+    exchanges plus two sorts plus the merge. Instead the sides are
+    tagged, unioned, and hash-repartitioned on the key ONCE; two
+    exchange-free HashAggregates on top read the classes off:
+
+    1. group by (key, payload...): an unchanged key collapses its two
+       identical rows into one group, a changed key keeps two groups —
+       groupBy treats NULLs in grouping keys as equal, which IS the
+       null-safe per-column comparison (and one NULL key is one real
+       key). Payload columns ride as GROUPING keys, never aggregation
+       buffers: var-length buffer types (strings) would force the whole
+       aggregate into SortAggregate, while string grouping keys stay in
+       whole-stage-codegen HashAggregate (measured: the buffer form
+       pays +1.4 s at 10×). Buffers are two int presence-maxes.
+    2. group by key: group count + side presence → class.
+
+    Both aggregates reuse the repartition's hashpartitioning(key) —
+    the key is a subset of each grouping clause, so EnsureRequirements
+    inserts no further exchange. Map-side partials are deliberately
+    traded away: snapshot keys are near-unique, so partial aggregation
+    combined ~nothing while the raw-row shuffle volume is identical.
+    AQE handles key skew at the one exchange like it would at the join.
     """
-    # explicit presence markers: payload columns may be legitimately NULL,
-    # and the join coalesces/duplicates the key, so neither can test
-    # presence. The key comparison itself is eqNullSafe: a plain equi-join
-    # never matches NULL keys, so a NULL-key row identical in both
-    # snapshots would misreport as one added plus one removed.
+    vcols = [f"_v_{c}" for c in cols]
     o = old.select(
-        F.col(key).alias("_o_key"),
-        F.lit(1).alias("_o_present"),
-        *[F.col(c).alias(f"_o_{c}") for c in cols],
+        F.col(key).alias("_k"),
+        F.lit(True).alias("_is_old"),
+        *[F.col(c).alias(v) for c, v in zip(cols, vcols)],
     )
     n = new.select(
-        F.col(key).alias("_n_key"),
-        F.lit(1).alias("_n_present"),
-        *[F.col(c).alias(f"_n_{c}") for c in cols],
+        F.col(key).alias("_k"),
+        F.lit(False).alias("_is_old"),
+        *[F.col(c).alias(v) for c, v in zip(cols, vcols)],
     )
-    joined = o.join(
-        n, F.col("_o_key").eqNullSafe(F.col("_n_key")), "full_outer"
+    per_group = (
+        o.unionByName(n)
+        .repartition(F.col("_k"))
+        .groupBy("_k", *vcols)
+        .agg(
+            F.max(F.when(F.col("_is_old"), F.lit(1))).alias("_o1"),
+            F.max(F.when(~F.col("_is_old"), F.lit(1))).alias("_n1"),
+        )
     )
-    same = F.lit(True)
-    for c in cols:
-        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+    per_key = per_group.groupBy("_k").agg(
+        F.count(F.lit(1)).alias("_ng"),
+        F.max("_o1").alias("_o_present"),
+        F.max("_n1").alias("_n_present"),
+    )
     has_old = F.col("_o_present").isNotNull()
     has_new = F.col("_n_present").isNotNull()
     cls = (
         F.when(~has_old, F.lit("added"))
         .when(~has_new, F.lit("removed"))
-        .when(same, F.lit("unchanged"))
+        .when(F.col("_ng") == 1, F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return (
-        joined.select(cls.alias("diff_class"))
+        per_key.select(cls.alias("diff_class"))
         .groupBy("diff_class")
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )

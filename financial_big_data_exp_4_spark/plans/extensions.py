@@ -100,6 +100,13 @@ MEMO_FAMILY_CONSUMERS: dict[str, tuple[str, ...]] = {
     "embed_neardup_pairs": ("q_embed_neardup", "q_semantic_dedup"),
     "hyperplane_pairs": ("q_embed_lsh_pairs",),
     "orders_changes": ("q_merge_upsert", "q_table_diff"),
+    # the merged snapshot itself (built FROM orders_changes): MERGE
+    # writes once, q_merge_upsert serves it, q_table_diff reconciles
+    # against it without re-running the merge (r13 VERDICT #3)
+    "merged_orders": ("q_merge_upsert", "q_table_diff"),
+    # the exact per-priority quartiles: q_percentile's whole answer and
+    # q_approx_percentile's rank-proof reference (r13 VERDICT #5)
+    "orders_quartiles": ("q_percentile", "q_approx_percentile"),
 }
 
 
@@ -592,6 +599,33 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile family's shared EXACT order-statistic stage:
+    per-priority p25/p50/p75 of o_totalprice via the sort-based
+    selection (:func:`..operators.relational.exact_percentiles`,
+    bit-identical to ``F.percentile``), memoized per (session, sf_dir).
+    q_percentile serves it directly; q_approx_percentile reads only the
+    exact median from it as the reference its sketch is judged against —
+    previously each query paid the full sort-based selection separately
+    (r13 VERDICT #5), so the bench priced the GK sketch's PROOF at
+    2× the exact path's cost instead of sharing the one exact artifact."""
+    from financial_big_data_exp_4_spark.operators.relational import (
+        exact_percentiles,
+    )
+    from financial_big_data_exp_4_spark.session import memo_df
+
+    return memo_df(
+        spark,
+        ("orders_quartiles", sf_dir),
+        lambda: exact_percentiles(
+            load_table(spark, sf_dir, "orders"),
+            "o_orderpriority",
+            "o_totalprice",
+            {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+        ),
+    )
+
+
 def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolation percentiles per group — sort-based
     order-statistic selection (:func:`..operators.relational.
@@ -599,18 +633,9 @@ def q_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests) but without the Percentile aggregate's value-map buffers
     (8.5 s → 3.2 s at the 10× fixture on a near-unique double column;
     at 100 TB swap for ``approx_percentile`` and a documented error
-    bound)."""
-    from financial_big_data_exp_4_spark.operators.relational import (
-        exact_percentiles,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    return exact_percentiles(
-        orders,
-        "o_orderpriority",
-        "o_totalprice",
-        {"p25": 0.25, "p50": 0.5, "p75": 0.75},
-    )
+    bound). Served from the memoized family stage shared with
+    q_approx_percentile's exact reference."""
+    return _orders_quartiles(spark, sf_dir)
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1113,18 +1138,15 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     regressed past its own contract fails the gate."""
     # NOT _fact-rebalanced: the GK sketch's partial state is compact, so
     # the fan-out exchange costs more than it saves (A/B at sf0.1)
-    from financial_big_data_exp_4_spark.operators.relational import (
-        exact_percentiles,
-    )
-
     orders = load_table(spark, sf_dir, "orders")
     p = F.col("o_totalprice")
-    # the exact reference median comes from the sort-based selection
-    # (bit-identical to F.percentile, none of its buffer traffic); the
-    # sketch + count stay one compact aggregate, joined on the group —
-    # both sides are per-group scalars, broadcast-sized
-    exact = exact_percentiles(
-        orders, "o_orderpriority", "o_totalprice", {"p50_exact": 0.5}
+    # the exact reference median is READ from the memoized family stage
+    # shared with q_percentile (one sort-based selection per session,
+    # not one per proof run); the sketch + count stay one compact
+    # aggregate, joined on the group — both sides are per-group scalars,
+    # broadcast-sized
+    exact = _orders_quartiles(spark, sf_dir).select(
+        "o_orderpriority", F.col("p50").alias("p50_exact")
     )
     sk = orders.groupBy("o_orderpriority").agg(
         F.expr(
@@ -1347,20 +1369,37 @@ def _build_orders_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return upd.unionByName(dele).unionByName(ins)
 
 
+def _merged_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge family's shared MERGED-SNAPSHOT stage, memoized per
+    (session, sf_dir): q_merge_upsert returns it directly and
+    q_table_diff diffs against it — previously the diff re-ran the whole
+    merge inline every call (r13 VERDICT #3). The production shape is a
+    maintained table: MERGE writes the snapshot once, every downstream
+    reconciliation reads the materialization."""
+    from financial_big_data_exp_4_spark.session import memo_df
+
+    return memo_df(
+        spark,
+        ("merged_orders", sf_dir),
+        lambda: merge_changes(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_totalprice", "o_orderstatus"
+            ),
+            _orders_changes(spark, sf_dir),
+            key="o_orderkey",
+            cols=("o_totalprice", "o_orderstatus"),
+        ),
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO without a table format: broadcast change application
     (update/delete map-side, inserts unioned) — see
     :func:`~financial_big_data_exp_4_spark.operators.relational.merge_changes`.
-    The base table is never shuffled."""
-    base = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    )
-    return merge_changes(
-        base,
-        _orders_changes(spark, sf_dir),
-        key="o_orderkey",
-        cols=("o_totalprice", "o_orderstatus"),
-    )
+    The base table is never shuffled; the merged snapshot is a memoized
+    family artifact shared with q_table_diff (build cost disclosed via
+    MEMO_FAMILY_CONSUMERS)."""
+    return _merged_orders(spark, sf_dir)
 
 
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1596,10 +1635,10 @@ def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    # the diff target IS q_merge_upsert's output — called, not re-spelled,
-    # so the two cannot drift (the oracle side already reuses the merge
-    # SQL verbatim as a CTE)
-    merged = q_merge_upsert(spark, sf_dir)
+    # the diff target IS q_merge_upsert's output — the shared memoized
+    # snapshot, not a re-spelled plan, so the two cannot drift (the
+    # oracle side already reuses the merge SQL verbatim as a CTE)
+    merged = _merged_orders(spark, sf_dir)
     return snapshot_diff(
         base, merged, key="o_orderkey", cols=("o_totalprice", "o_orderstatus")
     )
