@@ -150,3 +150,114 @@ def salted_join_small(
         replicated = replicated.hint("shuffle_hash")
     joined = salted_big.join(replicated, on=[key, "_salt"])
     return joined.drop("_salt")
+
+
+def skewed_keys(
+    big: DataFrame,
+    key: str,
+    sample_fraction: float = 0.02,
+    skew_factor: float = 5.0,
+    share_cap: float = 0.125,
+    min_sample_rows: int = 8,
+    max_keys: int = 64,
+) -> list:
+    """MEASURED hot keys of ``big[key]``: sample the key histogram and
+    return the keys whose estimated row count exceeds ``skew_factor`` ×
+    the average rows one reduce task would take (the same relative rule
+    AQE's ``skewedPartitionFactor`` applies to partition bytes, applied
+    per KEY — AQE can split a skewed partition but never a single key,
+    which is exactly the case salting exists for) OR ``share_cap`` of
+    ALL rows — the absolute rule, because at low shuffle-partition
+    counts the relative bar can exceed 100% of the data and a key
+    owning an eighth of the table is hot under any partitioning.
+
+    Both tests cancel the sampling fraction: a key is hot iff
+    ``sample_count > sample_total × min(skew_factor/partitions,
+    share_cap)``, so no total-row estimate is needed.
+    ``min_sample_rows`` suppresses small-sample noise; ``max_keys``
+    bounds the driver collect (hot keys are by definition few — the
+    list is a filter literal, not data on the driver). Deterministic
+    seed: retries measure the same skew."""
+    spark = big.sparkSession
+    try:
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:  # pragma: no cover - unreadable conf
+        parts = 200
+    hist = (
+        big.sample(fraction=sample_fraction, seed=42)
+        .where(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .agg(
+            F.sum("_cnt").alias("_total"),
+            F.max_by(
+                F.struct(F.col("_cnt"), F.col(key)), F.col("_cnt")
+            ).alias("_top"),
+        )
+        .collect()[0]
+    )
+    total = hist["_total"] or 0
+    if not total:
+        return []
+    bar = max(
+        total * min(skew_factor / max(parts, 1), share_cap),
+        float(min_sample_rows),
+    )
+    if hist["_top"]["_cnt"] <= bar:
+        return []  # common case decided with ONE driver row collected
+    rows = (
+        big.sample(fraction=sample_fraction, seed=42)
+        .where(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .where(F.col("_cnt") > F.lit(bar))
+        .orderBy(F.desc("_cnt"))
+        .limit(max_keys)
+        .collect()
+    )
+    return [r[key] for r in rows]
+
+
+def adaptive_skew_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    sample_fraction: float = 0.02,
+    skew_factor: float = 5.0,
+    salt_cols: list[str] | None = None,
+    hot_keys: list | None = None,
+) -> DataFrame:
+    """Inner equi-join that salts ONLY measured hot keys (r13 VERDICT
+    #4): on a uniform key histogram blanket salting is pure tax — 8×
+    replication of the small side plus a wider shuffle bought nothing
+    (44.6× the plain join on the unskewed 10× fixture) — while a truly
+    hot key needs it because neither a shuffle join nor AQE can split
+    one key across tasks.
+
+    ``hot_keys=None`` measures the histogram via :func:`skewed_keys`
+    (one sampled aggregate; callers that serve many joins per session
+    memoize the list — see q_skew_join). ``[]`` → the plain shuffle
+    join, AQE's skew handling covering the moderate case. Non-empty →
+    the classic split: hot big rows salted-join the replicated hot
+    small slice (tiny by construction — |hot keys| rows per salt, so it
+    broadcasts), cold rows take the plain join, results unioned.
+    Output-invariant vs the plain inner join for any split: the key
+    sets are disjoint and NULL keys never match an inner join."""
+    if hot_keys is None:
+        hot_keys = skewed_keys(
+            big, key, sample_fraction=sample_fraction,
+            skew_factor=skew_factor,
+        )
+    if not hot_keys:
+        return big.join(small, key)
+    is_hot = F.col(key).isin(hot_keys)
+    hot = salted_join_small(
+        big.where(is_hot),
+        small.where(is_hot),
+        key,
+        n_salts=n_salts,
+        salt_cols=salt_cols,
+    )
+    cold = big.where(~is_hot).join(small, key)
+    return hot.unionByName(cold.select(*hot.columns))

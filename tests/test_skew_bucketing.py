@@ -181,3 +181,63 @@ def test_broadcast_threshold_parses_spark_size_suffixes():
     assert _broadcast_threshold_bytes(_FakeSession("oops")) == 10 * 1024 * 1024
     assert _broadcast_threshold_bytes(None) == 10 * 1024 * 1024
     assert "" in _SIZE_SUFFIX and _SIZE_SUFFIX["pb"] == 1 << 50
+
+
+def test_skewed_keys_detects_planted_hot_key_and_uniform_is_empty(spark):
+    from financial_big_data_exp_4_spark.operators.skew import skewed_keys
+
+    # 60% of rows on one key, the rest spread over 5000 keys
+    skewed = spark.range(50_000).select(
+        F.when(F.col("id") % 5 < 3, F.lit(7777))
+        .otherwise(F.col("id") % 5000)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    assert skewed_keys(skewed, "k", sample_fraction=0.2) == [7777]
+    uniform = spark.range(50_000).select(
+        (F.col("id") % 5000).alias("k"), F.col("id").alias("v")
+    )
+    assert skewed_keys(uniform, "k", sample_fraction=0.2) == []
+
+
+def test_adaptive_skew_join_salts_hot_path_and_matches_plain(spark):
+    from financial_big_data_exp_4_spark.operators.skew import (
+        adaptive_skew_join,
+    )
+
+    big = spark.range(20_000).select(
+        F.when(F.col("id") % 4 < 3, F.lit(42))
+        .otherwise(F.col("id") % 500)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(500).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim"), "id").alias("name")
+    )
+    plain = big.join(small, "k")
+    # measured path: the planted hot key must ENGAGE the salted split —
+    # visible as the union of the salted hot slice and the cold join
+    adaptive = adaptive_skew_join(big, small, "k", sample_fraction=0.2)
+    assert "Union" in adaptive._jdf.queryExecution().executedPlan().toString()
+    assert adaptive.count() == plain.count()
+    a = {(r["k"], r["v"], r["name"]) for r in adaptive.collect()}
+    p = {(r["k"], r["v"], r["name"]) for r in plain.collect()}
+    assert a == p
+
+
+def test_adaptive_skew_join_uniform_takes_plain_join(spark):
+    from financial_big_data_exp_4_spark.operators.skew import (
+        adaptive_skew_join,
+    )
+
+    big = spark.range(20_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("v")
+    )
+    small = spark.range(500).select(
+        F.col("id").alias("k"), F.concat(F.lit("dim"), "id").alias("name")
+    )
+    adaptive = adaptive_skew_join(big, small, "k", sample_fraction=0.2)
+    plan = adaptive._jdf.queryExecution().executedPlan().toString()
+    # no measured hot key -> no salted split, no replication
+    assert "Union" not in plan and "_salt" not in plan
+    assert adaptive.count() == big.join(small, "k").count()
