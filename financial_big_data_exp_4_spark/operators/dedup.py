@@ -43,9 +43,7 @@ from financial_big_data_exp_4_spark.functions.core import bind_once, md5_hash64
 MINHASH_P = 1_000_000_007
 
 #: (a, b) pairs for the 16 affine "permutations" h -> (a*h + b) mod P.
-#: Fixed small primes — deterministic across engines and runs. The first
-#: 8 pairs are the historical round-2 set (LEGACY_MINHASH_* below), so
-#: legacy signatures are a prefix of the current ones.
+#: Fixed small primes — deterministic across engines and runs.
 MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
     (131, 17),
     (137, 89),
@@ -79,20 +77,17 @@ MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
 #: N (an 8 bands × 2 rows variant was measured too: recall 1.0 but
 #: B·s² background admission ⇒ 181k candidates at the 10× fixture vs
 #: ~7k here — a quadratic onset no bucket cap should be asked to hide).
-#: Recall-vs-cost for current AND legacy settings is measured per round
-#: by tools/recall_bench.py into RECALL_r{N}.json.
+#: Recall-vs-cost for the declared setting is measured per round by
+#: tools/recall_bench.py into RECALL_r{N}.json.
 #: (Shingle sets, not word sets, drive the signature — see SHINGLE_K — so
 #: thematically-similar-but-different documents don't collide.)
+#: The historical round-2..9 parameterization (8 perms, 2 bands × 4
+#: rows) was RETIRED in round 14 (r13 VERDICT #8): its measured near-dup
+#: recall plateaued at 0.885 at 10× vs this setting's 0.961
+#: (RECALL_r13.json carries the final A/B), and a second, worse
+#: parameterization of the same operator is a trap for users.
 MINHASH_BANDS = 4
 MINHASH_ROWS_PER_BAND = 4
-
-#: The historical round-2..9 parameterization (8 perms, 2 bands × 4 rows,
-#: threshold ≈ 0.84): kept addressable so tools/recall_bench.py can
-#: record the recall-vs-cost curve of both settings in the committed
-#: artifact. Not used by any declared query.
-LEGACY_MINHASH_COEFFS = MINHASH_COEFFS[:8]
-LEGACY_MINHASH_BANDS = 2
-LEGACY_MINHASH_ROWS_PER_BAND = 4
 
 #: Character-shingle width for minhash. Shingles capture word *order*;
 #: word-token sets do not (any two docs over a shared small vocabulary
@@ -312,10 +307,9 @@ def minhash_candidate_pairs(
 
     ``coeffs`` / ``n_bands`` / ``rows_per_band`` select the banding
     parameterization (len(coeffs) must equal n_bands × rows_per_band).
-    Every declared query uses the module defaults; the knob exists so
-    tools/recall_bench.py can measure the recall-vs-cost curve of the
-    legacy LEGACY_MINHASH_* setting against the current one in the
-    committed per-round artifact.
+    Every declared query uses the module defaults; the knob exists so a
+    deployment (or tools/recall_bench.py) can measure an alternative
+    banding's recall-vs-cost curve before adopting it.
     """
     k = len(coeffs)
     assert k == n_bands * rows_per_band, (k, n_bands, rows_per_band)

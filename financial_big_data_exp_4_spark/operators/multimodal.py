@@ -54,20 +54,21 @@ FAKE_H_MOD = 480
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
-#: PNG color type → channel count (8-bit, non-interlaced support).
-#: Palette (3) is deliberately unsupported — expanding a PLTE is easy
-#: but the training-data pipelines this engine feeds re-encode to
-#: direct-color long before the resize stage.
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+#: PNG color type → channel count of the coded scanlines (8-bit,
+#: non-interlaced support). Palette (3) codes one index byte per pixel;
+#: the decoder expands indices through the PLTE to RGB (plus tRNS alpha
+#: when present) after unfiltering.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_decode(payload: bytes):
     """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter, the
     RFC 2083 / PNG-spec algorithms) → numpy uint8 array of shape
     (h, w, channels). Supports 8-bit non-interlaced grayscale / RGB /
-    gray+alpha / RGBA — the shapes a synthetic-or-curated training
-    corpus actually contains. No external codec: the whole point is
-    that the resize path EXECUTES in a bare container."""
+    gray+alpha / RGBA / palette (PLTE expanded to RGB, tRNS to RGBA) —
+    the shapes a synthetic-or-curated training corpus actually
+    contains. No external codec: the whole point is that the resize
+    path EXECUTES in a bare container."""
     import struct
     import zlib
 
@@ -76,6 +77,8 @@ def _png_decode(payload: bytes):
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload")
     pos, w = 8, None
+    color = -1
+    plte = trns = None
     idat = bytearray()
     while pos + 8 <= len(payload):
         (length,), ctype = struct.unpack(">I", payload[pos : pos + 4]), payload[
@@ -89,9 +92,13 @@ def _png_decode(payload: bytes):
             if depth != 8 or color not in _PNG_CHANNELS or interlace:
                 raise NotImplementedError(
                     f"PNG depth={depth} color={color} interlace={interlace}"
-                    " unsupported (8-bit non-interlaced direct color only)"
+                    " unsupported (8-bit non-interlaced only)"
                 )
             ch = _PNG_CHANNELS[color]
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(data, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -99,6 +106,8 @@ def _png_decode(payload: bytes):
         pos += 12 + length  # length + type + data + crc
     if w is None:
         raise ValueError("PNG missing IHDR")
+    if color == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
     raw = zlib.decompress(bytes(idat))
     stride = w * ch
     if len(raw) != (stride + 1) * h:
@@ -131,7 +140,19 @@ def _png_decode(payload: bytes):
                 cur[x] = v & 0xFF
         else:
             raise ValueError(f"PNG filter {f} invalid")
-    return out.astype(np.uint8).reshape(h, w, ch)
+    pixels = out.astype(np.uint8).reshape(h, w, ch)
+    if color == 3:
+        # PLTE expansion: index plane → RGB triplets; a tRNS chunk
+        # supplies per-palette-entry alpha (entries past its length are
+        # opaque, per spec) → RGBA
+        idx = pixels[:, :, 0]
+        rgb = plte[idx]
+        if trns is None:
+            return rgb
+        alpha = np.full(len(plte), 255, dtype=np.uint8)
+        alpha[: len(trns)] = trns
+        return np.concatenate([rgb, alpha[idx][:, :, None]], axis=2)
+    return pixels
 
 
 def _png_encode(arr) -> bytes:
@@ -194,7 +215,16 @@ def decode_image(payload: bytes):
         import numpy as np
         from PIL import Image  # type: ignore
 
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
+        img = Image.open(io.BytesIO(payload))
+        # preserve the image's NATIVE channel count (grayscale stays
+        # 1-channel, RGBA keeps alpha) so output is identical whether
+        # Pillow or the built-in codec decoded it (r13 ADVICE: an
+        # unconditional convert("RGB") made (channels, payload) depend
+        # on which codec the deployment shipped). Only modes the uint8
+        # (h, w, ch≤4) contract can't represent are converted.
+        if img.mode not in ("L", "LA", "RGB", "RGBA"):
+            img = img.convert("RGB")
+        return np.asarray(img)
     except ImportError:
         pass
     if payload[:8] == _PNG_MAGIC:
@@ -318,9 +348,13 @@ def resize_image_payloads(
     decode."""
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the select below RENAMES the caller's columns to doc_id/payload
+        # before the pandas boundary, so the closure must index the
+        # renamed names — indexing id_col/payload_col here was an
+        # executor-side KeyError for any non-default caller (r13 ADVICE)
         for pdf in batches:
             outs, sw, sh, chs = [], [], [], []
-            for b in pdf[payload_col]:
+            for b in pdf["payload"]:
                 if b is None:
                     outs.append(None)
                     sw.append(None)
@@ -336,7 +370,7 @@ def resize_image_payloads(
                 chs.append(ch)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    "doc_id": pdf["doc_id"],
                     "payload": outs,
                     "out_w": out_w,
                     "out_h": out_h,

@@ -417,6 +417,10 @@ _MEMO_ATTR = "_fbde4_df_memo"
 _SHUFFLE_TUNE_BYTES_PER_PARTITION = 4 * 1024 * 1024
 _SHUFFLE_TUNE_MIN_PARTITIONS = 4
 _SHUFFLE_TUNE_MEMO_ATTR = "_fbde4_shuffle_tune_memo"
+#: First-touch snapshot of the confs tune_shuffle_for_input rewrites,
+#: so restore_session_tuning can hand a mixed-use session back its own
+#: values (round-13 ADVICE).
+_TUNE_ORIGINALS_MEMO_ATTR = "_fbde4_tune_originals"
 #: Input size below which the session runs queries with AQE OFF — the
 #: same planner-grade "statistically tiny" threshold the CC loop uses
 #: for its own actions (operators/graph.py): under it, every stage's
@@ -496,11 +500,26 @@ def tune_shuffle_for_input(spark: SparkSession, sf_dir: str) -> None:
     mode is bounded extra tasks, never wrong results), and every
     declared query loads from exactly one dir. The setting also stands
     for later non-load work on the session until the next load
-    re-asserts it — same bounded-cost argument; callers that need a
-    pinned DOP scope it (see ``scoped_sql_conf`` /
-    ``_drain_shuffle_partitions``, which keep streaming drains
-    unaffected).
+    re-asserts it — same bounded-cost argument for the DOP; for the
+    AQE regime flip the radius is wider (round-13 ADVICE: after a tiny
+    load, ad-hoc non-engine queries at scale would lose skew
+    handling/coalescing), so the PRE-TUNING originals are recorded at
+    first touch and :func:`restore_session_tuning` hands them back —
+    the escape hatch for a session interleaving engine loads with its
+    own ad-hoc work. Callers that need a pinned DOP scope it (see
+    ``scoped_sql_conf`` / ``_drain_shuffle_partitions``, which keep
+    streaming drains unaffected).
     """
+    originals = session_memo(spark, _TUNE_ORIGINALS_MEMO_ATTR)
+    if originals is not None and not originals:
+        for key in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+        ):
+            try:
+                originals[key] = spark.conf.get(key)
+            except Exception:  # pragma: no cover - odd builds
+                pass
     memo = session_memo(spark, _SHUFFLE_TUNE_MEMO_ATTR)
     n = memo.get(sf_dir) if memo is not None else None
     if n is None:
@@ -539,6 +558,23 @@ def tune_shuffle_for_input(spark: SparkSession, sf_dir: str) -> None:
             spark.conf.set("spark.sql.adaptive.enabled", want_aqe)
     except Exception:  # pragma: no cover - conf set on odd builds
         pass
+
+
+def restore_session_tuning(spark: SparkSession) -> None:
+    """Hand the session back the shuffle-DOP / AQE conf values it had
+    BEFORE the first :func:`tune_shuffle_for_input` touch (round-13
+    ADVICE: the tuning's last-writer-wins AQE flip otherwise stands for
+    ad-hoc non-engine work until the next load re-asserts it — a
+    session that interleaves engine loads with its own scale queries
+    calls this between the two). No-op when tuning never ran. The
+    per-directory statistics memo is kept: a later engine load re-tunes
+    from it without re-walking the directory."""
+    originals = getattr(spark, _TUNE_ORIGINALS_MEMO_ATTR, None)
+    for key, value in (originals or {}).items():
+        try:
+            spark.conf.set(key, value)
+        except Exception:  # pragma: no cover - conf set on odd builds
+            pass
 
 
 @contextmanager

@@ -373,3 +373,72 @@ def test_cc_unseeded_label_checkpoint_reports_node_partitioning(spark):
             labels._jdf.queryExecution().executedPlan().outputPartitioning()
         )
     assert "hashpartitioning(node" in part, part
+
+
+def test_twostar_round_plan_shape_is_pinned(spark):
+    """Plan-shape guard for one two-star round (r13 VERDICT #9 — the
+    propagate-loop guard caught a real silent re-exchange; this pins the
+    OTHER layout-dependent CC loop the same way). One large-star +
+    small-star + distinct round, built byte-for-byte like
+    operators/graph.py:connected_components_twostar, must execute as:
+
+    * ZERO BroadcastExchange — a per-round broadcast materialization job
+      is the regression class that bit the propagate loop;
+    * exactly 4 SortMergeJoins / 10 shuffle Exchanges / 8 Sorts — the
+      round's budgeted shape today (two grouped aggregates, two
+      mins-joins, the canonical distinct; each star re-reads its input
+      for the aggregate and the join, which Spark does not share).
+      A Catalyst upgrade that silently adds an exchange/sort fails here
+      loudly; a deliberate plan improvement updates the constants WITH
+      a measured A/B in the commit.
+    """
+    import re
+
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.session import scoped_sql_conf
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["doc_a", "doc_b"]
+    )
+    with scoped_sql_conf(spark, {"spark.sql.adaptive.enabled": "false"}):
+        raw = edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        canon = (
+            raw.where(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e = canon
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        ls = (
+            sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        rewired = (
+            ls.join(mins2, "u")
+            .where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        center = mins2.select(F.col("u"), F.col("m").alias("v"))
+        out = (
+            rewired.union(center)
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastExchange") == 0, plan
+    assert plan.count("SortMergeJoin") == 4, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 10, plan
+    assert plan.count("Sort [") == 8, plan

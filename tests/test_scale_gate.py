@@ -57,11 +57,10 @@ RECALL_FLOORS = {
     # while background pairs (s ≈ 0.01-0.04) stay suppressed by s^4 so
     # candidate volume remains linear in N
     "minhash_neardup_pair_recall": 0.90,
-    # the legacy 2-band x 4-row setting is still measured per round for
-    # the recall-vs-cost curve; it shares the shingle fix, so its honest
-    # floor rises from the r9-era 0.35 to 1-(1-s^4)^2 at planted s
-    "minhash_legacy_neardup_pair_recall": 0.60,
-    "minhash_legacy_exact_pair_recall": 1.0,
+    # (the legacy 2x4 arm was retired in round 14 — r13 VERDICT #8 —
+    # after RECALL_r13 recorded its final A/B: 0.885 vs 0.961 at 10x;
+    # artifacts from r13 and earlier still carry its keys, which this
+    # floor table simply no longer asserts)
 }
 
 

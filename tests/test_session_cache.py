@@ -312,3 +312,39 @@ def test_tune_shuffle_sets_dop_and_aqe_regime(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved_dop)
         spark.conf.set("spark.sql.adaptive.enabled", saved_aqe)
+
+
+def test_restore_session_tuning_returns_pre_tuning_confs(spark, sf_dir):
+    """tune_shuffle_for_input's AQE/DOP latch is last-writer-wins on the
+    session (disclosed); restore_session_tuning must hand back the
+    values from BEFORE the first tuning touch (r13 ADVICE — mixed-use
+    sessions get their skew handling back without waiting for the next
+    engine load)."""
+    from financial_big_data_exp_4_spark.session import (
+        restore_session_tuning,
+        tune_shuffle_for_input,
+    )
+
+    from financial_big_data_exp_4_spark.session import (
+        _TUNE_ORIGINALS_MEMO_ATTR,
+    )
+
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    before_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        tune_shuffle_for_input(spark, sf_dir)  # tiny dir: flips AQE off
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+        restore_session_tuning(spark)
+        # originals are FIRST-touch per session (an earlier test in this
+        # session may have tuned already) — restore must return exactly
+        # those, whatever this test saw before its own call
+        originals = getattr(spark, _TUNE_ORIGINALS_MEMO_ATTR)
+        assert spark.conf.get("spark.sql.shuffle.partitions") == (
+            originals["spark.sql.shuffle.partitions"]
+        )
+        assert spark.conf.get("spark.sql.adaptive.enabled") == (
+            originals["spark.sql.adaptive.enabled"]
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", before_aqe)

@@ -676,3 +676,117 @@ def test_ann_ivf_serves_from_memoized_index(spark, sf_dir):
     live = plan.split("InMemoryRelation", 1)[0]
     assert "BroadcastNestedLoopJoin" not in live, plan
     assert "FileScan parquet" not in live, plan
+
+
+def test_served_ivf_topk_plan_streams_the_index(spark):
+    """Plan-shape guard for the index-SERVING path (r13 VERDICT #9):
+    cosine_topk_ivf over a materialized ivf_assignments artifact must
+    stream the big assigned side from its cache straight into a
+    BroadcastHashJoin against the tiny probe set, with the window's
+    partitionBy as the ONE shuffle in the query:
+
+    * exactly 1 shuffle Exchange above the cache (the probe_id window),
+    * a BroadcastHashJoin, never a SortMergeJoin (an SMJ would shuffle
+      AND sort the whole corpus per query — the silent regression class
+      the propagate-loop guard caught in r13),
+    * the assigned side read through InMemoryTableScan (served, not
+      rebuilt).
+    """
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        cosine_topk_ivf,
+        ivf_assignments,
+    )
+    from financial_big_data_exp_4_spark.session import (
+        memo_df,
+        scoped_sql_conf,
+    )
+
+    random.seed(7)
+    emb = spark.createDataFrame(
+        [(i, [random.random() for _ in range(8)]) for i in range(400)],
+        "vec_id long, embedding array<double>",
+    )
+    with scoped_sql_conf(spark, {"spark.sql.adaptive.enabled": "false"}):
+        assigned = memo_df(
+            spark, ("test_served_ivf", "t"), lambda: ivf_assignments(emb)
+        )
+        out = cosine_topk_ivf(emb, assigned=assigned)
+        assert out.count() > 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    top = plan.split("InMemoryRelation")[0]
+    assert "SortMergeJoin" not in top, top
+    assert top.count("BroadcastHashJoin") == 1, top
+    assert len(re.findall(r"Exchange hashpartitioning", top)) == 1, top
+    assert "InMemoryTableScan" in top, top
+
+
+def test_png_decoder_expands_palette_plte_and_trns():
+    """Palette (color type 3) PNGs decode through the PLTE to RGB, and a
+    tRNS chunk adds per-entry alpha (entries past its length opaque per
+    spec) — closing the stdlib codec's last loud gap (r13 VERDICT #10)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from financial_big_data_exp_4_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _png_decode,
+    )
+
+    def chunk(ctype, data):
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", crc)
+        )
+
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = np.array([[0, 1, 2, 3], [3, 2, 1, 0]], dtype=np.uint8)
+    scan = b"".join(b"\x00" + bytes(row) for row in idx)
+    base = _PNG_MAGIC + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 4, 2, 8, 3, 0, 0, 0)
+    ) + chunk(b"PLTE", palette.tobytes())
+    tail = chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b"")
+
+    rgb = _png_decode(base + tail)
+    assert rgb.shape == (2, 4, 3)
+    assert (rgb == palette[idx]).all()
+
+    rgba = _png_decode(base + chunk(b"tRNS", bytes([10, 200])) + tail)
+    assert rgba.shape == (2, 4, 4)
+    assert (rgba[:, :, :3] == palette[idx]).all()
+    alpha_lut = np.array([10, 200, 255, 255], dtype=np.uint8)
+    assert (rgba[:, :, 3] == alpha_lut[idx]).all()
+
+
+def test_resize_image_payloads_honors_custom_column_names(spark):
+    """Non-default id_col/payload_col must survive the pre-boundary
+    rename (r13 ADVICE: the pandas closure indexed the caller names and
+    KeyError'd executor-side for any non-default caller)."""
+    import numpy as np
+
+    from financial_big_data_exp_4_spark.operators.multimodal import (
+        _png_decode,
+        _png_encode,
+        resize_image_payloads,
+    )
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(77, bytearray(_png_encode(src)))],
+        "image_id long, img_bytes binary",
+    )
+    row = resize_image_payloads(
+        df, out_w=4, out_h=4, id_col="image_id", payload_col="img_bytes"
+    ).collect()[0]
+    assert row.doc_id == 77
+    assert _png_decode(bytes(row.payload)).shape == (4, 4, 3)

@@ -35,12 +35,11 @@ committed artifact (``RECALL_r{N}.json``) whose floors
   banding scheme actually delivers. Round 10 traced RECALL_r09's 0.42
   near-dup recall to the shift-fragile positional shingle stride (fixed:
   content-anchored selection, dedup.SHINGLE_SELECT_MOD), then moved the
-  declared banding to 4 bands × 4 rows. The MinHash band join is
-  measured under BOTH parameterizations — declared 4 × 4
-  (P(candidate) = 1−(1−s⁴)⁴) and the legacy round-2..9 2 × 4
-  (P = 1−(1−s⁴)²) — each with its candidate count and wall-clock, so
-  the recall-vs-cost trade is IN the committed artifact, not prose
-  (round-9 VERDICT #1).
+  declared banding to 4 bands × 4 rows (P(candidate) = 1−(1−s⁴)⁴),
+  measured here with its candidate count and wall-clock so the
+  recall-vs-cost trade is IN the committed artifact, not prose
+  (round-9 VERDICT #1). The legacy round-2..9 2 × 4 arm was retired in
+  round 14 (r13 VERDICT #8); RECALL_r13.json carries its final A/B.
 
 Both scales (1× and 10× the sf0.1-shaped fixture) run in one session;
 pair membership is checked with a semi-join against the planted-pair
@@ -178,36 +177,18 @@ def _candidate_recall(spark, sf_dir: str, mult: int) -> dict:
     ]
     docs = load_table(spark, sf_dir, "documents")
 
-    # recall-vs-cost for BOTH minhash parameterizations: the declared
-    # 4×4 setting and the legacy 2×4 one (constants kept addressable in
-    # operators.dedup exactly for this measurement). Candidate count and
-    # wall-clock are the cost axis; the count() also materializes the
-    # candidate set once so the recall semi-joins below are warm.
-    from financial_big_data_exp_4_spark.operators.dedup import (
-        LEGACY_MINHASH_BANDS,
-        LEGACY_MINHASH_COEFFS,
-        LEGACY_MINHASH_ROWS_PER_BAND,
-    )
-
-    mh_cost = {}
-    mh_frames = {}
-    for tag, kwargs in (
-        ("", {}),
-        ("legacy_", {
-            "coeffs": LEGACY_MINHASH_COEFFS,
-            "n_bands": LEGACY_MINHASH_BANDS,
-            "rows_per_band": LEGACY_MINHASH_ROWS_PER_BAND,
-        }),
-    ):
-        t0 = time.perf_counter()
-        frame = minhash_candidate_pairs(docs, **kwargs)
-        n_cand = frame.count()
-        mh_frames[tag] = frame
-        mh_cost[f"minhash_{tag}candidates"] = n_cand
-        mh_cost[f"minhash_{tag}pairs_sec"] = round(
-            time.perf_counter() - t0, 1
-        )
-    mh, mh_legacy = mh_frames[""], mh_frames["legacy_"]
+    # recall-vs-cost for the declared 4×4 minhash banding. (The legacy
+    # 2×4 arm was retired in round 14 — r13 VERDICT #8; RECALL_r13.json
+    # carries its final A/B: near-dup 0.885 vs 0.961 at 10×.) Candidate
+    # count and wall-clock are the cost axis; the count() also
+    # materializes the candidate set once so the recall semi-joins
+    # below are warm.
+    t0 = time.perf_counter()
+    mh = minhash_candidate_pairs(docs)
+    mh_cost = {
+        "minhash_candidates": mh.count(),
+        "minhash_pairs_sec": round(time.perf_counter() - t0, 1),
+    }
 
     return {
         "hyperplane_exact_pair_recall": _pair_recall(
@@ -221,12 +202,6 @@ def _candidate_recall(spark, sf_dir: str, mult: int) -> dict:
         ),
         "minhash_neardup_pair_recall": _pair_recall(
             spark, mh, doc_near, "doc_a", "doc_b"
-        ),
-        "minhash_legacy_exact_pair_recall": _pair_recall(
-            spark, mh_legacy, doc_exact, "doc_a", "doc_b"
-        ),
-        "minhash_legacy_neardup_pair_recall": _pair_recall(
-            spark, mh_legacy, doc_near, "doc_a", "doc_b"
         ),
         **mh_cost,
         "n_planted": {
