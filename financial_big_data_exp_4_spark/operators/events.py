@@ -57,6 +57,53 @@ def tumbling_counts(events: DataFrame, width_sec: int = 3600) -> DataFrame:
     )
 
 
+def hopping_counts(
+    events: DataFrame, width_sec: int = 3600, hop_sec: int = 1800
+) -> DataFrame:
+    """Events per (HOPPING window, event_type) — the sliding sibling of
+    :func:`tumbling_counts` (width 1 h, hop 30 min by default: every
+    event lands in width/hop = 2 overlapping windows). Spark's native
+    ``F.window(ts, width, hop)`` expresses this over timestamps; the
+    events loader normalizes ``ts`` to epoch-NANOSECOND bigints, so the
+    windows are derived arithmetically instead, with the same integer
+    floor-division discipline as the tumbling op (pre-epoch events
+    bucket correctly; doubles would round above 2^53).
+
+    Derivation: the window containing t whose start is ≡ j·hop
+    (mod width) starts at ``floor((t − j·hop)/width)·width + j·hop``;
+    exploding j = 0..width/hop−1 enumerates each event's windows
+    exactly once. Map-side explode (×width/hop rows) then one grouped
+    aggregate — the same single-shuffle shape as tumbling, just a
+    constant-factor wider shuffle, which IS the cost of hopping
+    windows on any engine. ``hop_sec`` must divide ``width_sec``."""
+    if width_sec % hop_sec:
+        raise ValueError(
+            f"hop {hop_sec}s must divide width {width_sec}s for aligned "
+            "hopping windows"
+        )
+    starts = [
+        (
+            F.expr(
+                floor_div_sql(
+                    f"ts - {j * hop_sec * NS_PER_SEC}",
+                    NS_PER_SEC * width_sec,
+                )
+            )
+            * width_sec
+            + j * hop_sec
+        ).cast("long")
+        for j in range(width_sec // hop_sec)
+    ]
+    return (
+        events.select(
+            F.explode(F.array(*starts)).alias("window_start_s"),
+            "event_type",
+        )
+        .groupBy("window_start_s", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def sessionize(events: DataFrame, gap_sec: int = SESSION_GAP_SEC) -> DataFrame:
     """Gap-based sessions per user: a new session starts when the time
     since the previous event (same user) exceeds ``gap_sec``.

@@ -159,6 +159,61 @@ def cosine_prenormed(a: Column, b: Column, norm_a: Column, norm_b: Column) -> Co
     return F.try_divide(dot(a, b), norm_a * norm_b)
 
 
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """Per-vector int8-style scalar quantization (SQ8) summary — the
+    standard vector-store compression: map each element to
+    ``floor((x − min)/(max − min) · 255 + 0.5)`` (floor of +0.5 is
+    round-half-up spelled so both engines agree; Spark's round() and
+    DuckDB's round() disagree only on ties, which the spelling removes)
+    and prove the reconstruction bound row-wise.
+
+    Output is SCALARS only (oracle hash-safety — list renderings
+    differ): (vec_id, n_dims, q_lo/q_hi = min/max code, q_sum = code
+    sum, recon_ok = max |x − dequant(q)| ≤ scale/510·(1+1e−9)+1e−12 —
+    the SQ8 half-step error bound with float-rounding slack). A
+    constant (or zero) vector has scale 0 → every code 0 and
+    reconstruction is exact by convention; the CASE's NULL-condition →
+    ELSE semantics make that branch identical on both engines. All
+    arithmetic is float32→float64 promotion (exact) then shared-order
+    IEEE double ops, so codes hash bit-for-bit against the SQL oracle.
+    100 TB shape: map-only over the vectors, no shuffle, no UDF —
+    the one groupBy-free pass a quantization stage should be.
+    Contract: embedding elements are non-NULL (the fixture schema);
+    a whole-NULL embedding row propagates NULL through every output."""
+    e = F.col("embedding")
+    mn = F.array_min(e).cast("double")
+    mx = F.array_max(e).cast("double")
+    q = F.transform(
+        e,
+        lambda x: F.when(
+            (mx - mn) > 0,
+            F.floor(
+                (x.cast("double") - mn) / (mx - mn) * F.lit(255.0)
+                + F.lit(0.5)
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    deq = lambda code: mn + code.cast("double") * (mx - mn) / F.lit(255.0)  # noqa: E731
+    err = F.array_max(
+        F.zip_with(
+            e, q, lambda x, c: F.abs(x.cast("double") - deq(c))
+        )
+    )
+    bound = (mx - mn) / F.lit(510.0) * F.lit(1.000000001) + F.lit(1e-12)
+    return embeddings.select(
+        "vec_id",
+        F.size(e).cast("long").alias("n_dims"),
+        F.array_min(q).alias("q_lo"),
+        F.array_max(q).alias("q_hi"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda acc, c: acc + c
+        ).alias("q_sum"),
+        (err <= bound).alias("recon_ok"),
+    )
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     n_probes: int = 5,

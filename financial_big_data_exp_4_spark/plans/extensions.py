@@ -406,6 +406,17 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tumbling_counts(load_table(spark, sf_dir, "events"))
 
 
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping (hopping/sliding) window counts — width 1 h, hop
+    30 min, each event in two windows. See operators/events.py:
+    hopping_counts for the arithmetic derivation and scale shape."""
+    from financial_big_data_exp_4_spark.operators.events import (
+        hopping_counts,
+    )
+
+    return hopping_counts(load_table(spark, sf_dir, "events"))
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(load_table(spark, sf_dir, "events"))
 
@@ -1487,6 +1498,18 @@ def q_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_signatures(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-style scalar quantization (SQ8) of the embedding column with
+    a row-wise reconstruction-bound proof — the vector-store compression
+    stage. Map-only, zero shuffle, scalar outputs so the oracle hashes
+    codes bit-for-bit. See operators/similarity.py:quantize_embeddings."""
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
 def _shared_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embedding near-dup family's shared candidate stage:
     hyperplane-LSH pairs (Hamming + exact cosine) memoized per
@@ -1839,6 +1862,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_lang_id": q_lang_id,
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_tumbling_window": q_tumbling_window,
+    "q_hopping_window": q_hopping_window,
     "q_sessionize": q_sessionize,
     "q_json_extract": q_json_extract,
     "q_star_join": q_star_join,
@@ -1894,6 +1918,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_doc_chunks": q_doc_chunks,
     "q_bm25": q_bm25,
     "q_embed_lsh": q_embed_lsh,
+    "q_embed_quantize": q_embed_quantize,
     "q_funnel": q_funnel,
     "q_cohort_retention": q_cohort_retention,
     "q_profile": q_profile,

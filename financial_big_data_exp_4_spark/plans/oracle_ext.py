@@ -578,6 +578,58 @@ Q_TUMBLING_WINDOW = f"""
     GROUP BY 1, 2
 """
 
+#: Hopping windows (width 1 h, hop 30 min): the window containing t with
+#: start ≡ j·hop (mod width) starts at floor((t − j·hop)/width)·width
+#: + j·hop; the cross join over j = 0, 1 enumerates each event's two
+#: windows — the exact mirror of operators/events.py:hopping_counts.
+Q_HOPPING_WINDOW = f"""
+    SELECT CAST({duck_floor_div(
+        "epoch_us(ts) - j * 1800000000", 3_600_000_000)} AS BIGINT) * 3600
+               + j * 1800 AS window_start_s,
+           event_type,
+           count(*) AS cnt
+    FROM events, (SELECT unnest([0, 1]) AS j)
+    GROUP BY 1, 2
+"""
+
+#: SQ8 quantization twin of operators/similarity.py:quantize_embeddings —
+#: identical expression order (float32 → float64 promotion is exact, the
+#: rest is shared-order IEEE double math; floor(·+0.5) sidesteps the
+#: engines' differing round-half tie rules), so codes hash bit-for-bit.
+Q_EMBED_QUANTIZE = """
+    WITH base AS (
+        SELECT vec_id,
+               embedding,
+               CAST(list_min(embedding) AS DOUBLE) AS mn,
+               CAST(list_max(embedding) AS DOUBLE) AS mx
+        FROM embeddings
+    ), coded AS (
+        SELECT vec_id, embedding, mn, mx,
+               list_transform(
+                   embedding,
+                   x -> CAST(CASE WHEN (mx - mn) > 0
+                        THEN floor((CAST(x AS DOUBLE) - mn) / (mx - mn)
+                                   * 255.0 + 0.5)
+                        ELSE 0 END AS BIGINT)
+               ) AS q
+        FROM base
+    )
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS n_dims,
+           CAST(list_min(q) AS BIGINT) AS q_lo,
+           CAST(list_max(q) AS BIGINT) AS q_hi,
+           CAST(list_sum(q) AS BIGINT) AS q_sum,
+           list_max(
+               list_transform(
+                   list_zip(embedding, q),
+                   p -> abs(CAST(p[1] AS DOUBLE)
+                            - (mn + CAST(p[2] AS DOUBLE) * (mx - mn)
+                               / 255.0))
+               )
+           ) <= (mx - mn) / 510.0 * 1.000000001 + 1e-12 AS recon_ok
+    FROM coded
+"""
+
 Q_SESSIONIZE = f"""
     WITH base AS (
         SELECT user_id, event_id,
@@ -815,6 +867,8 @@ EXTENSION_ORACLE_SQL: dict[str, str] = {
     "q_lang_id": Q_LANG_ID,
     "q_doc_fingerprint": Q_DOC_FINGERPRINT,
     "q_tumbling_window": Q_TUMBLING_WINDOW,
+    "q_hopping_window": Q_HOPPING_WINDOW,
+    "q_embed_quantize": Q_EMBED_QUANTIZE,
     "q_sessionize": Q_SESSIONIZE,
     "q_json_extract": Q_JSON_EXTRACT,
     "q_star_join": Q_STAR_JOIN,

@@ -138,3 +138,63 @@ def test_asof_join_null_payload_is_not_skipped(spark):
         payload="val", tiebreak="rid", payload_out="v",
     ).collect()
     assert len(got) == 1 and got[0]["v"] is None
+
+
+def test_hopping_counts_every_event_in_two_aligned_windows(spark):
+    from pyspark.sql import functions as F
+
+    from financial_big_data_exp_4_spark.operators.events import (
+        hopping_counts,
+    )
+
+    # events at -30 min (pre-epoch!), 10 min, 40 min, 70 min
+    rows = [(i, t * 60 * 1_000_000_000, "e") for i, t in
+            enumerate([-30, 10, 40, 70])]
+    ev = spark.createDataFrame(rows, "event_id long, ts long, event_type string")
+    got = {
+        (r.window_start_s, r.cnt)
+        for r in hopping_counts(ev).collect()
+    }
+    # window starts each event falls in (width 3600, hop 1800):
+    # -30min -> starts -3600 and -1800; 10min -> -1800 and 0;
+    # 40min -> 0 and 1800; 70min -> 1800 and 3600
+    assert got == {(-3600, 1), (-1800, 2), (0, 2), (1800, 2), (3600, 1)}
+
+
+def test_hopping_counts_rejects_non_dividing_hop(spark):
+    import pytest
+
+    from financial_big_data_exp_4_spark.operators.events import (
+        hopping_counts,
+    )
+
+    ev = spark.createDataFrame([], "event_id long, ts long, event_type string")
+    with pytest.raises(ValueError):
+        hopping_counts(ev, width_sec=3600, hop_sec=1000)
+
+
+def test_quantize_embeddings_codes_and_bound(spark):
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, [0.0, 1.0, 0.5]),       # exact endpoints + midpoint
+            (2, [3.25, 3.25, 3.25]),    # constant vector: scale 0
+            (3, [-2.0, 2.0]),           # negative range
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    # endpoints map to 0/255, midpoint to round(127.5+0.5)=128
+    assert (rows[1].q_lo, rows[1].q_hi) == (0, 255)
+    assert rows[1].q_sum == 0 + 255 + 128
+    assert rows[1].recon_ok
+    # scale-0 convention: every code 0, reconstruction exact
+    assert (rows[2].q_lo, rows[2].q_hi, rows[2].q_sum) == (0, 0, 0)
+    assert rows[2].recon_ok
+    assert (rows[3].q_lo, rows[3].q_hi) == (0, 255)
+    assert rows[3].recon_ok
+    assert all(r.n_dims == len(e) for r, e in
+               [(rows[1], [0] * 3), (rows[3], [0] * 2)])

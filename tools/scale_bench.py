@@ -162,6 +162,18 @@ WIDE_QUERIES = [
     "q_lineitem_pricing",
     "q_bm25",
     "q_gap_fill",
+    # round-14 (r13 VERDICT #7): the REST of the dedup/CC/minhash
+    # centerpiece now gets the same 100× evidence as the band joins —
+    # exact-hash dedup, the verify pass over the memoized candidates,
+    # the incremental signed-corpus path, and the embedding-space
+    # near-dup/semantic-dedup pair (both serve the memoized √N-cell IVF
+    # artifact, so their WARM slope measures candidate growth, not the
+    # N^1.5 index build the cold column prices).
+    "q_dedup_exact",
+    "q_neardup_verified",
+    "q_dedup_incremental",
+    "q_embed_neardup",
+    "q_semantic_dedup",
 ]
 
 #: family name -> (scale multiplier, query list). ``--families all``
