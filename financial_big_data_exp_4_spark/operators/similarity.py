@@ -179,22 +179,42 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     100 TB shape: map-only over the vectors, no shuffle, no UDF —
     the one groupBy-free pass a quantization stage should be.
     Contract: embedding elements are non-NULL (the fixture schema);
-    a whole-NULL embedding row propagates NULL through every output."""
+    a whole-NULL embedding row propagates NULL through every output.
+
+    The per-row min/max and the code array are MATERIALIZED as real
+    columns between stages (non-cheap aliases survive CollapseProject):
+    splicing ``array_min(e)`` directly into the higher-order-function
+    lambdas re-evaluates it PER ELEMENT — HOFs are CodegenFallback and
+    interpret the lambda body per element, so the spliced form was
+    O(d²) per row (measured 12.3 s → sub-second at the 10× fixture;
+    the same trap :func:`..functions.core.bind_once` documents)."""
     e = F.col("embedding")
-    mn = F.array_min(e).cast("double")
-    mx = F.array_max(e).cast("double")
-    q = F.transform(
-        e,
-        lambda x: F.when(
-            (mx - mn) > 0,
-            F.floor(
-                (x.cast("double") - mn) / (mx - mn) * F.lit(255.0)
-                + F.lit(0.5)
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("long"),
+    staged = embeddings.select(
+        "vec_id",
+        "embedding",
+        F.array_min(e).cast("double").alias("_mn"),
+        F.array_max(e).cast("double").alias("_mx"),
     )
+    mn, mx = F.col("_mn"), F.col("_mx")
+    coded = staged.select(
+        "vec_id",
+        "embedding",
+        "_mn",
+        "_mx",
+        F.transform(
+            e,
+            lambda x: F.when(
+                (mx - mn) > 0,
+                F.floor(
+                    (x.cast("double") - mn) / (mx - mn) * F.lit(255.0)
+                    + F.lit(0.5)
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ).alias("_q"),
+    )
+    q = F.col("_q")
     deq = lambda code: mn + code.cast("double") * (mx - mn) / F.lit(255.0)  # noqa: E731
     err = F.array_max(
         F.zip_with(
@@ -202,7 +222,7 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
         )
     )
     bound = (mx - mn) / F.lit(510.0) * F.lit(1.000000001) + F.lit(1e-12)
-    return embeddings.select(
+    return coded.select(
         "vec_id",
         F.size(e).cast("long").alias("n_dims"),
         F.array_min(q).alias("q_lo"),
