@@ -362,6 +362,78 @@ def pack_sequences(
     )
 
 
+def lm_bigram_scores(docs: DataFrame) -> DataFrame:
+    """CCNet-style corpus language-model scoring: train a bigram model
+    ON the corpus (maximum-likelihood: P(w2|w1) = c(w1,w2)/c(w1·)) and
+    score each document by its mean bigram probability — the standard
+    "does this document read like the corpus" quality signal that LM
+    perplexity filters approximate (Wenzek et al. 2020, CCNet; public
+    method). Higher = more typical text; boilerplate scores high,
+    lorem-gibberish low.
+
+    Probabilities, not log-probabilities, ON PURPOSE: ln() is libm-
+    dependent in its last ulp, so a log-based score could not hash
+    bit-for-bit against the SQL oracle, while c2/c1 is one correctly-
+    rounded IEEE division and the per-doc mean routes through a
+    DECIMAL(18,12) sum (associative — a double sum's low bits depend on
+    reduction order). A double → DECIMAL(18,12) cast cannot tie-break
+    differently across engines: a tie needs the double to be exactly
+    k·10⁻¹² + 5·10⁻¹³, which is not a binary fraction.
+
+    Plan shape (100 TB): bigrams = map-side slice+zip+explode (~one row
+    per token); the two count tables are partial-aggregable grouped
+    counts; the probability join hash-partitions on the bigram/context
+    keys (uniform in practice — token frequencies are zipfian but the
+    JOIN key cardinality is bounded by distinct bigrams, and AQE
+    skew-splits the hot-word partitions). Docs with fewer than two
+    tokens have no bigrams and no row — the declared contract.
+
+    Output: (doc_id, n_bigrams, lm_prob)."""
+    from financial_big_data_exp_4_spark.session import rebalance_for_cpu
+
+    base = rebalance_for_cpu(docs, "doc_id").select(
+        "doc_id", tokenize("text").alias("_tk")
+    )
+    pairs = base.select(
+        "doc_id",
+        # greatest(…, 0): slice() RAISES on a negative length, and an
+        # all-symbol document tokenizes to the EMPTY array (size 0 →
+        # length −1) — found by the ns-encoding fuzz profile on its
+        # first run over this operator
+        F.explode(
+            F.arrays_zip(
+                F.expr(
+                    "slice(_tk, 1, greatest(size(_tk) - 1, 0))"
+                ).alias("w1"),
+                F.expr(
+                    "slice(_tk, 2, greatest(size(_tk) - 1, 0))"
+                ).alias("w2"),
+            )
+        ).alias("_bg"),
+    ).select(
+        "doc_id",
+        F.col("_bg.w1").alias("w1"),
+        F.col("_bg.w2").alias("w2"),
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_n2"))
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("_n1"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            (F.col("_n2").cast("double") / F.col("_n1")).alias("_p"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (
+            F.sum(F.col("_p").cast("decimal(18,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("lm_prob"),
+    )
+
+
 def stratified_sample(
     df: DataFrame, key: str, stratum: str, rates_permille: dict[str, int]
 ) -> DataFrame:

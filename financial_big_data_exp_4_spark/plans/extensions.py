@@ -1492,6 +1492,18 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_scores(load_table(spark, sf_dir, "documents"))
 
 
+def q_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram-LM document scoring (CCNet-shaped quality signal):
+    mean P(w2|w1) per document under the corpus's own ML bigram model.
+    Probabilities not logs (libm-portable), DECIMAL-routed mean. See
+    operators/corpus.py:lm_bigram_scores."""
+    from financial_big_data_exp_4_spark.operators.corpus import (
+        lm_bigram_scores,
+    )
+
+    return lm_bigram_scores(load_table(spark, sf_dir, "documents"))
+
+
 def q_embed_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit signed-random-projection LSH signature per embedding —
     map-only, derived hyperplanes, zero shuffle."""
@@ -1917,6 +1929,7 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_winsorize": q_winsorize,
     "q_doc_chunks": q_doc_chunks,
     "q_bm25": q_bm25,
+    "q_lm_bigram": q_lm_bigram,
     "q_embed_lsh": q_embed_lsh,
     "q_embed_quantize": q_embed_quantize,
     "q_funnel": q_funnel,

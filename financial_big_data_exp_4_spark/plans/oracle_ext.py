@@ -1666,6 +1666,33 @@ EXTENSION_ORACLE_SQL["q_bm25"] = f"""
     FROM ranked WHERE rank <= {BM25_TOP_K}
 """
 
+#: Bigram-LM scoring twin of operators/corpus.py:lm_bigram_scores —
+#: same tokenizer, bigrams enumerated per 1-based index (tk[i], tk[i+1]),
+#: prob = one IEEE division of bigints, per-doc mean through a
+#: DECIMAL(18,12) sum (associative). Probabilities, not ln(): libm ulp
+#: differences would break the hash.
+EXTENSION_ORACLE_SQL["q_lm_bigram"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {TOKENIZE} AS tk FROM documents
+    ), bg AS (
+        SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(tk))) AS u(i)
+    ), c2 AS (
+        SELECT w1, w2, count(*) AS n2 FROM bg GROUP BY w1, w2
+    ), c1 AS (
+        SELECT w1, count(*) AS n1 FROM bg GROUP BY w1
+    ), scored AS (
+        SELECT bg.doc_id, CAST(n2 AS DOUBLE) / n1 AS p
+        FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(CAST(p AS DECIMAL(18,12))) AS DOUBLE) / count(*)
+               AS lm_prob
+    FROM scored
+    GROUP BY doc_id
+"""
+
 #: Inner fold has no DuckDB initial value — its x1 + x2 + … equals
 #: Spark's (0.0 + x1) + x2 + … bit-for-bit. Weights are derived
 #: integers, exact in double; the > 0.0 sign test is therefore portable.

@@ -418,3 +418,24 @@ def test_oracle_decimal_to_double_routes_via_varchar():
     assert not has_bare_sum_double_cast(
         "CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE)"
     )
+
+
+def test_lm_bigram_scores_match_hand_model(spark):
+    from financial_big_data_exp_4_spark.operators.corpus import (
+        lm_bigram_scores,
+    )
+
+    docs = spark.createDataFrame(
+        # doc 6 tokenizes to the EMPTY array (all symbols): slice() with
+        # a negative length raises, so it pins the greatest(...,0) guard
+        [(1, "a b"), (2, "a c"), (3, "a b c"), (4, "solo"), (5, None),
+         (6, "!!! ???")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in lm_bigram_scores(docs).collect()}
+    # corpus bigrams: (a,b)x2 (a,c)x1 (b,c)x1; contexts: a->3, b->1
+    # doc1: P(b|a)=2/3;  doc2: P(c|a)=1/3;  doc3: mean(2/3, 1/1) = 5/6
+    assert set(rows) == {1, 2, 3}  # <2 tokens / NULL text -> no row
+    assert rows[1].n_bigrams == 1 and abs(rows[1].lm_prob - 2 / 3) < 1e-9
+    assert rows[2].n_bigrams == 1 and abs(rows[2].lm_prob - 1 / 3) < 1e-9
+    assert rows[3].n_bigrams == 2 and abs(rows[3].lm_prob - 5 / 6) < 1e-9
