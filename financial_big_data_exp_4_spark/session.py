@@ -661,9 +661,9 @@ def session_memo(spark, attr: str) -> dict | None:
 
 
 def memo_df(spark, key: tuple, builder, max_entries: int = 16):
-    """Session-scoped memo of *persisted* DataFrames, keyed on
-    ``key`` (include every input that determines the result, e.g.
-    ``("minhash_pairs", sf_dir)``).
+    """Session-scoped memo of *materialized* DataFrames (eager
+    ``localCheckpoint``), keyed on ``key`` (include every input that
+    determines the result, e.g. ``("minhash_pairs", sf_dir)``).
 
     The production shape this models: a pipeline computes an expensive
     shared stage (LSH candidate pairs, IVF assignments) ONCE and feeds
@@ -699,6 +699,14 @@ def memo_df(spark, key: tuple, builder, max_entries: int = 16):
     conf is the cluster's configured DOP, so the cache keeps full read
     parallelism there.
     """
+    # measurement/audit-only escape hatch: with the artifact plan now
+    # truncated to a LogicalRDD leaf, plan auditors (tools/explain_audit)
+    # can no longer read the build plan off the served frame — this
+    # returns the raw builder output (deep plan, nothing cached) so the
+    # build's physical properties stay auditable. Never set in
+    # production paths: every consumer would rebuild the stage inline.
+    if os.environ.get("SPARK_GRAFT_MEMO_BYPASS") == "1":
+        return builder()
     memo = session_memo(spark, _MEMO_ATTR)
     if memo is None:
         return builder()
@@ -711,8 +719,26 @@ def memo_df(spark, key: tuple, builder, max_entries: int = 16):
         dop = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:  # pragma: no cover - conf read on odd builds
         dop = None
-    df = (built.repartition(dop) if dop else built).persist()
+    # localCheckpoint, not persist (round 14): the artifact's logical
+    # plan TRUNCATES to a LogicalRDD leaf. A persisted frame keeps its
+    # full build tree (the whole LSH/merge pipeline), and classic
+    # Datasets analyze EAGERLY on every transformation — so each of a
+    # consumer's ~15 chained ops re-analyzed the deep memo tree (and a
+    # self-join doubled it): measured 0.5-1.0 s of pure driver-side
+    # plan analysis per near-dup/graph consumer at sf0.1, the largest
+    # line in the build floor (FLOOR_r14). Over a leaf the same chains
+    # analyze in ~ms. Data-wise it is the same artifact (one eager
+    # materialization job, paid at build time — visible in the bench's
+    # cold/warmup column exactly like the old first-consumer fill);
+    # layout-wise LogicalRDD preserves the repartition's partitioning,
+    # which the CC loop and the served-IVF join already rely on.
+    df = (built.repartition(dop) if dop else built).localCheckpoint(
+        eager=True
+    )
     while len(memo) >= max_entries:
+        # checkpointed RDD blocks are freed when the frame is GC'd;
+        # unpersist is a no-op on them but still correct for any
+        # legacy persisted entry in the memo.
         memo.pop(next(iter(memo))).unpersist()
     memo[key] = df
     return df

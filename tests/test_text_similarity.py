@@ -659,8 +659,8 @@ def test_ann_ivf_serves_from_memoized_index(spark, sf_dir):
     """The declared stride-IVF query must SERVE from the session-memoized
     index artifact, not rebuild the N^1.5 assignment per call: after one
     invocation (which builds + persists the index), the next plan's scan
-    side must read an InMemoryTableScan and contain no crossJoin-against-
-    centroids stage (round-13: the per-pass rebuild was the largest line
+    side must read the materialized artifact leaf (Scan ExistingRDD) and
+    contain no crossJoin-against-centroids stage (round-13: the per-pass rebuild was the largest line
     in the 100x scale gate, 43.6 s warm -> 0.63 s served)."""
     from financial_big_data_exp_4_spark.plans import REFERENCE_QUERIES
 
@@ -669,13 +669,13 @@ def test_ann_ivf_serves_from_memoized_index(spark, sf_dir):
     plan = (
         fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "InMemoryTableScan" in plan, plan
-    # the cached InMemoryRelation block PRINTS its (unexecuted) build
-    # plan, which legitimately contains the centroid cross join — the
-    # LIVE plan above the cache boundary must not
-    live = plan.split("InMemoryRelation", 1)[0]
-    assert "BroadcastNestedLoopJoin" not in live, plan
-    assert "FileScan parquet" not in live, plan
+    # round 14: the memoized artifact is an eager localCheckpoint, so
+    # the served plan reads a Scan ExistingRDD leaf (plan truncated at
+    # the artifact boundary — no build plan is even printed). The whole
+    # plan is live, so the no-rebuild assertions apply to all of it.
+    assert "Scan ExistingRDD" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "FileScan parquet" not in plan, plan
 
 
 def test_served_ivf_topk_plan_streams_the_index(spark):
@@ -689,8 +689,8 @@ def test_served_ivf_topk_plan_streams_the_index(spark):
     * a BroadcastHashJoin, never a SortMergeJoin (an SMJ would shuffle
       AND sort the whole corpus per query — the silent regression class
       the propagate-loop guard caught in r13),
-    * the assigned side read through InMemoryTableScan (served, not
-      rebuilt).
+    * the assigned side read from the checkpointed artifact leaf
+      (Scan ExistingRDD — served, not rebuilt).
     """
     import random
     import re
@@ -718,11 +718,13 @@ def test_served_ivf_topk_plan_streams_the_index(spark):
         out = cosine_topk_ivf(emb, assigned=assigned)
         assert out.count() > 0
         plan = out._jdf.queryExecution().executedPlan().toString()
-    top = plan.split("InMemoryRelation")[0]
-    assert "SortMergeJoin" not in top, top
-    assert top.count("BroadcastHashJoin") == 1, top
-    assert len(re.findall(r"Exchange hashpartitioning", top)) == 1, top
-    assert "InMemoryTableScan" in top, top
+    # round 14: the served artifact is a localCheckpoint leaf (Scan
+    # ExistingRDD) — the printed plan contains no cached build plan, so
+    # the shape assertions cover the ENTIRE executed plan.
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+    assert "Scan ExistingRDD" in plan, plan
 
 
 def test_png_decoder_expands_palette_plte_and_trns():

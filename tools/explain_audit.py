@@ -128,14 +128,38 @@ def exchanges_outside_broadcast(plan: str) -> int:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
+    import os
+
     import __spark_entry__ as entry_mod
     from financial_big_data_exp_4_spark.session import get_spark
 
     spark = get_spark("explain_audit")
+    # Queries whose audited property lives in the family ARTIFACT's build
+    # plan, not the serving plan. Since round 14 the memoized artifacts
+    # are eager localCheckpoints: the served plan roots at a bare `Scan
+    # ExistingRDD` leaf and carries no build text (pre-r14, the persisted
+    # artifact printed its build through InMemoryRelation, so these
+    # checks matched on the served plan). For these queries the audit
+    # regenerates the plan with memo_df BYPASSED, inlining the build —
+    # the audited text is then the same physical build the warmup pass
+    # executes once per session. Every other query is audited on the
+    # plan that actually executes per call.
+    needs_build_plan = {"q_merge_upsert", "q_embed_cosine_topk"}
+
     failures: list[str] = []
     for name, fn in entry_mod.queries().items():
-        df = fn(spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
+        if name in needs_build_plan:
+            os.environ["SPARK_GRAFT_MEMO_BYPASS"] = "1"
+            try:
+                df = fn(spark, sf_dir)
+                plan = (
+                    df._jdf.queryExecution().executedPlan().toString()
+                )
+            finally:
+                os.environ.pop("SPARK_GRAFT_MEMO_BYPASS", None)
+        else:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         problems = []
         if "BatchEvalPython" in plan:
             problems.append("row-at-a-time Python UDF in plan")
