@@ -415,28 +415,16 @@ def lm_bigram_scores(docs: DataFrame) -> DataFrame:
         F.col("_bg.w1").alias("w1"),
         F.col("_bg.w2").alias("w2"),
     )
-    # pairs feeds THREE consumers (both count tables + the probability
-    # join's streamed side), and Spark shares no scans between branches —
-    # unpersisted, the regex tokenize + explode map stage ran 3× per
-    # query (round 14, guide §2.4). A production pipeline materializes
-    # the bigram table once; persist_scoped models that with bounded
-    # eviction.
-    from financial_big_data_exp_4_spark.session import persist_scoped
-
-    pairs = persist_scoped(pairs)
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_n2"))
-    # c(w1·) = Σ_w2 c(w1,w2): derive the context counts from the bigram
-    # counts (|distinct bigrams| rows) instead of re-aggregating the full
-    # pair stream a second time — identical integers by definition.
-    c1 = c2.groupBy("w1").agg(F.sum("_n2").alias("_n1"))
-    # attach the context count to the (small) bigram table first, so the
-    # big pair stream joins ONCE against a per-bigram probability table
-    probs = c2.join(c1, ["w1"]).select(
-        "w1",
-        "w2",
-        (F.col("_n2").cast("double") / F.col("_n1")).alias("_p"),
+    c1 = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("_n1"))
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .select(
+            "doc_id",
+            (F.col("_n2").cast("double") / F.col("_n1")).alias("_p"),
+        )
     )
-    scored = pairs.join(probs, ["w1", "w2"]).select("doc_id", "_p")
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (
