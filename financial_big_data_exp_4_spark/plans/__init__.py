@@ -29,14 +29,17 @@ from financial_big_data_exp_4_spark.plans.reference import (
 #: the complement of CORRECTNESS_r09.json's keys; round 11 sampled the
 #: complement of CORRECTNESS_r10.json's; round 12 sampled the complement
 #: of CORRECTNESS_r11.json's; round 13 sampled the complement of
-#: CORRECTNESS_r12.json's keys plus both anchors; round 14 (this prefix)
-#: swaps to the complement of CORRECTNESS_r13.json's keys — the 49 names
-#: the r13 driver did NOT sample, which includes q_bloom_prefilter's
-#: first-ever driver row (r13 VERDICT #1) — plus ONE anchor, q_scan (the
-#: flagship smoke). With 99 declared queries the complement is 49, so the
-#: 50-slot pin leaves room for only one standing anchor;
-#: q_feature_pipeline drops to normal rotation (it was hash-green in the
-#: r13 sample and re-enters via the r15 complement).
+#: CORRECTNESS_r12.json's keys plus both anchors; round 14 sampled the
+#: complement of CORRECTNESS_r13.json's keys plus the q_scan anchor;
+#: round 15 (this prefix) swaps to the complement of
+#: CORRECTNESS_r14.json's keys. The registry grew to 102 queries in
+#: round 14, so that complement is 52 names — two over the 50-slot pin
+#: after the q_scan anchor. The r15 VERDICT mandate is that the three
+#: queries added in round 14 (q_lm_bigram, q_hopping_window,
+#: q_embed_quantize — no driver CORRECTNESS row yet) MUST be in this
+#: sample; the three names dropped to make room (q_project, q_topk,
+#: q_interest) are trivial reference-surface queries, untouched since
+#: round 2 and hash-green in the r13 driver run.
 #: To rotate next round: replace with the complement of this round's
 #: CORRECTNESS keys, topped up to exactly 50 with q_scan first — the
 #: list is pinned to length 50 (round-6 ADVICE: the old 49-name list left
@@ -44,56 +47,56 @@ from financial_big_data_exp_4_spark.plans.reference import (
 #: loudly if the prefix was not swapped from the previous committed round.
 #: Every name must exist in the merged dict; the asserts below enforce it.
 _SAMPLE_FIRST = [
-    "q_approx_distinct",
-    "q_approx_percentile",
-    "q_bloom_prefilter",
-    "q_bm25",
-    "q_cohort_retention",
-    "q_correlation",
-    "q_curation_yield",
-    "q_dedup_apply",
-    "q_dedup_clusters",
-    "q_dedup_incremental",
-    "q_doc_chunks",
-    "q_embed_lsh",
-    "q_embed_lsh_pairs",
-    "q_funnel",
-    "q_gap_fill",
-    "q_group_center",
-    "q_inverted_index",
-    "q_large_orders",
-    "q_lineitem_pricing",
-    "q_local_supplier_volume",
-    "q_merge_upsert",
-    "q_moving_avg",
-    "q_neardup_verified",
-    "q_ntile",
-    "q_pii_scrub",
-    "q_profile",
-    "q_quality_filter",
-    "q_range_frame",
-    "q_repetition",
-    "q_running_total",
     "q_scan",
-    "q_scd2",
-    "q_semantic_dedup",
-    "q_semi_join",
-    "q_seq_pack",
-    "q_shipping_priority",
-    "q_skew_agg",
-    "q_skew_join",
-    "q_sql_surface",
-    "q_standard_scale",
-    "q_stratified_sample",
-    "q_stream_dedup",
-    "q_stream_range_join",
-    "q_stream_stateful",
-    "q_table_diff",
-    "q_tfidf",
-    "q_transitions",
-    "q_triangle_count",
-    "q_window_stats",
-    "q_winsorize",
+    "q_anti_join",
+    "q_asof_join",
+    "q_cube",
+    "q_dedup_exact",
+    "q_dedup_latest",
+    "q_dedup_simhash",
+    "q_distinct_agg",
+    "q_doc_fingerprint",
+    "q_embed_ann_ivf",
+    "q_embed_ann_kmeans",
+    "q_embed_cosine_topk",
+    "q_embed_neardup",
+    "q_embed_quantize",
+    "q_employer_share",
+    "q_feature_pipeline",
+    "q_fillna",
+    "q_grouping_sets",
+    "q_hash_sample",
+    "q_hopping_window",
+    "q_industry_count",
+    "q_json_extract",
+    "q_lang_id",
+    "q_lm_bigram",
+    "q_loan_histogram",
+    "q_multimodal_frames",
+    "q_multimodal_meta",
+    "q_neardup_edit",
+    "q_neardup_minhash",
+    "q_ngram_jaccard",
+    "q_percentile",
+    "q_pivot",
+    "q_quantile_bucket",
+    "q_random_split",
+    "q_range_join",
+    "q_rollup",
+    "q_sessionize",
+    "q_set_ops",
+    "q_simhash_neardup",
+    "q_star_join",
+    "q_stream_sessions",
+    "q_stream_tumbling",
+    "q_string_index",
+    "q_text_normalize",
+    "q_text_quality",
+    "q_token_count",
+    "q_tumbling_window",
+    "q_vector_assemble",
+    "q_window_rank",
+    "q_workyear_filter",
 ]
 
 #: The driver samples exactly the first 50 registry entries; pin the prefix
