@@ -289,65 +289,57 @@ def snapshot_diff(
     null-safe per column, and a NULL key is one real key on either side.
     Output: (diff_class, n_keys), classes that occur only.
 
-    Plan shape: a diff needs both sides co-located on the key, but a
-    full-outer join is NOT the cheapest way to get there — it costs two
-    exchanges plus two sorts plus the merge. Instead the sides are
-    tagged, unioned, and hash-repartitioned on the key ONCE; two
-    exchange-free HashAggregates on top read the classes off:
+    Plan shape — MEASURED, not assumed (r15, closing the r14 regression):
+    a diff needs both sides co-located on the key, and the full-outer
+    sort-merge join IS the cheapest way to get there on this engine.
+    Round 14 rewrote it as tag-union → one repartition(key) → two
+    exchange-free HashAggregates ("fewer exchanges must win") and the
+    10× wall REGRESSED 3.8 → 5.2 s: the single exchange ships the same
+    3 M rows as the join's two (union vs per-side), while the first
+    aggregate builds a ~3 M-entry hash table whose group keys carry the
+    payload columns — decomposed at 10×: exchange 1.3 s, +2.6 s for
+    that aggregate alone, vs 2.3-2.7 s for the ENTIRE join form (two
+    1.5 M-row sorts merge cheaper than one 3 M-group hash build; the
+    artifact-format hypothesis was tested too — leaf 5.31 s vs
+    columnar-persisted 4.89 s — and is not the story). Shuffled-hash
+    hint and a key-partitioned artifact were also measured and lost
+    (2.9-4.0 s: the eqNullSafe join wraps the key, so a raw-key
+    partitioning cannot satisfy its distribution). AQE handles skew at
+    the join's exchanges.
 
-    1. group by (key, payload...): an unchanged key collapses its two
-       identical rows into one group, a changed key keeps two groups —
-       groupBy treats NULLs in grouping keys as equal, which IS the
-       null-safe per-column comparison (and one NULL key is one real
-       key). Payload columns ride as GROUPING keys, never aggregation
-       buffers: var-length buffer types (strings) would force the whole
-       aggregate into SortAggregate, while string grouping keys stay in
-       whole-stage-codegen HashAggregate (measured: the buffer form
-       pays +1.4 s at 10×). Buffers are two int presence-maxes.
-    2. group by key: group count + side presence → class.
-
-    Both aggregates reuse the repartition's hashpartitioning(key) —
-    the key is a subset of each grouping clause, so EnsureRequirements
-    inserts no further exchange. Map-side partials are deliberately
-    traded away: snapshot keys are near-unique, so partial aggregation
-    combined ~nothing while the raw-row shuffle volume is identical.
-    AQE handles key skew at the one exchange like it would at the join.
+    Correctness notes: explicit presence markers — payload columns may
+    be legitimately NULL, and the join coalesces/duplicates the key, so
+    neither can test presence. The key comparison itself is eqNullSafe:
+    a plain equi-join never matches NULL keys, so a NULL-key row
+    identical in both snapshots would misreport as one added plus one
+    removed.
     """
-    vcols = [f"_v_{c}" for c in cols]
     o = old.select(
-        F.col(key).alias("_k"),
-        F.lit(True).alias("_is_old"),
-        *[F.col(c).alias(v) for c, v in zip(cols, vcols)],
+        F.col(key).alias("_o_key"),
+        F.lit(1).alias("_o_present"),
+        *[F.col(c).alias(f"_o_{c}") for c in cols],
     )
     n = new.select(
-        F.col(key).alias("_k"),
-        F.lit(False).alias("_is_old"),
-        *[F.col(c).alias(v) for c, v in zip(cols, vcols)],
+        F.col(key).alias("_n_key"),
+        F.lit(1).alias("_n_present"),
+        *[F.col(c).alias(f"_n_{c}") for c in cols],
     )
-    per_group = (
-        o.unionByName(n)
-        .repartition(F.col("_k"))
-        .groupBy("_k", *vcols)
-        .agg(
-            F.max(F.when(F.col("_is_old"), F.lit(1))).alias("_o1"),
-            F.max(F.when(~F.col("_is_old"), F.lit(1))).alias("_n1"),
-        )
+    joined = o.join(
+        n, F.col("_o_key").eqNullSafe(F.col("_n_key")), "full_outer"
     )
-    per_key = per_group.groupBy("_k").agg(
-        F.count(F.lit(1)).alias("_ng"),
-        F.max("_o1").alias("_o_present"),
-        F.max("_n1").alias("_n_present"),
-    )
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
     has_old = F.col("_o_present").isNotNull()
     has_new = F.col("_n_present").isNotNull()
     cls = (
         F.when(~has_old, F.lit("added"))
         .when(~has_new, F.lit("removed"))
-        .when(F.col("_ng") == 1, F.lit("unchanged"))
+        .when(same, F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return (
-        per_key.select(cls.alias("diff_class"))
+        joined.select(cls.alias("diff_class"))
         .groupBy("diff_class")
         .agg(F.count(F.lit(1)).alias("n_keys"))
     )

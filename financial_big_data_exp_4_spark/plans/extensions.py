@@ -113,6 +113,21 @@ MEMO_FAMILY_CONSUMERS: dict[str, tuple[str, ...]] = {
     "bloom_words": ("q_bloom_prefilter",),
 }
 
+#: Queries whose memoized family artifact IS the query's entire declared
+#: result (r14 VERDICT "What's wrong" #3): their warm bench numbers
+#: measure a cached-result read, not computation — the real cost lives
+#: in the disclosed cold column. bench.py reports these separately
+#: (``serve_read_queries`` + warm/cold subtotals) so round-over-round
+#: comparisons do not mistake a serve-read for a 90x speedup.
+RESULT_MEMO_QUERIES: tuple[str, ...] = ("q_merge_upsert", "q_percentile")
+
+#: Queries that serve a fitted ML model artifact (StringIndexerModel /
+#: PipelineModel, fit once per (session, sf_dir) in plans/reference.py):
+#: the hoisted fit cost is visible only in the warmup pass, so bench.py
+#: includes them in the disclosed cold line alongside the memo-family
+#: consumers (r14 VERDICT #6: disclosure gap).
+MODEL_FIT_QUERIES: tuple[str, ...] = ("q_string_index", "q_feature_pipeline")
+
 
 def _fact(spark: SparkSession, sf_dir: str, name: str, key: str) -> DataFrame:
     """Load a fact table with the scan fanned across cores when it is
@@ -158,10 +173,12 @@ def _shared_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_df(
         spark,
         ("minhash_pairs", sf_dir),
-        lambda: minhash_candidate_pairs(
-            load_table(spark, sf_dir, "documents")
-        ),
+        lambda: _build_minhash_pairs(spark, sf_dir),
     )
+
+
+def _build_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidate_pairs(load_table(spark, sf_dir, "documents"))
 
 
 def q_neardup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -201,10 +218,12 @@ def _shared_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_df(
         spark,
         ("bruteforce_topk", sf_dir),
-        lambda: cosine_topk_bruteforce(
-            load_table(spark, sf_dir, "embeddings")
-        ),
+        lambda: _build_bruteforce_topk(spark, sf_dir),
     )
+
+
+def _build_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk_bruteforce(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,10 +248,26 @@ def _shared_ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_df(
         spark,
         ("ivf_assign", sf_dir),
-        lambda: ivf_assignments(
-            load_table(spark, sf_dir, "embeddings"), stride=None
-        ),
+        lambda: _build_ivf_assign(spark, sf_dir),
     )
+
+
+def _build_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    return ivf_assignments(
+        load_table(spark, sf_dir, "embeddings"), stride=None
+    )
+
+
+def _build_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_big_data_exp_4_spark.operators.similarity import (
+        cosine_topk_ivf_kmeans,
+    )
+
+    return cosine_topk_ivf_kmeans(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -276,7 +311,7 @@ def q_embed_ann_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     topk = memo_df(
         spark,
         ("ivf_kmeans", sf_dir),
-        lambda: cosine_topk_ivf_kmeans(emb),
+        lambda: _build_ivf_kmeans(spark, sf_dir),
     )
     # exact best per probe = rank-1 rows of the memoized brute-force
     # baseline (shared with q_embed_cosine_topk — one scoring fold per
@@ -369,16 +404,20 @@ def _shared_embed_neardup_pairs(
     return memo_df(
         spark,
         ("embed_neardup_pairs", sf_dir),
-        # adaptive ⌈√N⌉ stride — same rationale and oracle lockstep as
-        # q_embed_ann_ivf (the in-cell pair join is N²/C without it);
-        # the cell assignment is the family-shared memoized index, so
-        # the N^1.5 build is paid once per session across ann_ivf /
-        # embed_neardup / semantic_dedup, not once per family member
-        lambda: embedding_neardup_pairs(
-            load_table(spark, sf_dir, "embeddings"),
-            stride=None,
-            assigned=_shared_ivf_assignment(spark, sf_dir),
-        ),
+        lambda: _build_embed_neardup_pairs(spark, sf_dir),
+    )
+
+
+def _build_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # adaptive ⌈√N⌉ stride — same rationale and oracle lockstep as
+    # q_embed_ann_ivf (the in-cell pair join is N²/C without it);
+    # the cell assignment is the family-shared memoized index, so
+    # the N^1.5 build is paid once per session across ann_ivf /
+    # embed_neardup / semantic_dedup, not once per family member
+    return embedding_neardup_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        stride=None,
+        assigned=_shared_ivf_assignment(spark, sf_dir),
     )
 
 
@@ -632,12 +671,20 @@ def _orders_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_df(
         spark,
         ("orders_quartiles", sf_dir),
-        lambda: exact_percentiles(
-            load_table(spark, sf_dir, "orders"),
-            "o_orderpriority",
-            "o_totalprice",
-            {"p25": 0.25, "p50": 0.5, "p75": 0.75},
-        ),
+        lambda: _build_orders_quartiles(spark, sf_dir),
+    )
+
+
+def _build_orders_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_big_data_exp_4_spark.operators.relational import (
+        exact_percentiles,
+    )
+
+    return exact_percentiles(
+        load_table(spark, sf_dir, "orders"),
+        "o_orderpriority",
+        "o_totalprice",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75},
     )
 
 
@@ -1143,11 +1190,22 @@ def _bloom_filter_artifact(
     words = memo_df(
         spark,
         ("bloom_words", sf_dir),
-        lambda: bloom_words(
-            bloom_corpus_split(load_table(spark, sf_dir, "documents"))[0], m
-        ),
+        lambda: _build_bloom_words(spark, sf_dir, m),
     )
     return words, m
+
+
+def _build_bloom_words(spark: SparkSession, sf_dir: str, m=None) -> DataFrame:
+    from financial_big_data_exp_4_spark.operators.dedup import (
+        bloom_corpus_split,
+        bloom_words,
+        bloom_words_size,
+    )
+
+    corpus, _ = bloom_corpus_split(load_table(spark, sf_dir, "documents"))
+    if m is None:  # standalone (audit) path: recompute the sizing count
+        m = bloom_words_size(corpus.count())
+    return bloom_words(corpus, m)
 
 
 def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1435,14 +1493,18 @@ def _merged_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_df(
         spark,
         ("merged_orders", sf_dir),
-        lambda: merge_changes(
-            load_table(spark, sf_dir, "orders").select(
-                "o_orderkey", "o_totalprice", "o_orderstatus"
-            ),
-            _orders_changes(spark, sf_dir),
-            key="o_orderkey",
-            cols=("o_totalprice", "o_orderstatus"),
+        lambda: _build_merged_orders(spark, sf_dir),
+    )
+
+
+def _build_merged_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return merge_changes(
+        load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderstatus"
         ),
+        _orders_changes(spark, sf_dir),
+        key="o_orderkey",
+        cols=("o_totalprice", "o_orderstatus"),
     )
 
 
@@ -1534,10 +1596,12 @@ def _shared_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return memo_df(
         spark,
         ("hyperplane_pairs", sf_dir),
-        lambda: hyperplane_neardup_pairs(
-            load_table(spark, sf_dir, "embeddings")
-        ),
+        lambda: _build_hyperplane_pairs(spark, sf_dir),
     )
+
+
+def _build_hyperplane_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hyperplane_neardup_pairs(load_table(spark, sf_dir, "embeddings"))
 
 
 def q_embed_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1629,17 +1693,22 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both halves come from ONE memoized :func:`~..operators.dedup.signed_docs`
     signature table — the production shape, where signatures are a
     maintained artifact and ingestion never re-hashes a seen document."""
-    from financial_big_data_exp_4_spark.operators.dedup import signed_docs
     from financial_big_data_exp_4_spark.session import memo_df
 
     signed = memo_df(
         spark,
         ("minhash_signed", sf_dir),
-        lambda: signed_docs(load_table(spark, sf_dir, "documents")),
+        lambda: _build_minhash_signed(spark, sf_dir),
     )
     corpus = signed.where(F.col("doc_id") % 2 == 0)
     new = signed.where(F.col("doc_id") % 2 == 1)
     return incremental_neardup(new, corpus)
+
+
+def _build_minhash_signed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from financial_big_data_exp_4_spark.operators.dedup import signed_docs
+
+    return signed_docs(load_table(spark, sf_dir, "documents"))
 
 
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1947,4 +2016,26 @@ EXTENSION_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_stateful": q_stream_stateful,
     "q_dedup_incremental": q_dedup_incremental,
     "q_range_frame": q_range_frame,
+}
+
+#: Family key → the STANDALONE build callable each memo_df call site
+#: wraps (r15, closing the r14 ADVICE audit hole): since the artifacts
+#: became localCheckpoint leaves, served plans carry no build text, so
+#: tools/explain_audit.py audits these builders' plans directly — the
+#: same physical build the warmup pass executes (nested family memos
+#: stay ACTIVE inside a builder, exactly as at warmup; pre-r14 the
+#: persist() boundary isolated build plans the same way). Keys must
+#: match MEMO_FAMILY_CONSUMERS (tests/test_rotation.py).
+MEMO_FAMILY_BUILDERS: dict[str, object] = {
+    "minhash_pairs": _build_minhash_pairs,
+    "minhash_signed": _build_minhash_signed,
+    "bruteforce_topk": _build_bruteforce_topk,
+    "ivf_kmeans": _build_ivf_kmeans,
+    "ivf_assign": _build_ivf_assign,
+    "embed_neardup_pairs": _build_embed_neardup_pairs,
+    "hyperplane_pairs": _build_hyperplane_pairs,
+    "orders_changes": _build_orders_changes,
+    "merged_orders": _build_merged_orders,
+    "orders_quartiles": _build_orders_quartiles,
+    "bloom_words": _build_bloom_words,
 }

@@ -706,7 +706,26 @@ def memo_df(spark, key: tuple, builder, max_entries: int = 16):
     # build's physical properties stay auditable. Never set in
     # production paths: every consumer would rebuild the stage inline.
     if os.environ.get("SPARK_GRAFT_MEMO_BYPASS") == "1":
-        return builder()
+        import warnings
+
+        # loud when active: a leaked env var silently disables all
+        # memoization (every consumer rebuilds the stage inline), which
+        # looks like a mysterious slowdown, not an error (r14 ADVICE)
+        warnings.warn(
+            "SPARK_GRAFT_MEMO_BYPASS=1: memo_df is disabled; every "
+            "consumer rebuilds its family stage inline (audit mode)",
+            stacklevel=2,
+        )
+        built = builder()
+        # keep the audited plan identical to the physical build the
+        # warmup pass executes: the artifact's final round-robin
+        # exchange is part of that build (r14 ADVICE) — only the
+        # checkpoint/memo steps are skipped here
+        try:
+            dop = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # pragma: no cover - conf read on odd builds
+            dop = None
+        return built.repartition(dop) if dop else built
     memo = session_memo(spark, _MEMO_ATTR)
     if memo is None:
         return builder()
@@ -732,6 +751,27 @@ def memo_df(spark, key: tuple, builder, max_entries: int = 16):
     # cold/warmup column exactly like the old first-consumer fill);
     # layout-wise LogicalRDD preserves the repartition's partitioning,
     # which the CC loop and the served-IVF join already rely on.
+    #
+    # Cluster caveat (r14 ADVICE): localCheckpoint blocks live
+    # UNREPLICATED on executors and the truncated lineage cannot
+    # recompute them — under executor loss (preemption, dynamic
+    # allocation) a consumer fails instead of rebuilding. That is the
+    # documented constraint of this materialization: it models a local/
+    # static-executor verification session; a cluster deployment with
+    # dynamic executors should swap this for a reliable checkpoint or a
+    # written-out table (the production shape the docstring describes).
+    # Eviction note: the FIFO unpersist below releases persisted blocks
+    # immediately, but a checkpointed RDD's blocks are only freed when
+    # the py4j reference drops and the JVM ContextCleaner runs — under
+    # eviction churn an evicted artifact can linger in storage memory
+    # until GC.
+    # Row-serialized leaf scans were A/B'd against a columnar
+    # checkpoint-then-persist variant at the 10× fixture (r15, chasing
+    # the q_table_diff regression): for the table-sized merged_orders
+    # family the format moved the consumer <0.5 s (leaf 5.31 s vs
+    # columnar 4.89 s) — the regression lived in snapshot_diff's plan
+    # shape, not here. The leaf stays; the artifacts are small enough
+    # that scan format is noise next to consumer-side work.
     df = (built.repartition(dop) if dop else built).localCheckpoint(
         eager=True
     )

@@ -158,6 +158,17 @@ def test_memo_registry_matches_call_sites() -> None:
     assert consumers <= set(REFERENCE_QUERIES), (
         sorted(consumers - set(REFERENCE_QUERIES))
     )
+    # the standalone-builder registry (explain_audit's build-plan pass)
+    # must cover exactly the same families — a family whose builder is
+    # not registered silently escapes the negative plan checks
+    assert set(extensions.MEMO_FAMILY_BUILDERS) == set(
+        extensions.MEMO_FAMILY_CONSUMERS
+    ), (
+        sorted(
+            set(extensions.MEMO_FAMILY_BUILDERS)
+            ^ set(extensions.MEMO_FAMILY_CONSUMERS)
+        )
+    )
 
 
 def test_memo_capacity_has_headroom_over_family_count() -> None:

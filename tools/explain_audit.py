@@ -125,6 +125,41 @@ def exchanges_outside_broadcast(plan: str) -> int:
     return n
 
 
+def negative_check_problems(name: str, plan: str) -> list[str]:
+    """The global NEGATIVE checks applied to every plan: no Python row
+    UDFs, no expensive expression substituted into a Filter, no
+    unexpected pandas boundary. Factored out so the bypassed build-plan
+    pass (below) applies exactly the same rules as the served-plan pass
+    (r14 ADVICE: the localCheckpoint leaf hid every memoized family's
+    build plan from these checks)."""
+    problems = []
+    if "BatchEvalPython" in plan:
+        problems.append("row-at-a-time Python UDF in plan")
+    for line in plan.splitlines():
+        node = re.sub(r"^[\s+\-:*]*(\(\d+\)\s*)?", "", line)
+        if not node.startswith("Filter "):
+            continue
+        if any(m in node for m in EXPENSIVE_FILTER_MARKERS):
+            problems.append(
+                "expensive expression inside a Filter (pushdown "
+                "substituted an alias — use a cheap equivalent "
+                f"predicate): {node[:90]}"
+            )
+            break
+        if "md5(" in node and name not in MD5_FILTER_OK:
+            problems.append(
+                f"md5 inside a Filter (see MD5_FILTER_OK): {node[:90]}"
+            )
+            break
+    if name not in PANDAS_OK and (
+        "MapInPandas" in plan
+        or "ArrowEvalPython" in plan
+        or "FlatMapGroupsInPandas" in plan
+    ):
+        problems.append("unexpected pandas boundary in plan")
+    return problems
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 
@@ -160,36 +195,10 @@ def main() -> int:
         else:
             df = fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
-        problems = []
-        if "BatchEvalPython" in plan:
-            problems.append("row-at-a-time Python UDF in plan")
-        for line in plan.splitlines():
-            # strip tree glyphs AND the whole-stage-codegen stage tag:
-            # a codegen'd node renders as "+- *(1) Filter ...", and a
-            # plain lstrip of " +-:*" leaves "(1) " behind — the guard
-            # would silently skip every exchange-free plan's filters
-            # (round-9 review finding, verified empirically)
-            node = re.sub(r"^[\s+\-:*]*(\(\d+\)\s*)?", "", line)
-            if not node.startswith("Filter "):
-                continue
-            if any(m in node for m in EXPENSIVE_FILTER_MARKERS):
-                problems.append(
-                    "expensive expression inside a Filter (pushdown "
-                    "substituted an alias — use a cheap equivalent "
-                    f"predicate): {node[:90]}"
-                )
-                break
-            if "md5(" in node and name not in MD5_FILTER_OK:
-                problems.append(
-                    f"md5 inside a Filter (see MD5_FILTER_OK): {node[:90]}"
-                )
-                break
-        if name not in PANDAS_OK and (
-            "MapInPandas" in plan
-            or "ArrowEvalPython" in plan
-            or "FlatMapGroupsInPandas" in plan
-        ):
-            problems.append("unexpected pandas boundary in plan")
+        # negative checks (tree-glyph stripping inside the helper: a
+        # codegen'd node renders as "+- *(1) Filter ...", and a plain
+        # lstrip of " +-:*" leaves "(1) " behind — round-9 finding)
+        problems = negative_check_problems(name, plan)
         if name in MAP_ONLY:
             if "Exchange" in plan:
                 problems.append("unexpected Exchange in map-only query")
@@ -357,6 +366,31 @@ def main() -> int:
         print(plan)
         if problems:
             failures.append(name)
+    # Second pass (r14 ADVICE): the memoized family BUILD plans, audited
+    # standalone with the NEGATIVE checks. Since round 14 the artifacts
+    # are localCheckpoint leaves, so served plans carry no build text —
+    # a UDF or expensive-filter regression inside a builder would pass
+    # unseen without this. The builders come from MEMO_FAMILY_BUILDERS
+    # and are planned exactly as the warmup executes them: standalone,
+    # with any NESTED family memos served (pre-r14, the persist()
+    # boundary isolated build plans the same way — auditing the builder
+    # INLINED into a consumer instead would manufacture pushdown
+    # interactions the artifact boundary structurally prevents, e.g. a
+    # consumer join's IsNotNull(_md5) guard substituting md5(text) into
+    # the builder's pushed scan filter).
+    from financial_big_data_exp_4_spark.plans.extensions import (
+        MEMO_FAMILY_BUILDERS,
+    )
+
+    for fam, build in MEMO_FAMILY_BUILDERS.items():
+        df = build(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        problems = negative_check_problems(f"family:{fam}", plan)
+        status = "OK " if not problems else "BAD"
+        print(f"== {status} family:{fam} [build plan] {'; '.join(problems)}")
+        print(plan)
+        if problems:
+            failures.append(f"family:{fam}")
     print(f"\naudit: {len(failures)} failures {failures}")
     return 1 if failures else 0
 
