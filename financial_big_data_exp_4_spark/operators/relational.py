@@ -237,46 +237,86 @@ def profile_columns(
     count — the ingest-validation pass every pipeline runs before
     trusting a new drop.
 
-    One aggregate computes every metric (Spark plans the multi-column
-    distinct counts as a single Expand + two-phase aggregate — one scan,
-    not one per column); the per-column rows then unpivot from the 1-row
-    result via a map-side ``explode``. Counts only (BIGINT) — min/max
-    are deliberately excluded from the declared output because their
-    string rendering is engine-specific; production adds them per-type.
-    Output: (column, n_rows, n_nulls, n_distinct) — ``n_distinct``
-    excludes NULL (SQL ``count(DISTINCT col)`` semantics).
+    Exact path — MEASURED shape (r15): one independent two-phase
+    aggregate per column, unioned. The previous single-aggregate form
+    planned the multi-column exact distincts as ONE Expand — a
+    (|cols|+1)× row blow-up (4 profiled columns = 7.5 M expanded rows at
+    the 10× fixture) pushed through a compound-key HashAggregate; the
+    per-column union prunes each scan branch to a single column (same
+    total bytes off columnar storage as one wide scan), dedups each
+    column in its own 2-phase aggregate, and derives every metric from
+    the group counts: n_rows = Σcnt, n_nulls = cnt of the NULL group,
+    n_distinct = non-null group count. Measured at 10×: 3.03 s → 1.68 s
+    warm (repartition-by-column variants measured and rejected:
+    1.67-1.42 s per-branch costs say the 2-phase partials are not the
+    bottleneck). The branches are independent jobs inside one action, so
+    they backfill each other's stragglers. Counts only (BIGINT) —
+    min/max are deliberately excluded from the declared output because
+    their string rendering is engine-specific; production adds them
+    per-type. Output: (column, n_rows, n_nulls, n_distinct) —
+    ``n_distinct`` excludes NULL (SQL ``count(DISTINCT col)``
+    semantics).
 
-    ``approx=True`` is the 100 TB mode: exact multi-column distinct
-    counts plan ONE Expand over the full column list — a |cols|× row
-    blow-up through a single aggregate (42 profiled columns = 42× the
-    input rows entering the shuffle). ``approx_count_distinct``
+    ``approx=True`` is the 100 TB mode: ``approx_count_distinct``
     (HyperLogLog++, default rsd 5%) is a plain partial-aggregable
-    expression: no Expand, one pass, constant state per column — the
-    profile every warehouse actually runs at scale. The declared query
-    keeps ``approx=False`` so the oracle semantics stay exact; the knob
-    is scale-gated in tools/scale_bench.py (q_profile_approx)."""
-    metrics = [F.count(F.lit(1)).alias("_rows")]
-    nd = F.approx_count_distinct if approx else F.count_distinct
-    for c in cols:
-        metrics.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}")
-        )
-        metrics.append(nd(F.col(c)).alias(f"_nd_{c}"))
-    one = df.agg(*metrics)
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("column"),
-                F.col("_rows").alias("n_rows"),
-                F.col(f"_nn_{c}").alias("n_nulls"),
-                F.col(f"_nd_{c}").alias("n_distinct"),
+    expression — no per-column dedup state, ONE pass over one wide scan,
+    constant state per column — the profile every warehouse actually
+    runs at scale. The declared query keeps ``approx=False`` so the
+    oracle semantics stay exact; the knob is scale-gated in
+    tools/scale_bench.py (q_profile_approx)."""
+    if approx:
+        metrics = [F.count(F.lit(1)).alias("_rows")]
+        for c in cols:
+            metrics.append(
+                F.sum(F.col(c).isNull().cast("long")).alias(f"_nn_{c}")
             )
-            for c in cols
-        ]
-    )
-    return one.select(F.explode(rows).alias("_r")).select(
-        "_r.column", "_r.n_rows", "_r.n_nulls", "_r.n_distinct"
-    )
+            metrics.append(F.approx_count_distinct(F.col(c)).alias(f"_nd_{c}"))
+        one = df.agg(*metrics)
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column"),
+                    F.col("_rows").alias("n_rows"),
+                    F.col(f"_nn_{c}").alias("n_nulls"),
+                    F.col(f"_nd_{c}").alias("n_distinct"),
+                )
+                for c in cols
+            ]
+        )
+        return one.select(F.explode(rows).alias("_r")).select(
+            "_r.column", "_r.n_rows", "_r.n_nulls", "_r.n_distinct"
+        )
+    branches = []
+    for c in cols:
+        g = df.select(c).groupBy(c).agg(F.count(F.lit(1)).alias("_cnt"))
+        branches.append(
+            g.agg(
+                F.lit(c).alias("column"),
+                # coalesce: on EMPTY input the grouped frame has zero
+                # rows, so sum() is NULL where the old single-aggregate
+                # form reported 0 — keep the 0 contract
+                F.coalesce(F.sum("_cnt"), F.lit(0))
+                .cast("long")
+                .alias("n_rows"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col(c).isNull(), F.col("_cnt")).otherwise(
+                            F.lit(0)
+                        )
+                    ),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("n_nulls"),
+                F.count(F.when(F.col(c).isNotNull(), F.lit(1)))
+                .cast("long")
+                .alias("n_distinct"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out
 
 
 def snapshot_diff(

@@ -1763,10 +1763,10 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingest-validation profile of orders: per-column null / exact
-    distinct counts in ONE scan (single Expand aggregate). NOT
-    _fact-rebalanced: the Expand's partial distinct state is compact
-    (hash-set inserts), so the fan-out exchange's extra stage costs more
-    than the serialized partial saves (A/B at sf0.1: 0.53s vs 0.65s)."""
+    distinct counts, one pruned single-column aggregate branch per
+    column (r15 — the single-Expand form measured 1.8× slower at 10×;
+    see operators/relational.py:profile_columns). NOT _fact-rebalanced:
+    repartition-by-column variants measured and rejected there too."""
     orders = load_table(spark, sf_dir, "orders")
     return profile_columns(
         orders,

@@ -773,7 +773,11 @@ def test_profile_columns_approx_mode(spark):
         .toString()
     )
     assert "Expand" not in plan
+    # r15: the exact path is per-column union branches now — no Expand
+    # row blow-up there either (measured 1.8x at the 10x fixture), and
+    # one aggregate branch per profiled column
     exact_plan = (
         profile_columns(df, cols)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Expand" in exact_plan
+    assert "Expand" not in exact_plan
+    assert exact_plan.count("Union") == 1

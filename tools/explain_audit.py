@@ -294,12 +294,23 @@ def main() -> int:
             if exchanges_outside_broadcast(plan) > 2:
                 problems.append("unexpected extra exchange beyond fan-out")
         if name == "q_profile":
-            # all per-column metrics in ONE scan: the multi-distinct
-            # aggregate plans as a single Expand over a single FileScan
-            if "Expand" not in plan:
-                problems.append("profile lost the single-pass Expand form")
-            if plan.count("FileScan") != 1:
-                problems.append("profile scans the table more than once")
+            # r15 measured shape: one PRUNED single-column scan branch
+            # per profiled column (same total bytes as one wide scan off
+            # columnar storage), NO Expand row blow-up — the old single-
+            # aggregate form expanded rows (|cols|+1)x through a
+            # compound-key HashAggregate (10x: 3.03 s vs 1.68 s)
+            if "Expand" in plan:
+                problems.append("profile regressed to the Expand form")
+            if plan.count("FileScan") != 4:
+                problems.append("profile lost the per-column scan branches")
+            for ln in plan.splitlines():
+                if "ReadSchema" in ln and ln.count("struct<") == 1:
+                    ncols = ln.split("struct<", 1)[1].count(":")
+                    if ncols > 1:
+                        problems.append(
+                            "profile branch scan reads more than its column"
+                        )
+                        break
         if name == "q_cohort_retention" and "Expand" in plan:
             # the collect_set form must avoid the count-distinct expand
             problems.append("cohort retention fell back to count-distinct")
