@@ -1412,11 +1412,22 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB plan: every filter is pushed to its own scan before any join
     (the segment filter prunes ~80% of customers, the date filters prune
-    both fact tables); joins are left unhinted — at this fixture scale AQE
-    broadcasts the filtered customer side, at warehouse scale the same
-    plan degrades gracefully to shuffle joins on the (uniform) key
-    columns. Revenue routes through DECIMAL(12,2)×(4,2) so the grouped
-    sum is reduction-order-independent, and the final (revenue DESC,
+    both fact tables). Join ORDER is the r15 fix: the selective
+    dimension join (orders ⋈ broadcast customer, −80% of orders) runs
+    FIRST, so the big lineitem side joins a pre-pruned orders set — the
+    old (lineitem ⋈ orders) ⋈ customer order paired the two fact tables
+    at full post-filter size before the cheap prune (guide §3: filter
+    the big side before its join; measured at the 10× fixture 2.57 s →
+    1.6-2.0 s warm, plans and results identical otherwise). Joins stay
+    unhinted: AQE broadcasts the filtered customer side here, and at
+    warehouse scale the same plan degrades gracefully to shuffle joins
+    on the (uniform) key columns (an explicit broadcast of the
+    orders⋈customer result measured 1.07 s at 10× but would try to ship
+    a TB-scale join output at 100 TB — rejected). The pruned-orders
+    join reuses the lineitem exchange's l_orderkey partitioning for the
+    grouped sum, so the aggregate adds no exchange. Revenue routes
+    through DECIMAL(12,2)×(4,2) so the grouped sum is
+    reduction-order-independent, and the final (revenue DESC,
     o_orderdate, l_orderkey) sort is a total order, making the LIMIT 10
     deterministic — plans as TakeOrderedAndProject, never a global sort."""
     cutoff = F.lit("1998-06-15").cast("timestamp")
@@ -1432,9 +1443,11 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
         F.lit(1.0) - F.col("l_discount")
     ).cast("decimal(4,2)")
+    oc = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        li.join(oc, li["l_orderkey"] == oc["o_orderkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
