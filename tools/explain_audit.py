@@ -256,14 +256,17 @@ def main() -> int:
                 problems.append("edit distance not thresholded in plan")
         if name == "q_tfidf" and "TakeOrderedAndProject" not in plan:
             problems.append("tf-idf top-k not TakeOrderedAndProject")
-        if name == "q_inverted_index" and (
-            plan.count("hashpartitioning(term") > 1
-        ):
-            # the bounding window and the posting-list aggregate must share
-            # the `term` partitioning — a second term-keyed exchange means
-            # they don't (the doc_id-keyed CPU rebalance is a different,
-            # upstream exchange)
-            problems.append("inverted index re-shuffles between window+agg")
+        if name == "q_inverted_index":
+            # the bounding window and the posting-list aggregate must
+            # share the `term` partitioning; the df branch adds exactly
+            # one more partial-aggregated term exchange (r15 split —
+            # whole-partition window count forced full partition
+            # buffering). More than two term-keyed exchanges means the
+            # window and its aggregate stopped sharing.
+            if plan.count("hashpartitioning(term") > 2:
+                problems.append("inverted index re-shuffles between window+agg")
+            if "BroadcastHashJoin" not in plan:
+                problems.append("df table not broadcast back onto postings")
         if name == "q_lineitem_pricing" and (
             "PushedFilters: [IsNotNull(l_shipdate)" not in plan
         ):
